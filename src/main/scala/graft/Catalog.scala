@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table catalog over the driver-generated parquet star schema
+  * (TESTDATA.md). Mirrors the reference's fixed compile-time registry
+  * (master/master.ino:21-26) as a real catalog: explicit table list, no
+  * schema inference surprises, temp views for the SQL surface.
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. Parquet scan → columnar
+    * vectorized read; filters/projections placed on top get pushed down
+    * by Catalyst (verified in QueryPlanSpec).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+    // type for; read it as raw nanos (legacy.parquet.nanosAsLong) and
+    // truncate to a µs TimestampType here so every downstream operator
+    // (and the DuckDB oracle, which casts ::TIMESTAMP) sees µs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` queries (the
+    * grouping-sets / correlated-subquery surface) resolve. Idempotent.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+}
