@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q29–Q35: as-of join, embedding similarity top-k, explode/word-count,
+  * exact dedup by content hash, range/theta joins, and correlated
+  * scalar subquery (SURVEY.md §2.3 J6-J7, §2.8 F15-F18, §2.11).
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J6 — as-of: latest prior event of a different type per row
+    // (display shows most recent reading, prototype_2:49-70).
+    QueryDef(
+      "q29_asof_prior",
+      Some("""SELECT a.event_id, MAX(b.event_id) AS prior_b
+              FROM events a LEFT JOIN events b
+                ON a.user_id = b.user_id AND b.ts < a.ts
+                AND b.event_type <> a.event_type
+              GROUP BY a.event_id ORDER BY a.event_id LIMIT 500"""),
+      (s, dir) => {
+        val a = t(s, dir, "events").alias("a")
+        val b = t(s, dir, "events").alias("b")
+        a.join(b,
+            col("a.user_id") === col("b.user_id") &&
+              col("b.ts") < col("a.ts") &&
+              col("b.event_type") =!= col("a.event_type"),
+            "left")
+          .groupBy(col("a.event_id").as("event_id"))
+          .agg(max(col("b.event_id")).as("prior_b"))
+          .orderBy("event_id")
+          .limit(500)
+      }),
+
+    // X4/F15/F16/O3 — brute-force cosine-ish (dot product) top-k against
+    // one probe vector; higher-order array functions, accumulation in
+    // float64 on both engines (FIXTURES.md caveat).
+    QueryDef(
+      "q30_embedding_topk",
+      Some("""SELECT e1.vec_id,
+              ROUND(list_dot_product(e1.embedding::DOUBLE[],
+                                     e2.embedding::DOUBLE[]), 4) AS dot
+              FROM embeddings e1 JOIN embeddings e2
+                ON e2.vec_id = 0 AND e1.vec_id <> 0
+              ORDER BY dot DESC, e1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e1 = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+        val probe = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("probe"))
+        e1.crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            round(aggregate(
+              zip_with(col("embedding"), col("probe"), (x, y) => x * y),
+              lit(0.0), (acc, z) => acc + z), 4).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // F17/X3 — explode to words + count (telemetry map relationalized;
+    // master/master.ino:465-480 shape).
+    QueryDef(
+      "q31_word_count",
+      Some("""SELECT w AS word, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents) t
+              WHERE w <> '' GROUP BY w ORDER BY cnt DESC, word LIMIT 20"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(20)),
+
+    // F18/X6 — exact near-dup tier: content-hash groupBy
+    // (dedup key = md5(text); SURVEY.md §2.10 X6).
+    QueryDef(
+      "q32_exact_dup",
+      Some("""SELECT MD5(text) AS h, COUNT(*) AS copies FROM documents
+              GROUP BY MD5(text) HAVING COUNT(*) > 1 ORDER BY h"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("copies"))
+          .filter(col("copies") > 1)
+          .orderBy("h")),
+
+    // J7 — range join: events within 7 days of each order
+    // (interval matching; BASELINE.json north_star).
+    QueryDef(
+      "q33_range_join",
+      Some("""SELECT o.o_orderkey, COUNT(e.event_id) AS ev
+              FROM orders o LEFT JOIN events e
+                ON e.ts::TIMESTAMP >= o.o_orderdate
+                AND e.ts::TIMESTAMP < o.o_orderdate + INTERVAL 7 DAY
+              GROUP BY o.o_orderkey ORDER BY o.o_orderkey LIMIT 500"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val e = t(s, dir, "events")
+        o.join(e,
+            e("ts") >= o("o_orderdate") &&
+              e("ts") < o("o_orderdate") + expr("INTERVAL 7 DAY"),
+            "left")
+          .groupBy("o_orderkey")
+          .agg(count(e("event_id")).as("ev"))
+          .orderBy("o_orderkey")
+          .limit(500)
+      }),
+
+    // J7 — theta join (inequality pairing).
+    QueryDef(
+      "q34_theta_join",
+      Some("""SELECT a.r_regionkey AS rk_a, b.r_regionkey AS rk_b
+              FROM region a JOIN region b
+                ON a.r_regionkey < b.r_regionkey
+              ORDER BY rk_a, rk_b"""),
+      (s, dir) => {
+        val a = t(s, dir, "region").alias("a")
+        val b = t(s, dir, "region").alias("b")
+        a.join(b, col("a.r_regionkey") < col("b.r_regionkey"))
+          .select(col("a.r_regionkey").as("rk_a"),
+            col("b.r_regionkey").as("rk_b"))
+          .orderBy("rk_a", "rk_b")
+      }),
+
+    // §4 — correlated scalar subquery (Catalyst decorrelation;
+    // RewriteCorrelatedScalarSubquery).
+    QueryDef(
+      "q35_correlated_subquery",
+      Some("""SELECT o_orderkey FROM orders o
+              WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+              ORDER BY o_orderkey"""),
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey FROM orders o
+                 WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                                       FROM orders o2
+                                       WHERE o2.o_custkey = o.o_custkey)
+                 ORDER BY o_orderkey""")
+      }),
+  )
+}

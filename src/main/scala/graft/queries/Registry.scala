@@ -5,7 +5,7 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    CoreQueries.defs
+    CoreQueries.defs ++ ScalarQueries.defs ++ AdvancedQueries.defs
 
   /** Collapse SQL whitespace so oracle_sql.json stays one-line-friendly. */
   private def squash(sql: String): String =
