@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column-expression library for the training-data
+  * pipeline surface (SURVEY.md §2 NS rows): tokenization, shingling,
+  * portable 60-bit hashing, MinHash signatures, SimHash, language-ID,
+  * quality scoring, fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition
+  * — codegen-friendly, no UDFs, no shuffle: per-document narrow
+  * transforms that scale linearly to 100 TB. Cross-engine determinism
+  * comes from md5 (identical in every engine) instead of engine-local
+  * hash functions (xxhash64/hash differ between Spark and DuckDB).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " ", -1), _ =!= "")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a positive
+    * BIGINT. Same value in DuckDB via
+    * ('0x' || substring(md5(x),1,15))::BIGINT.
+    */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word k-shingles (word n-grams joined by single spaces).
+    * Order-sensitive — the discriminative unit for near-dup detection
+    * (word *sets* saturate on small vocabularies).
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    // sequence(1, n) DESCENDS when n < 1, so short docs need the guard
+    when(size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: for seed s in [0, k), min over shingles of
+    * hex60(s + ":" + shingle). Narrow per-row compute; signature is
+    * k longs regardless of document size — the 100 TB-safe sketch.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed =>
+        array_min(
+          transform(shingleArr,
+            s => hex60(concat(seed.cast("string"), lit(":"), s)))))
+
+  // (slice with a Column start needs all-Column args; see callers)
+
+  /** LSH band buckets from a MinHash signature: `bands` buckets of
+    * `rows` signature slots each, bucket id = md5 of the joined slot
+    * values. Docs sharing any (band, bucket) are near-dup candidates.
+    */
+  def lshBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        md5(concat_ws(",",
+          transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string")))
+          .cast("binary")))
+
+  /** 60-bit SimHash over (non-distinct) tokens: per bit, +1 when the
+    * token-hash bit is set else -1; final bit = sign of the sum.
+    */
+  def simhash60(toks: Column): Column = {
+    val hashes = transform(toks, w => hex60(w))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) =>
+        zip_with(acc, bitSigns(h), (a, b) => a + b))
+    (0 until 60).map { b =>
+      when(element_at(bitSums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-bit contribution vector of a 60-bit hash: +1L where bit b is
+    * set, else -1L (b = 0..59).
+    */
+  private def bitSigns(h: Column): Column =
+    array((0 until 60).map { b =>
+      when(h.bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L))
+    }: _*)
+
+  /** Language marker stopword sets for the n-gram-free heuristic
+    * language-ID tier (deterministic, SQL-portable).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "es" -> Seq("el", "la", "y", "los", "de", "un"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => w.isin(markers: _*)))
+
+  /** Predicted language = argmax of marker-word hits, ties broken by
+    * declaration order (en first), 'und' (undetermined) when no
+    * marker hits at all.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s === best && best > 0, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** English stopword ratio — quality-scoring component. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      markerHits(toks, stopwords).cast("double") / size(toks))
+      .otherwise(0.0)
+
+  /** Alphabetic-character ratio of the raw text. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        length(text))
+      .otherwise(0.0)
+
+  /** Mean token length. */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks))
+      .otherwise(0.0)
+
+  /** Composite quality score in [0,1]: favors mid-length docs with
+    * high alpha ratio and a sane stopword share (the
+    * length/punct/stopword recipe from SURVEY.md NS text analysis).
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val lenScore = least(size(tk).cast("double") / 100.0, lit(1.0))
+    (lenScore * 0.3 + alphaRatio(text) * 0.4 + stopwordRatio(tk) * 0.3)
+  }
+
+  /** Winnowing-style fingerprint: min/max of the hex60 hashes of all
+    * character 5-grams — a compact order-sensitive sketch (rolling-hash
+    * analog, SQL-portable).
+    */
+  def charGramMinHash(text: Column, k: Int = 5): Column =
+    when(length(text) >= k,
+      array_min(
+        transform(
+          sequence(lit(1), length(text) - (k - 1)),
+          i => hex60(text.substr(i, lit(k))))))
+      .otherwise(lit(null).cast("long"))
+}

@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.Catalog
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LLM-training-data pipeline operator surface (SURVEY.md §2 NS
+  * rows; builder prompt): deduplication tiers (exact hash is
+  * q32_exact_dup; here MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed),
+  * text analysis (language-ID, quality, token counts, fingerprints),
+  * and multimodal column plumbing.
+  *
+  * Scale design: every sketch (minhash sig, simhash, LSH bucket) is a
+  * narrow per-row transform — linear scan, no shuffle. Pair discovery
+  * shuffles only on (band, bucket) or shingle keys (inverted index),
+  * never materializing the O(n²) pair space. Cross-engine determinism
+  * via md5-derived 60-bit hashes (TextFunctions.hex60).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.shingles(TF.tokens(col("text"))).as("ss"))
+      .filter(size(col("ss")) > 0)
+
+  /** DuckDB CTE prefix shared by the shingle-based oracles. */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+         FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        for i in range(1, len(tk)-1)]) ss
+         FROM toks WHERE len(tk) >= 3)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Dedup tier 2: MinHash(32) + LSH(8 bands × 4 rows) + exact
+    // Jaccard verify at 0.8 — the standard near-dup pipeline.
+    QueryDef(
+      "ns_dedup_minhash_lsh",
+      Some(shingleCte + """,
+        mh AS (SELECT s.doc_id, r.seed,
+                 MIN(('0x' || substring(md5(r.seed::VARCHAR || ':' || u.s),
+                      1, 15))::BIGINT) AS mh
+               FROM sh s, UNNEST(s.ss) AS u(s), range(32) r(seed)
+               GROUP BY 1, 2),
+        sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
+                 GROUP BY doc_id),
+        bands AS (SELECT doc_id, b,
+                    md5(array_to_string(list_transform(
+                      list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
+                    bucket
+                  FROM sigs, range(8) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+        jac AS (SELECT c.da, c.db,
+                  len(list_intersect(x.ss, y.ss))::DOUBLE /
+                  len(list_distinct(list_concat(x.ss, y.ss))) j
+                FROM cand c JOIN sh x ON x.doc_id = c.da
+                            JOIN sh y ON y.doc_id = c.db)
+        SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
+        WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val sig = sh.withColumn("sig", TF.minhashSignature(col("ss"), 32))
+        val bands = sig.select(col("doc_id"),
+          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
+          .withColumn("jac",
+            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+              size(array_union(col("ssa"), col("ssb"))))
+          .filter(col("jac") >= 0.8)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jac"), 3).as("j"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ── Dedup tier 3: 60-bit SimHash signatures (order-sensitive
+    // token sketch; Hamming-close signatures ⇒ near-dups).
+    QueryDef(
+      "ns_dedup_simhash",
+      Some("""WITH toks AS (SELECT doc_id,
+                UNNEST(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) AS w
+                FROM documents),
+              h AS (SELECT doc_id,
+                ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM toks),
+              bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+                FROM h, range(60) r(b) GROUP BY 1, 2)
+              SELECT doc_id,
+                SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                  AS simhash
+              FROM bits GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TF.simhash60(TF.tokens(col("text"))).as("simhash"))
+          .orderBy("doc_id")),
+
+    // ── Dedup tier 4: exact n-gram Jaccard via shingle inverted-index
+    // join (shuffles on shingle key — never builds the n² pair space).
+    QueryDef(
+      "ns_dedup_ngram_jaccard",
+      Some(shingleCte + """,
+        inv AS (SELECT doc_id, UNNEST(ss) AS s FROM sh),
+        inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ci
+                  FROM inv a JOIN inv b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(ss) n FROM sh),
+        jac AS (SELECT i.da, i.db,
+                  i.ci::DOUBLE / (sa.n + sb.n - i.ci) j
+                FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                             JOIN sizes sb ON sb.doc_id = i.db)
+        SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
+        WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+        val inter = inv.as("a")
+          .join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("ci"))
+        val sizes = sh.select(col("doc_id"), size(col("ss")).as("n"))
+        inter
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .withColumn("jac",
+            col("ci").cast("double") / (col("na") + col("nb") - col("ci")))
+          .filter(col("jac") >= 0.8)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jac"), 3).as("j"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ── Dedup tier 5: embedding-cosine near-dup pairs.
+    QueryDef(
+      "ns_dedup_embed_cosine",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                FROM embeddings),
+              c AS (SELECT a.vec_id va, b.vec_id vb,
+                list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) cos
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 4) AS cos FROM c
+              WHERE cos >= 0.45 ORDER BY vec_a, vec_b"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cosv", SF.cosine(col("a.v"), col("b.v")))
+          .filter(col("cosv") >= 0.45)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(col("cosv"), 4).as("cos"))
+          .orderBy("vec_a", "vec_b")
+      }),
+
+    // ── Similarity search baseline: brute-force cosine top-k against
+    // probe vec 0 (the exact-rerank primitive).
+    QueryDef(
+      "ns_ann_cosine_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                FROM embeddings)
+              SELECT e1.vec_id,
+                ROUND(list_dot_product(e1.v, e0.v) /
+                  (sqrt(list_dot_product(e1.v, e1.v)) *
+                   sqrt(list_dot_product(e0.v, e0.v))), 4) AS cos
+              FROM e e1 JOIN e e0 ON e0.vec_id = 0 AND e1.vec_id <> 0
+              ORDER BY cos DESC, e1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("v").as("pv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // ── Similarity search scale path: random-hyperplane LSH bucket
+    // prefilter (4 deterministic planes) + exact cosine rerank. At
+    // 100 TB the bucket column is precomputed/partitioned-on; the
+    // probe touches 1/2^p of the data instead of all of it.
+    QueryDef(
+      "ns_ann_lsh_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                FROM embeddings),
+              pl AS (SELECT p,
+                [(('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR),
+                   1, 15))::BIGINT / 576460752303423488.0) - 1.0
+                 for d in range(0, 64)] plane
+                FROM range(4) t(p)),
+              bk AS (SELECT e.vec_id,
+                SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                    THEN (1 << p) ELSE 0 END)::INT bucket
+                FROM e, pl GROUP BY e.vec_id)
+              SELECT b1.vec_id,
+                ROUND(list_dot_product(e1.v, e0.v) /
+                  (sqrt(list_dot_product(e1.v, e1.v)) *
+                   sqrt(list_dot_product(e0.v, e0.v))), 4) AS cos
+              FROM bk b1
+              JOIN bk b0 ON b0.vec_id = 0 AND b1.bucket = b0.bucket
+                AND b1.vec_id <> 0
+              JOIN e e1 ON e1.vec_id = b1.vec_id
+              JOIN e e0 ON e0.vec_id = 0
+              ORDER BY cos DESC, b1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket", SF.lshBucket(col("v"), 4, 64))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("v").as("pv"), col("bucket").as("pbucket"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(probe), col("bucket") === col("pbucket"))
+          .select(col("vec_id"),
+            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // ── Text analysis: token counting (whitespace + word-regex).
+    QueryDef(
+      "ns_text_tokens",
+      Some("""SELECT doc_id,
+              len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                AS n_ws,
+              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TF.tokens(col("text"))).as("n_ws"),
+            regexp_count(lower(col("text")), lit("[a-z0-9]+")).as("n_words"))
+          .orderBy("doc_id")),
+
+    // ── Text analysis: quality scoring
+    // (length/alpha/stopword components, SURVEY.md NS).
+    QueryDef(
+      "ns_text_quality",
+      Some("""WITH q AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                  length(text) alpha_r
+                FROM documents),
+              c AS (SELECT doc_id, alpha_r,
+                len(list_filter(tk, x -> list_contains(
+                  ['the','a','of','and','is','to','in','that','it','for'],
+                  x)))::DOUBLE / len(tk) stop_r,
+                list_sum(list_transform(tk, x -> length(x)))::DOUBLE /
+                  len(tk) mean_len,
+                least(len(tk) / 100.0, 1.0) len_score
+                FROM q)
+              SELECT doc_id, ROUND(alpha_r, 4) AS alpha_r,
+                ROUND(stop_r, 4) AS stop_r, ROUND(mean_len, 4) AS mean_len,
+                ROUND(len_score * 0.3 + alpha_r * 0.4 + stop_r * 0.3, 4)
+                  AS score
+              FROM c ORDER BY doc_id"""),
+      (s, dir) => {
+        val tk = TF.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            round(TF.alphaRatio(col("text")), 4).as("alpha_r"),
+            round(TF.stopwordRatio(tk), 4).as("stop_r"),
+            round(TF.meanTokenLen(tk), 4).as("mean_len"),
+            round(TF.qualityScore(col("text")), 4).as("score"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Text analysis: heuristic language-ID by marker-word argmax.
+    QueryDef(
+      "ns_text_langid",
+      Some("""WITH tk AS (SELECT doc_id, lang,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') t
+                FROM documents),
+              sc AS (SELECT doc_id, lang,
+                len(list_filter(t, x -> list_contains(
+                  ['the','a','of','and','is','to'], x))) s_en,
+                len(list_filter(t, x -> list_contains(
+                  ['le','la','et','les','des','un'], x))) s_fr,
+                len(list_filter(t, x -> list_contains(
+                  ['der','die','und','das','ein','ist'], x))) s_de,
+                len(list_filter(t, x -> list_contains(
+                  ['el','la','y','los','de','un'], x))) s_es
+                FROM tk),
+              p AS (SELECT doc_id, lang,
+                CASE WHEN s_en = g AND g > 0 THEN 'en'
+                     WHEN s_fr = g AND g > 0 THEN 'fr'
+                     WHEN s_de = g AND g > 0 THEN 'de'
+                     WHEN s_es = g AND g > 0 THEN 'es'
+                     ELSE 'und' END pred
+                FROM (SELECT *, greatest(s_en, s_fr, s_de, s_es) g FROM sc))
+              SELECT doc_id, lang, pred,
+                CASE WHEN pred = lang THEN 1 ELSE 0 END AS matched
+              FROM p ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TF.langId(TF.tokens(col("text"))).as("pred"))
+          .withColumn("matched",
+            when(col("pred") === col("lang"), 1).otherwise(0))
+          .orderBy("doc_id")),
+
+    // ── Text analysis: document fingerprinting (normalized content
+    // hash + winnowing-style char-5-gram min-hash).
+    QueryDef(
+      "ns_text_fingerprint",
+      Some("""SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+              list_min([('0x' || substring(md5(substring(text, i, 5)), 1, 15))
+                        ::BIGINT
+                        for i in range(1, length(text) - 3)]) AS fp_min
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+              .cast("binary")).as("fp"),
+            TF.charGramMinHash(col("text")).as("fp_min"))
+          .orderBy("doc_id")),
+
+    // ── Multimodal: opaque binary payload + typed metadata columns
+    // (the decode stubs live in graft.functions.Multimodal; this is
+    // the schema/metadata plumbing the oracle can check).
+    QueryDef(
+      "ns_multimodal_meta",
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS sha FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(col("text")).as("n_bytes"),
+            sha2(col("text").cast("binary"), 256).as("sha"))
+          .orderBy("doc_id")),
+  )
+}

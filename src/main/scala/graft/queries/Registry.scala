@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    CoreQueries.defs ++ ScalarQueries.defs ++ AdvancedQueries.defs
+    CoreQueries.defs ++ ScalarQueries.defs ++ AdvancedQueries.defs ++
+      PipelineQueries.defs
 
   /** Collapse SQL whitespace so oracle_sql.json stays one-line-friendly. */
   private def squash(sql: String): String =
