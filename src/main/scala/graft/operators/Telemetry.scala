@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Telemetry data model + codec for the reference's wire formats
+  * (FIXTURES.md §A): the device→metrics JSON documents
+  * (master/master.ino:465-480,555-574; gsm/gsm.ino:10-11), the tagged
+  * LoRa frames D|S|E (master_lora/master_lora.ino:359,388,417), and the
+  * gateway's route/base64 handling (gateway/gateway.ino:69-84).
+  *
+  * All pure column expressions (SURVEY.md §2.10 X2/X3): `from_json` +
+  * `explode` replace a bespoke parser; `when/otherwise` replaces the
+  * charAt(0) router.
+  */
+object Telemetry {
+
+  /** Per-device metric struct: weight grams `w` (master/master.ino:474),
+    * optional temperature `t` (gsm/gsm.ino:10), progress flags `p`/`s`
+    * (master/master.ino:555-574).
+    */
+  val metricsType: StructType = StructType(Seq(
+    StructField("w", LongType),
+    StructField("t", DoubleType),
+    StructField("p", IntegerType),
+    StructField("s", IntegerType)))
+
+  /** A telemetry document is a JSON map device-code → metrics. */
+  val docType: MapType = MapType(StringType, metricsType)
+
+  /** Tag char → ingest endpoint path (gateway/gateway.ino:69-75). */
+  val routes: Map[String, String] = Map(
+    "D" -> "/data/", "S" -> "/setup-notification/", "E" -> "/error-report/")
+
+  /** Decode a framed message `D{json}` into (tag, endpoint, payload). */
+  def frameTag(frame: Column): Column = substring(frame, 1, 1)
+
+  def framePayload(frame: Column): Column =
+    substring(frame, 2, Int.MaxValue)
+
+  def routeFor(tag: Column): Column =
+    routes.foldLeft(lit(null).cast("string")) { case (acc, (t, path)) =>
+      when(tag === t, lit(path)).otherwise(acc)
+    }
+
+  /** Gateway transport re-encode (gateway/gateway.ino:83-84). */
+  def toBase64(payload: Column): Column = base64(payload.cast("binary"))
+  def fromBase64(b64: Column): Column = unbase64(b64).cast("string")
+
+  /** Parse a telemetry JSON document into the typed map. */
+  def parseDoc(json: Column): Column = from_json(json, docType)
+
+  /** Relationalize: one row per (device_code, metrics). */
+  def explodeDoc(df: DataFrame, docCol: String): DataFrame =
+    df.select(col("*"),
+        explode(col(docCol)).as(Seq("device_code", "metrics")))
+      .drop(docCol)
+
+  /** Serialize readings back to the wire shape `{"H0001":{"w":g},...}`
+    * (master/master.ino:465-480): map device → struct(w).
+    */
+  def buildDataDoc(deviceCol: Column, gramsCol: Column): Column =
+    to_json(map_from_entries(collect_list(
+      struct(deviceCol, struct(gramsCol.as("w"))))))
+
+  /** Calibration: fabs(raw/scale_factor - zero_factor)
+    * (slave/slave.ino:22,52,141 — scale division in the HX711 lib,
+    * zero offset + rectification in the sketch).
+    */
+  def calibrated(raw: Column, calFactor: Column, zeroFactor: Column): Column =
+    abs(raw / calFactor - zeroFactor)
+
+  /** kg → integer grams: ceil(w*1000) (master/master.ino:474). */
+  def toGrams(kg: Column): Column = ceil(kg * 1000).cast("long")
+
+  /** 0-as-missing sentinel → real null, at ingest ONLY (SURVEY.md §7.3;
+    * master/master.ino:156,162 re-polls instead of averaging zeros).
+    */
+  def nullifZero(c: Column): Column = nullif(c, lit(0.0))
+}

@@ -155,21 +155,25 @@ object PipelineQueries {
     // ── Dedup tier 5: embedding-cosine near-dup pairs.
     QueryDef(
       "ns_dedup_embed_cosine",
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+      // norms precomputed per vector (narrow) — numerically identical
+      // to the inline form, 3× less pair-time work at scale
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) nrm
                 FROM embeddings),
               c AS (SELECT a.vec_id va, b.vec_id vb,
-                list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) *
-                   sqrt(list_dot_product(b.v, b.v))) cos
+                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) cos
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 4) AS cos FROM c
               WHERE cos >= 0.45 ORDER BY vec_a, vec_b"""),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", SF.l2Norm(col("v")))
         e.as("a")
           .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cosv", SF.cosine(col("a.v"), col("b.v")))
+          .withColumn("cosv",
+            SF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .filter(col("cosv") >= 0.45)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             round(col("cosv"), 4).as("cos"))

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.operators.Telemetry
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming pipelines mirroring the reference's dataflow
+  * (SURVEY.md §3.1-§3.2, §2.9 T1-T9):
+  *
+  *   readStream → frame decode → calibrate → watermark(60 s) →
+  *   1 h tumbling window agg → foreachBatch { data sink | DLQ }
+  *
+  * Streaming state is always watermark-bounded (the firmware's
+  * slaveReadings[] scaled safely — unbounded keyed state is the 100 TB
+  * failure mode, SURVEY.md §7.3).
+  */
+object TelemetryPipeline {
+
+  /** Raw frame stream → typed readings. Input schema:
+    * (frame string, device_ts timestamp). Mirrors gateway ingest
+    * (gateway/gateway.ino:51-88): tag route + JSON decode + explode,
+    * then 0→null at the ingest boundary.
+    */
+  def decode(frames: DataFrame): DataFrame = {
+    val tagged = frames
+      .withColumn("tag", Telemetry.frameTag(col("frame")))
+      .withColumn("endpoint", Telemetry.routeFor(col("tag")))
+      .withColumn("doc", Telemetry.parseDoc(Telemetry.framePayload(col("frame"))))
+    Telemetry.explodeDoc(tagged, "doc")
+      .select(col("tag"), col("endpoint"), col("device_ts"),
+        col("device_code"),
+        Telemetry.nullifZero(col("metrics.w").cast("double")).as("weight_g"),
+        col("metrics.t").as("temp_c"),
+        col("metrics.p").as("ready_flag"),
+        col("metrics.s").as("sleep_flag"))
+  }
+
+  /** Hourly boundary-aligned tumbling aggregate with the 60 s round
+    * budget as watermark (master/master.ino:27,33,130-145,670-698):
+    * per (device, hour window) mean/last weights. Late rows beyond the
+    * watermark are dropped by the engine; the DLQ variant below
+    * captures them instead.
+    */
+  def hourlyRounds(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("device_ts", "60 seconds")
+      .groupBy(window(col("device_ts"), "1 hour"), col("device_code"))
+      .agg(
+        avg("weight_g").as("avg_g"),
+        max("weight_g").as("max_g"),
+        count(lit(1)).as("n_readings"))
+
+  /** Effectively-once per (device, round): the retry/dedup semantics of
+    * master/master.ino:158-168,218-220 — retries may redeliver, only
+    * the first accepted value per key survives, state bounded by the
+    * watermark.
+    */
+  def dedupRounds(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("device_ts", "60 seconds")
+      .dropDuplicatesWithinWatermark("device_code", "round_id")
+
+  /** Awake-session windows with the 60 s hard gap timeout
+    * (slave/slave.ino:111-124).
+    */
+  def sessions(commands: DataFrame): DataFrame =
+    commands
+      .withWatermark("device_ts", "60 seconds")
+      .groupBy(session_window(col("device_ts"), "60 seconds"),
+        col("device_code"))
+      .agg(count(lit(1)).as("n_cmds"))
+
+  /** foreachBatch router: complete rounds → data sink; partial rounds
+    * (any device missing in the window) → error-report DLQ
+    * (master/master.ino:137-145,552-599). `expectedDevices` plays the
+    * registry role (master/master.ino:23-26). One-shot setup
+    * notification on batchId == 0 (master/master.ino:84-93, T8).
+    */
+  def routedSink(
+      rounds: DataFrame,
+      expectedDevices: Int,
+      writeData: DataFrame => Unit,
+      writeDlq: DataFrame => Unit,
+      writeSetup: () => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (batchId == 0L) writeSetup()
+      val perWindow = batch
+        .groupBy(col("window"))
+        .agg(countDistinct(col("device_code")).as("n_dev"))
+      val complete = batch.join(
+        perWindow.filter(col("n_dev") >= expectedDevices).select("window"),
+        Seq("window"), "left_semi")
+      val partial = batch.join(
+        perWindow.filter(col("n_dev") >= expectedDevices).select("window"),
+        Seq("window"), "left_anti")
+      writeData(complete)
+      writeDlq(partial)
+  }
+
+  /** Per-device protocol state for the two-phase R/X confirm protocol
+    * (master/master.ino:231-258; slave/slave.ino:92-118): a reading is
+    * accepted only when its confirmation arrived in the same round;
+    * state times out on the round budget (flatMapGroupsWithState with
+    * ProcessingTimeTimeout — the general form of T3).
+    */
+  case class ProtoEvent(device_code: String, kind: String, value: Double)
+  case class ProtoState(confirmed: Boolean)
+  case class Accepted(device_code: String, value: Double)
+
+  def confirmPairing(
+      events: Dataset[ProtoEvent],
+      // production: ProcessingTimeTimeout ("60 seconds" round budget);
+      // NoTimeout keeps tests deterministic (a 0-interval trigger plus
+      // processing-time timeouts busy-loops the micro-batch engine)
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[Accepted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.device_code)
+      .flatMapGroupsWithState[ProtoState, Accepted](
+        OutputMode.Append, timeout) {
+        (device, evs, state: GroupState[ProtoState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var confirmed = state.getOption.exists(_.confirmed)
+            val out = evs.flatMap { e =>
+              e.kind match {
+                case "confirm" => confirmed = true; Nil
+                case "value" if confirmed => Seq(Accepted(device, e.value))
+                case _ => Nil
+              }
+            }.toList
+            state.update(ProtoState(confirmed))
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration("60 seconds")
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Telemetry
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-driven properties (SURVEY.md §5.2): calibration
+  * invariants, the boundary-alarm formula (incl. the exact-boundary
+  * skip), dedup idempotence under input shuffling. Sampled with a
+  * fixed seed (no scalatest-scalacheck bridge in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("P1: calibrated weight is non-negative and scale-consistent") {
+    val gen = Gen.zip(Gen.choose(-1e9, 1e9), Gen.choose(1e3, 1e5),
+      Gen.choose(-10.0, 10.0))
+    samples(gen).foreach { case (raw, f, z) =>
+      val kg = math.abs(raw / f - z)
+      assert(kg >= 0.0)
+      // doubling raw and factor together leaves the reading unchanged
+      val kg2 = math.abs((2 * raw) / (2 * f) - z)
+      assert(math.abs(kg - kg2) < 1e-9 * math.max(1.0, math.abs(kg)))
+    }
+  }
+
+  test("F10: next alarm is the smallest interval multiple STRICTLY greater than ts") {
+    // the firmware formula (ts/i + 1)*i skips to the NEXT boundary when
+    // exactly on one (master/master.ino:673-674)
+    val gen = Gen.zip(Gen.choose(0L, 4102444800L),
+      Gen.oneOf(60L, 3600L, 86400L))
+    samples(gen).foreach { case (ts, i) =>
+      val next = (ts / i + 1) * i
+      assert(next > ts)
+      assert(next % i == 0)
+      assert(next - ts <= i)
+    }
+    // exact boundary: firmware skips a full interval
+    assert((7200L / 3600 + 1) * 3600 == 10800L)
+  }
+
+  test("A3/Q28: dedup-keep-first is idempotent under input order shuffle") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1, 5), Gen.choose(1L, 100L)))
+    samples(gen, 5).foreach { pairs =>
+      val a = pairs.toDF("k", "v").groupBy("k").agg(min("v").as("first"))
+        .as[(Int, Long)].collect().sortBy(_._1).toSeq
+      val b = new scala.util.Random(42).shuffle(pairs).toDF("k", "v")
+        .groupBy("k").agg(min("v").as("first"))
+        .as[(Int, Long)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("P3: nullif-zero maps only the sentinel to null") {
+    val rows = Seq(0.0, 1.5, -2.0, 0.0).toDF("w")
+      .select(Telemetry.nullifZero($"w").as("w")).as[Option[Double]]
+      .collect()
+    assert(rows.toSeq == Seq(None, Some(1.5), Some(-2.0), None))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** t1 physical-plan assertions (SURVEY.md §4.2, §5.2): the Catalyst
+  * rewrites the engine relies on must actually appear in EXPLAIN —
+  * predicate pushdown into parquet, column pruning, broadcast joins
+  * for tiny dims, TakeOrderedAndProject for top-k. These are the
+  * 100 TB-scale guarantees, checked at sf0.001.
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private def planOf(name: String): DataFrame =
+    Registry.queries(name)(spark, sfDir)
+
+  private def explainStr(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      df.explain("formatted")
+    }
+    out.toString
+  }
+
+  test("q02: filter is pushed down to the parquet scan") {
+    val e = explainStr(planOf("q02_filter_predicates"))
+    assert(e.contains("PushedFilters: ["), e)
+    assert(e.contains("l_returnflag"), e)
+  }
+
+  test("q02: column pruning — scan reads only cited columns") {
+    val e = explainStr(planOf("q02_filter_predicates"))
+    val readSchema = e.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan should not read uncited columns: $readSchema")
+  }
+
+  test("q05/q06: tiny dims join via BroadcastHashJoin") {
+    assert(explainStr(planOf("q05_broadcast_join_case"))
+      .contains("BroadcastHashJoin"))
+    assert(explainStr(planOf("q06_star_join")).contains("BroadcastHashJoin"))
+  }
+
+  test("q07/q08: anti/semi joins plan as joins, not cartesian") {
+    val e7 = explainStr(planOf("q07_anti_join"))
+    val e8 = explainStr(planOf("q08_semi_join"))
+    assert(e7.contains("LeftAnti"), e7)
+    assert(e8.contains("LeftSemi"), e8)
+    assert(!e7.contains("CartesianProduct"))
+  }
+
+  test("q18: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val e = explainStr(planOf("q18_topk"))
+    assert(e.contains("TakeOrderedAndProject"), e)
+  }
+
+  test("q09: aggregate is partial+final (map-side combine)") {
+    val e = explainStr(planOf("q09_agg_suite"))
+    assert(e.contains("HashAggregate"), e)
+    assert(e.toLowerCase.contains("partial"), e)
+  }
+
+  test("whole-stage codegen covers the scan-heavy paths") {
+    // AQE finalizes codegen spans only at execution time; codegen'd
+    // stages render as "*(n)" in the executed plan
+    val df = planOf("q09_agg_suite")
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("*("), planStr)
+  }
+
+  test("ns sketches shuffle only on bucket/shingle keys, never n² pairs") {
+    // minhash signature computation itself must be shuffle-free:
+    // a single narrow projection over documents
+    val sigOnly = Catalog.table(spark, sfDir, "documents")
+      .select(graft.functions.TextFunctions.minhashSignature(
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))), 32))
+    def countExchanges(p: SparkPlan): Int = {
+      val self = p match {
+        case _: Exchange => 1
+        case a: AdaptiveSparkPlanExec => countExchanges(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countExchanges).sum
+    }
+    assert(countExchanges(sigOnly.queryExecution.executedPlan) == 0,
+      "sketching must be a narrow transform")
+  }
+
+  test("smoke: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.TelemetryPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** t3 streaming goldens (SURVEY.md §5.2): the semantics no batch
+  * oracle can check, driven through MemoryStream — watermark-bounded
+  * dedup (T3), session gap close (T6), DLQ split + one-shot setup
+  * notification (T2/T8), two-phase confirm pairing (J3).
+  */
+class StreamingGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Reading(device_code: String, round_id: Long,
+      device_ts: Timestamp, weight_g: Double)
+
+  test("T3: dropDuplicatesWithinWatermark keeps one per (device, round) under retry replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Reading]
+    val q = TelemetryPipeline.dedupRounds(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // the master retry trace (master/master.ino:158-168): same round
+      // delivered 1-3×
+      input.addData(
+        Reading("H0001", 1, ts("2024-01-01 00:00:01"), 32100),
+        Reading("H0001", 1, ts("2024-01-01 00:00:02"), 32100),
+        Reading("H0002", 1, ts("2024-01-01 00:00:03"), 28450),
+        Reading("H0001", 1, ts("2024-01-01 00:00:04"), 32100))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("device_code", "round_id").as[(String, Long)]
+        .collect().sorted
+      assert(rows.toSeq == Seq(("H0001", 1L), ("H0002", 1L)))
+    } finally q.stop()
+  }
+
+  test("T6: session window closes on 60 s gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val cmds = input.toDF().toDF("device_code", "device_ts")
+    val q = TelemetryPipeline.sessions(cmds)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("H0001", ts("2024-01-01 00:00:00")),
+        ("H0001", ts("2024-01-01 00:00:30")), // same session (gap 30s)
+        ("H0001", ts("2024-01-01 00:02:00"))) // new session (gap 90s)
+      // advance watermark far enough to close both sessions
+      input.addData(("H0002", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val n = spark.table("sess_out")
+        .filter($"device_code" === "H0001").count()
+      assert(n == 2, "expected 2 closed sessions for H0001")
+    } finally q.stop()
+  }
+
+  test("T2/T8: routedSink splits partial rounds to DLQ and fires setup once") {
+    var setupCount = 0
+    var dataRows = Seq.empty[(String, String)]
+    var dlqRows = Seq.empty[(String, String)]
+    val sink = TelemetryPipeline.routedSink(
+      rounds = null, expectedDevices = 2,
+      writeData = b => dataRows ++= b.select($"window.start".cast("string"),
+        $"device_code").as[(String, String)].collect(),
+      writeDlq = b => dlqRows ++= b.select($"window.start".cast("string"),
+        $"device_code").as[(String, String)].collect(),
+      writeSetup = () => setupCount += 1)
+
+    def batch(rows: (String, String)*): DataFrame =
+      rows.toDF("wstart", "device_code")
+        .select(struct(
+          $"wstart".cast("timestamp").as("start"),
+          ($"wstart".cast("timestamp") + expr("INTERVAL 1 HOUR")).as("end"))
+          .as("window"), $"device_code")
+
+    // batch 0: complete round (both registry devices) → data sink + setup
+    sink(batch(("2024-01-01 00:00:00", "H0001"),
+      ("2024-01-01 00:00:00", "H0002")), 0L)
+    // batch 1: partial round (one device missing) → DLQ, no second setup
+    sink(batch(("2024-01-01 01:00:00", "H0001")), 1L)
+
+    assert(setupCount == 1, "setup notification must fire exactly once")
+    assert(dataRows.map(_._2).sorted == Seq("H0001", "H0002"))
+    assert(dlqRows.map(_._2) == Seq("H0001"))
+    assert(dlqRows.head._1.startsWith("2024-01-01 01:00:00"))
+  }
+
+  test("J3: two-phase confirm pairing accepts only confirmed values") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TelemetryPipeline.ProtoEvent]
+    val q = TelemetryPipeline.confirmPairing(input.toDS())
+      .writeStream.format("memory").queryName("proto_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TelemetryPipeline.ProtoEvent("H0001", "confirm", 0),
+        TelemetryPipeline.ProtoEvent("H0001", "value", 32.1),
+        // H0002 sends a value with no confirmation → rejected
+        TelemetryPipeline.ProtoEvent("H0002", "value", 99.9))
+      q.processAllAvailable()
+      val rows = spark.table("proto_out")
+        .as[TelemetryPipeline.Accepted].collect()
+      assert(rows.toSeq == Seq(TelemetryPipeline.Accepted("H0001", 32.1)))
+    } finally q.stop()
+  }
+
+  test("T1: hourly rounds aggregate per device per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Reading]
+    val q = TelemetryPipeline.hourlyRounds(
+      input.toDF().withColumnRenamed("round_id", "rid"))
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Reading("H0001", 1, ts("2024-01-01 00:10:00"), 32100),
+        Reading("H0001", 1, ts("2024-01-01 00:20:00"), 32300))
+      // watermark push to close the 00:00 window
+      input.addData(Reading("H0002", 2, ts("2024-01-01 02:00:00"), 1))
+      q.processAllAvailable()
+      val row = spark.table("hourly_out")
+        .filter($"device_code" === "H0001")
+        .select($"avg_g", $"n_readings").as[(Double, Long)].collect()
+      assert(row.toSeq == Seq((32200.0, 2L)))
+    } finally q.stop()
+  }
+}

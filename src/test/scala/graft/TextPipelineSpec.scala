@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{Multimodal, SimilarityFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the LLM-pipeline operator library: sketches
+  * behave like sketches (near-dups collide, distinct docs don't),
+  * stubs produce deterministic features, LSH recall is sane.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val nearDupA = "the quick brown fox jumps over the lazy dog again and again"
+  val nearDupB = "the quick brown fox jumps over the lazy dog again and once"
+  val distinct1 = "completely different content about spark query engines"
+
+  test("shingles are order-sensitive word n-grams") {
+    val sh = Seq(nearDupA).toDF("text")
+      .select(TF.shingles(TF.tokens($"text")).as("ss"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("quick brown fox"))
+    assert(!sh.contains("brown quick the"))
+  }
+
+  test("minhash signatures: near-dups agree on most slots, distinct docs don't") {
+    val sigs = Seq(nearDupA, nearDupB, distinct1).toDF("text")
+      .select(TF.minhashSignature(
+        TF.shingles(TF.tokens($"text")), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0), sigs(1)) >= 20,
+      s"near-dups should share most minhash slots, got ${agree(sigs(0), sigs(1))}/32")
+    assert(agree(sigs(0), sigs(2)) <= 5,
+      s"distinct docs should share few slots, got ${agree(sigs(0), sigs(2))}/32")
+  }
+
+  test("simhash: near-dups are hamming-close, distinct docs are not") {
+    val hs = Seq(nearDupA, nearDupB, distinct1).toDF("text")
+      .select(TF.simhash60(TF.tokens($"text")).as("h")).as[Long].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0), hs(1)) <= 15,
+      s"near-dup hamming ${hamming(hs(0), hs(1))}")
+    assert(hamming(hs(0), hs(2)) > 15,
+      s"distinct hamming ${hamming(hs(0), hs(2))}")
+  }
+
+  test("langId picks the marker-dominant language; 'und' when none") {
+    val rows = Seq(
+      "the cat and the dog of a house is to blame",
+      "le chat et la maison des gens un jour",
+      "der hund und die katze das haus ein tag ist hier",
+      "xyzzy plugh qwert").toDF("text")
+      .select(TF.langId(TF.tokens($"text")).as("l")).as[String].collect()
+    assert(rows.toSeq == Seq("en", "fr", "de", "und"))
+  }
+
+  test("quality score stays in [0,1] and favors clean prose") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills",
+      "@@@@ #### $$$$ 1234 %%%% ^^^^ &&&&").toDF("text")
+      .select(TF.qualityScore($"text").as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("hex60 JVM twin matches the SQL expression") {
+    val sqlVal = Seq("abc").toDF("s").select(TF.hex60($"s")).as[Long].head()
+    assert(sqlVal == SF.hex60Local("abc"))
+  }
+
+  test("LSH bucket prefilter finds most of the brute-force cosine top-10") {
+    val e = Catalog.table(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probe = e.filter($"vec_id" === 0).select($"v".as("pv"))
+    val brute = e.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+      .select($"vec_id", SF.cosine($"v", $"pv").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val bucketed = e.withColumn("b", SF.lshBucket($"v", 4, 64))
+    val pb = bucketed.filter($"vec_id" === 0)
+      .select($"b".as("pbk"), $"v".as("pv"))
+    val cand = bucketed.filter($"vec_id" =!= 0)
+      .join(broadcast(pb), $"b" === $"pbk")
+      .select($"vec_id", SF.cosine($"v", $"pv").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    // 4-plane LSH halves the space 4×; expect meaningful but not
+    // perfect recall on 50 vectors (sf0.001)
+    assert(cand.nonEmpty, "LSH bucket should contain candidates")
+    assert((brute & cand).nonEmpty,
+      s"LSH top-k should overlap brute-force top-k: brute=$brute lsh=$cand")
+  }
+
+  test("multimodal stub decode: deterministic byte features via mapPartitions") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1, "image", Array.tabulate[Byte](8192)(i => (i % 251).toByte)),
+      Multimodal.MediaRecord(2, "audio", Array[Byte]())).toDS()
+    val feats = Multimodal.decodeFeatures(recs).collect().sortBy(_.media_id)
+    assert(feats(0).n_bytes == 8192)
+    assert(feats(0).frames_sampled == 2)
+    assert(feats(0).byte_hist4.sum == 8192)
+    assert(feats(1).n_bytes == 0 && feats(1).mean_byte == 0.0)
+    // determinism: same input → same features
+    val again = Multimodal.decodeFeatures(recs).collect().sortBy(_.media_id)
+    assert(again(0).mean_byte == feats(0).mean_byte)
+  }
+
+  test("multimodal metadata columns: length + sha256") {
+    val df = Seq((1L, "payload-bytes")).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("payload"))
+    val out = Multimodal.withMetadata(df, "payload")
+      .select($"n_bytes", length($"sha")).as[(Int, Int)].head()
+    assert(out == ((13, 64)))
+  }
+}
