@@ -17,8 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Sequential float64 dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential float64 dot product over two array<double> columns,
+    * via the codegen'd native expression (graft.plans.DotProduct).
+    * Bit-identical to the higher-order `aggregate(zip_with(...))` form
+    * (kept below for reference/fallback) and to DuckDB
+    * `list_dot_product`.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
+
+  /** The pure-built-in fallback form of `dot` (interpreted lambdas —
+    * correct everywhere, ~10× slower in tight loops).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -40,17 +40,24 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for seed s in [0, k), min over shingles of
-    * hex60(s + ":" + shingle). Narrow per-row compute; signature is
-    * k longs regardless of document size — the 100 TB-safe sketch.
+  /** 31-bit shingle hashes (hex60 mod p, p = 2^31-1) — the input to
+    * the affine MinHash family; one md5 per shingle total.
+    */
+  def hashedShingles31(shingleArr: Column): Column =
+    graft.plans.Hex60Array(shingleArr, graft.plans.MinHashSig.P)
+
+  /** Array-level hex60 (codegen; one native md5 loop per row). */
+  def hex60Array(arr: Column): Column = graft.plans.Hex60Array(arr)
+
+  /** MinHash signature: slot i = min((a_i·h + b_i) mod p) over shingle
+    * hashes h — the standard affine family, evaluated by the native
+    * codegen expression (graft.plans.MinHashSig; one md5 per shingle +
+    * k multiply-adds, vs k md5s per shingle naively). Narrow per-row
+    * compute; the signature is k longs regardless of document size —
+    * the 100 TB-safe sketch.
     */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      seed =>
-        array_min(
-          transform(shingleArr,
-            s => hex60(concat(seed.cast("string"), lit(":"), s)))))
+    graft.plans.MinHashSig(hashedShingles31(shingleArr), k)
 
   // (slice with a Column start needs all-Column args; see callers)
 
@@ -68,26 +75,12 @@ object TextFunctions {
 
   /** 60-bit SimHash over (non-distinct) tokens: per bit, +1 when the
     * token-hash bit is set else -1; final bit = sign of the sum.
+    * Evaluated by the native codegen expression (graft.plans.SimHash60
+    * — the higher-order array-accumulator form interpreted ~100×
+    * slower).
     */
-  def simhash60(toks: Column): Column = {
-    val hashes = transform(toks, w => hex60(w))
-    val bitSums = aggregate(
-      hashes,
-      array_repeat(lit(0L), 60),
-      (acc, h) =>
-        zip_with(acc, bitSigns(h), (a, b) => a + b))
-    (0 until 60).map { b =>
-      when(element_at(bitSums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  /** Per-bit contribution vector of a 60-bit hash: +1L where bit b is
-    * set, else -1L (b = 0..59).
-    */
-  private def bitSigns(h: Column): Column =
-    array((0 until 60).map { b =>
-      when(h.bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L))
-    }: _*)
+  def simhash60(toks: Column): Column =
+    graft.plans.SimHash60(graft.plans.Hex60Array(toks))
 
   /** Language marker stopword sets for the n-gram-free heuristic
     * language-ID tier (deterministic, SQL-portable).
@@ -151,10 +144,5 @@ object TextFunctions {
     * analog, SQL-portable).
     */
   def charGramMinHash(text: Column, k: Int = 5): Column =
-    when(length(text) >= k,
-      array_min(
-        transform(
-          sequence(lit(1), length(text) - (k - 1)),
-          i => hex60(text.substr(i, lit(k))))))
-      .otherwise(lit(null).cast("long"))
+    graft.plans.CharGramMinHash(text, k)
 }

@@ -1,0 +1,173 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen md5-hash expressions for the dedup tier. hex60(x) = the
+  * first 15 hex chars of md5(x) as a long ≡ the first 60 bits of the
+  * digest (big-endian first 8 bytes >>> 4) — computed here directly
+  * from the digest bytes, skipping hex-string formatting and the
+  * per-element interpreted lambda dispatch of the higher-order form
+  * (transform + conv(substring(md5(...)))). Bit-identical to the SQL
+  * form on both engines.
+  */
+object HashSupport {
+  def hex60Bytes(md: MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def hex60Utf8(md: MessageDigest, s: UTF8String): Long =
+    hex60Bytes(md, s.getBytes)
+
+  /** Array-level hex60: hash every element, optionally mod `m`. */
+  def hashArray(arr: ArrayData, m: Long): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = hex60Utf8(md, arr.getUTF8String(i))
+      out(i) = if (m > 0) h % m else h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct hex60 hashes of all word k-shingles (k tokens joined by
+    * single spaces) — built directly from the token array, never
+    * materializing shingle strings in the plan. First-occurrence order
+    * (matches DuckDB list_distinct); all consumers are set-ops/minima
+    * so order is immaterial anyway.
+    */
+  def shingleHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(hex60Bytes(md,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Min over hex60 hashes of all char k-grams (winnowing sketch). */
+  def charGramMin(s: UTF8String, k: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val str = s.toString
+    var min = Long.MaxValue
+    var i = 0
+    val last = str.length - k
+    while (i <= last) {
+      val h = hex60Bytes(md,
+        str.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** hex60 of every element of an array<string>, optionally mod `m`
+  * (m = 2^31-1 feeds the affine MinHash family).
+  */
+case class Hex60Array(child: Expression, m: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_hex60_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.hashArray(input.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashSupport.hashArray($c, ${m}L);")
+
+  override protected def withNewChildInternal(c: Expression): Hex60Array =
+    copy(child = c)
+}
+
+object Hex60Array {
+  def apply(arr: Column, m: Long = 0L): Column =
+    Bridge.column(Hex60Array(Bridge.expression(arr), m))
+}
+
+/** Distinct hashed word k-shingles of a token array (see
+  * HashSupport.shingleHashes).
+  */
+case class ShingleHash60(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_shingle_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashSupport.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash60 =
+    copy(child = c)
+}
+
+object ShingleHash60 {
+  def apply(toks: Column, k: Int = 3): Column =
+    Bridge.column(ShingleHash60(Bridge.expression(toks), k))
+}
+
+/** Winnowing-style fingerprint: min hex60 over all char k-grams of a
+  * string; null when the string is shorter than k. The per-row work is
+  * one tight JVM loop (HashSupport.charGramMin), so the codegen shim
+  * is a plain static call.
+  */
+case class CharGramMinHash(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_chargram_minhash"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    if (s.numChars() < k) null else HashSupport.charGramMin(s, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numChars() < $k) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.HashSupport.charGramMin($c, $k);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): CharGramMinHash =
+    copy(child = c)
+}
+
+object CharGramMinHash {
+  def apply(text: Column, k: Int): Column =
+    Bridge.column(CharGramMinHash(Bridge.expression(text), k))
+}

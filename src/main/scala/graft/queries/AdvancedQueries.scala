@@ -103,11 +103,21 @@ object AdvancedQueries {
                 AND e.ts::TIMESTAMP < o.o_orderdate + INTERVAL 7 DAY
               GROUP BY o.o_orderkey ORDER BY o.o_orderkey LIMIT 500"""),
       (s, dir) => {
+        // Range-join bucketing: a pure range predicate would plan as a
+        // BroadcastNestedLoopJoin (O(|orders|·|events|) — 15G pairs at
+        // sf0.1, unusable at 100 TB). Exploding each order into its 8
+        // covering day-buckets turns it into an equi-join on the
+        // bucket date + residual range filter; each event matches
+        // exactly one bucket so counts are unchanged.
         val o = t(s, dir, "orders")
+          .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 7 DAY"))
         val e = t(s, dir, "events")
-        o.join(e,
-            e("ts") >= o("o_orderdate") &&
-              e("ts") < o("o_orderdate") + expr("INTERVAL 7 DAY"),
+          .withColumn("bucket", to_date(col("ts")))
+        val ob = o.withColumn("bucket",
+          explode(sequence(to_date(col("o_orderdate")), to_date(col("o_end")))))
+        ob.join(e,
+            ob("bucket") === e("bucket") &&
+              e("ts") >= ob("o_orderdate") && e("ts") < ob("o_end"),
             "left")
           .groupBy("o_orderkey")
           .agg(count(e("event_id")).as("ev"))

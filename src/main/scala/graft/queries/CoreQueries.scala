@@ -264,10 +264,10 @@ object CoreQueries {
     QueryDef(
       "q15_rank_ntile_seq",
       Some("""SELECT event_id,
-              RANK() OVER (PARTITION BY event_type
-                           ORDER BY value DESC, event_id) AS rk,
-              NTILE(4) OVER (PARTITION BY event_type
-                             ORDER BY value DESC, event_id) AS qtile,
+              CAST(RANK() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id) AS INT) AS rk,
+              CAST(NTILE(4) OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id) AS INT) AS qtile,
               CAST((ROW_NUMBER() OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) - 1) % 10 AS INT) AS seq
               FROM events ORDER BY event_id"""),

@@ -28,14 +28,50 @@ object PipelineQueries {
       .select(col("doc_id"), TF.shingles(TF.tokens(col("text"))).as("ss"))
       .filter(size(col("ss")) > 0)
 
-  /** DuckDB CTE prefix shared by the shingle-based oracles. */
+  /** The shingle table feeds both sides of self-joins; without
+    * materialization Spark recomputes the tokenize+shingle+md5 pipeline
+    * per branch (3-4× the cost). Locally: persist. At 100 TB the same
+    * role is played by writing the shingle/signature table to parquet
+    * once and joining against it.
+    */
+  private def shingledCached(s: SparkSession, dir: String): DataFrame = {
+    // CacheManager matches by canonicalized plan, so repeated calls
+    // (and both self-join branches) share one cached copy
+    val cached = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize once
+    cached
+  }
+
+  /** Hashed-shingle table (doc_id, hh: array<long>): distinct hex60
+    * hashes of word 3-shingles, built natively from tokens
+    * (graft.plans.ShingleHash60) — shingle strings never materialize.
+    * ~800 B/doc regardless of text size; persisted because it feeds
+    * both sides of the candidate self-joins (at 100 TB this is the
+    * signature table you write to parquet once).
+    */
+  private def hashedShingled(s: SparkSession, dir: String): DataFrame = {
+    val cached = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
+      .filter(size(col("hh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
+    * hex60-hashed word 3-shingles per doc (mirrors ShingleHash60).
+    */
   private val shingleCte =
     """WITH toks AS (SELECT doc_id,
          list_filter(string_split(lower(text), ' '), x -> x <> '') tk
          FROM documents),
        sh AS (SELECT doc_id,
-         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                        for i in range(1, len(tk)-1)]) ss
+         list_distinct(list_transform(
+           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            for i in range(1, len(tk)-1)],
+           s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) hh
          FROM toks WHERE len(tk) >= 3)"""
 
   val defs: Seq[QueryDef] = Seq(
@@ -45,10 +81,15 @@ object PipelineQueries {
     QueryDef(
       "ns_dedup_minhash_lsh",
       Some(shingleCte + """,
-        mh AS (SELECT s.doc_id, r.seed,
-                 MIN(('0x' || substring(md5(r.seed::VARCHAR || ':' || u.s),
-                      1, 15))::BIGINT) AS mh
-               FROM sh s, UNNEST(s.ss) AS u(s), range(32) r(seed)
+        seeds AS (SELECT seed,
+                 ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
+                   % 2147483646 + 1 a,
+                 ('0x' || substring(md5('b:' || seed), 1, 15))::BIGINT
+                   % 2147483647 b
+               FROM range(32) r(seed)),
+        mh AS (SELECT h.doc_id, s.seed,
+                 MIN((s.a * (u.hv % 2147483647) + s.b) % 2147483647) AS mh
+               FROM sh h, UNNEST(h.hh) AS u(hv), seeds s
                GROUP BY 1, 2),
         sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
                  GROUP BY doc_id),
@@ -62,15 +103,15 @@ object PipelineQueries {
                    ON a.b = b.b AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id),
         jac AS (SELECT c.da, c.db,
-                  len(list_intersect(x.ss, y.ss))::DOUBLE /
-                  len(list_distinct(list_concat(x.ss, y.ss))) j
+                  len(list_intersect(x.hh, y.hh))::DOUBLE /
+                  len(list_distinct(list_concat(x.hh, y.hh))) j
                 FROM cand c JOIN sh x ON x.doc_id = c.da
                             JOIN sh y ON y.doc_id = c.db)
         SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
         WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val sh = shingled(s, dir)
-        val sig = sh.withColumn("sig", TF.minhashSignature(col("ss"), 32))
+        val sh = hashedShingled(s, dir)
+        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
         val bands = sig.select(col("doc_id"),
           posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
         val cand = bands.as("a")
@@ -81,8 +122,8 @@ object PipelineQueries {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         cand
-          .join(sh.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
           .withColumn("jac",
             size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
               size(array_union(col("ssa"), col("ssb"))))
@@ -119,13 +160,16 @@ object PipelineQueries {
     // join (shuffles on shingle key — never builds the n² pair space).
     QueryDef(
       "ns_dedup_ngram_jaccard",
+      // inverted index on 60-bit shingle hashes (long keys shuffle and
+      // compare ~4× cheaper than the shingle strings; md5-collision
+      // behavior is identical on both engines by construction)
       Some(shingleCte + """,
-        inv AS (SELECT doc_id, UNNEST(ss) AS s FROM sh),
+        inv AS (SELECT doc_id, UNNEST(hh) AS s FROM sh),
         inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ci
                   FROM inv a JOIN inv b
                     ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, len(ss) n FROM sh),
+        sizes AS (SELECT doc_id, len(hh) n FROM sh),
         jac AS (SELECT i.da, i.db,
                   i.ci::DOUBLE / (sa.n + sb.n - i.ci) j
                 FROM inter i JOIN sizes sa ON sa.doc_id = i.da
@@ -133,14 +177,14 @@ object PipelineQueries {
         SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
         WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val sh = shingled(s, dir)
-        val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+        val sh = hashedShingled(s, dir)
+        val inv = sh.select(col("doc_id"), explode(col("hh")).as("s"))
         val inter = inv.as("a")
           .join(inv.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("ci"))
-        val sizes = sh.select(col("doc_id"), size(col("ss")).as("n"))
+        val sizes = sh.select(col("doc_id"), size(col("hh")).as("n"))
         inter
           .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
           .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -250,15 +294,17 @@ object PipelineQueries {
     QueryDef(
       "ns_text_tokens",
       Some("""SELECT doc_id,
-              len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-                AS n_ws,
-              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+              CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '')) AS BIGINT) AS n_ws,
+              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS BIGINT) AS n_words
               FROM documents ORDER BY doc_id"""),
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-            size(TF.tokens(col("text"))).as("n_ws"),
-            regexp_count(lower(col("text")), lit("[a-z0-9]+")).as("n_words"))
+            size(TF.tokens(col("text"))).cast("long").as("n_ws"),
+            regexp_count(lower(col("text")), lit("[a-z0-9]+"))
+              .cast("long").as("n_words"))
           .orderBy("doc_id")),
 
     // ── Text analysis: quality scoring
@@ -351,12 +397,13 @@ object PipelineQueries {
     // the schema/metadata plumbing the oracle can check).
     QueryDef(
       "ns_multimodal_meta",
-      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               sha256(text) AS sha FROM documents ORDER BY doc_id"""),
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-            octet_length(col("text")).as("n_bytes"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
             sha2(col("text").cast("binary"), 256).as("sha"))
           .orderBy("doc_id")),
   )

@@ -25,8 +25,8 @@ object ScalarQueries {
       "q20_string_funcs",
       Some("""SELECT doc_id,
               CONCAT(lang, ':', SUBSTRING(source, 1, 3)) AS tag,
-              LENGTH(text) AS len,
-              STRPOS(text, 'e') AS epos,
+              CAST(LENGTH(text) AS BIGINT) AS len,
+              CAST(STRPOS(text, 'e') AS BIGINT) AS epos,
               UPPER(lang) AS lang_u,
               LPAD(lang, 5, ' ') AS padded
               FROM documents ORDER BY doc_id LIMIT 200"""),

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made ExpressionUtils
+  * private[sql]; this shim lives in the org.apache.spark.sql namespace
+  * solely to re-export the two conversions the graft expression
+  * library needs (the extension-library pattern — no Spark internals
+  * are modified).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
