@@ -18,18 +18,25 @@ object Catalog {
     * vectorized read; filters/projections placed on top get pushed down
     * by Catalyst (verified in QueryPlanSpec).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    // type for; read it as raw nanos (legacy.parquet.nanosAsLong) and
-    // truncate to a µs TimestampType here so every downstream operator
-    // (and the DuckDB oracle, which casts ::TIMESTAMP) sees µs.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  // Each spark.read.parquet call re-lists files and re-reads footers;
+  // memoize per (session, dir, table) so the 45-query contract pays
+  // schema/listing cost once per table.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+      // type for; read it as raw nanos (legacy.parquet.nanosAsLong) and
+      // truncate to a µs TimestampType here so every downstream operator
+      // (and the DuckDB oracle, which casts ::TIMESTAMP) sees µs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" &&
+          df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   /** Register every table as a temp view so `spark.sql` queries (the
     * grouping-sets / correlated-subquery surface) resolve. Idempotent.

@@ -51,6 +51,19 @@ object Telemetry {
   /** Parse a telemetry JSON document into the typed map. */
   def parseDoc(json: Column): Column = from_json(json, docType)
 
+  /** Parse any of the three wire document shapes: device→metrics
+    * structs (data/error, master/master.ino:465-480,555-574) or the
+    * boolean setup-notification variant `{"H1":true,...}`
+    * (gsm/gsm.ino:11), which carries device presence only — its
+    * metrics come through as null.
+    */
+  def parseDocAny(json: Column): Column =
+    coalesce(
+      parseDoc(json),
+      transform_values(
+        from_json(json, MapType(StringType, BooleanType)),
+        (_, _) => lit(null).cast(metricsType)))
+
   /** Relationalize: one row per (device_code, metrics). */
   def explodeDoc(df: DataFrame, docCol: String): DataFrame =
     df.select(col("*"),

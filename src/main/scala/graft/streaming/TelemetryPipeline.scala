@@ -26,7 +26,8 @@ object TelemetryPipeline {
     val tagged = frames
       .withColumn("tag", Telemetry.frameTag(col("frame")))
       .withColumn("endpoint", Telemetry.routeFor(col("tag")))
-      .withColumn("doc", Telemetry.parseDoc(Telemetry.framePayload(col("frame"))))
+      .withColumn("doc",
+        Telemetry.parseDocAny(Telemetry.framePayload(col("frame"))))
     Telemetry.explodeDoc(tagged, "doc")
       .select(col("tag"), col("endpoint"), col("device_ts"),
         col("device_code"),

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Skew, Telemetry}
+import graft.streaming.TelemetryPipeline
+import org.apache.spark.sql.functions._
+
+/** Scale-posture operators: salted joins equal their plain
+  * counterparts; tag-partitioned sink layout (S9/T9 routing) writes
+  * one directory per frame tag; Engine catalog surface resolves SQL.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join under skew") {
+    // 90% of rows hit one hot key — the firmware's single-master
+    // gather scaled up
+    val big = (1 to 1000)
+      .map(i => (if (i % 10 == 0) s"k$i" else "hot", i.toLong))
+      .toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k10", "A"), ("k20", "B"))
+      .toDF("key", "tag")
+    val plain = big.join(dim, Seq("key")).select("key", "v", "tag")
+      .as[(String, Long, String)].collect().sorted
+    val salted = Skew.saltedJoin(big, dim, "key", 8)
+      .select("key", "v", "tag")
+      .as[(String, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.count(_._1 == "hot") == 900)
+  }
+
+  test("tag-partitioned sink writes one directory per telemetry kind") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tag_sink").toString
+    val frames = Seq(
+      ("""D{"H0001":{"w":1}}""", "2024-01-01 00:00:00"),
+      ("""S{"H1":true}""", "2024-01-01 00:00:01"),
+      ("""E{"H0001":{"w":0,"p":0,"s":0}}""", "2024-01-01 00:00:02"))
+      .toDF("frame", "ts")
+      .select($"frame", $"ts".cast("timestamp").as("device_ts"))
+    TelemetryPipeline.decode(frames)
+      .write.mode("overwrite").partitionBy("tag").parquet(out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("tag=D", "tag=E", "tag=S"))
+    // partition pruning: reading one tag touches only its directory
+    val d = spark.read.parquet(out).filter($"tag" === "D")
+    assert(d.count() == 1)
+  }
+
+  test("Engine: catalog SQL surface end-to-end") {
+    Engine.open(spark, sfDir)
+    val n = Engine.sql(spark,
+      "SELECT COUNT(*) AS c FROM lineitem").as[Long].head()
+    assert(n > 0)
+  }
+
+  test("routeFor maps tags to the gateway endpoints") {
+    val out = Seq("D", "S", "E", "X").toDF("t")
+      .select(Telemetry.routeFor($"t")).as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("/data/"), Some("/setup-notification/"),
+      Some("/error-report/"), None))
+  }
+}

@@ -46,7 +46,8 @@ class TelemetryCodecSpec extends SparkSpec {
     val byTag = decoded.groupBy("tag", "endpoint").count()
       .as[(String, String, Long)].collect().sortBy(_._1)
     assert(byTag.toSeq == Seq(
-      ("D", "/data/", 2L), ("E", "/error-report/", 2L)))
+      ("D", "/data/", 2L), ("E", "/error-report/", 2L),
+      ("S", "/setup-notification/", 2L)))
     // H0002 in the error report has w=0 → null at ingest (P3)
     val nullRows = decoded.filter($"tag" === "E" && $"weight_g".isNull)
       .select($"device_code").as[String].collect()
