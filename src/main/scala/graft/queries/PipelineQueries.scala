@@ -392,6 +392,22 @@ object PipelineQueries {
             TF.charGramMinHash(col("text")).as("fp_min"))
           .orderBy("doc_id")),
 
+    // ── X5: the custom Aggregator (udaf) — outlier-trimmed calibration
+    // mean per device/user, checked against the closed-form SQL.
+    QueryDef(
+      "ns_robust_calib",
+      Some("""SELECT user_id,
+              ROUND(CASE WHEN COUNT(*) < 3 THEN SUM(value) / COUNT(*)
+                    ELSE (SUM(value) - MIN(value) - MAX(value))
+                         / (COUNT(*) - 2) END, 4) AS robust_mean
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(round(graft.functions.RobustCalibAgg.robustMean(col("value")), 4)
+            .as("robust_mean"))
+          .orderBy("user_id")),
+
     // ── Multimodal: opaque binary payload + typed metadata columns
     // (the decode stubs live in graft.functions.Multimodal; this is
     // the schema/metadata plumbing the oracle can check).

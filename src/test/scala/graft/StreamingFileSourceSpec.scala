@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.TelemetryPipeline
+import org.apache.spark.sql.functions._
+
+/** S5/S9 end-to-end: line-framed text file source (the serial-line
+  * analog, master/master.ino:601-650) → frame decode → tag-partitioned
+  * parquet sink with checkpointing — the full production ingest shape,
+  * driven through real files.
+  */
+class StreamingFileSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream: frames land tag-partitioned with exactly-once checkpointing") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    Files.writeString(Paths.get(s"$inDir/batch1.txt"),
+      """D{"H0001":{"w":32100},"H0002":{"w":28450}}
+        |E{"H0001":{"w":32100,"p":1,"s":1},"H0002":{"w":0,"p":0,"s":0}}
+        |S{"H1":true,"H2":true}""".stripMargin)
+
+    val frames = spark.readStream
+      .format("text")
+      .load(inDir)
+      .select($"value".as("frame"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("device_ts"))
+
+    val q = TelemetryPipeline.decode(frames)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .partitionBy("tag")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+    val counts = out.groupBy("tag").count().as[(String, Long)]
+      .collect().sortBy(_._1)
+    assert(counts.toSeq == Seq(("D", 2L), ("E", 2L), ("S", 2L)))
+    // zero-weight sentinel nulled at ingest, data weights intact
+    assert(out.filter($"tag" === "D" && $"weight_g" === 32100.0).count() == 1)
+    assert(out.filter($"weight_g".isNull && $"tag" === "E").count() == 1)
+
+    // restart from the checkpoint: no reprocessing (exactly-once per file)
+    val q2 = TelemetryPipeline.decode(frames)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .partitionBy("tag")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == 6)
+  }
+}
