@@ -133,6 +133,21 @@ object PipelineQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // ── Dedup tier 1b: exact dedup with keep-first semantics — the
+    // dataset-returning form (q32_exact_dup only *finds* dup groups):
+    // one surviving doc_id per content hash, the effectively-once
+    // semantics of master/master.ino:218-220 applied to content.
+    QueryDef(
+      "ns_dedup_exact_keep_first",
+      Some("""SELECT MD5(text) AS h, MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+              FROM documents GROUP BY MD5(text) ORDER BY h"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("h")),
+
     // ── Dedup tier 3: 60-bit SimHash signatures (order-sensitive
     // token sketch; Hamming-close signatures ⇒ near-dups).
     QueryDef(
@@ -284,6 +299,56 @@ object PipelineQueries {
           .select(col("v").as("pv"), col("bucket").as("pbucket"))
         e.filter(col("vec_id") =!= 0)
           .join(broadcast(probe), col("bucket") === col("pbucket"))
+          .select(col("vec_id"),
+            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // ── Similarity search, IVF-style: deterministic coarse quantizer
+    // (centroids = the 8 lowest vec_ids), assign each vector to its
+    // nearest centroid (inverted lists), probe searches only the
+    // probe's list + exact rerank. At 100 TB the lists are the
+    // partitioning key — a probe touches one partition, and real
+    // centroids come from a k-means job instead of this fixed seed.
+    QueryDef(
+      "ns_ann_ivf_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                FROM embeddings),
+              cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8),
+              assign AS (SELECT e.vec_id, arg_min(c.cid,
+                  list_dot_product(e.v, c.cv) /
+                  (sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(c.cv, c.cv))) * -1) cid
+                FROM e, cent c GROUP BY e.vec_id),
+              probe AS (SELECT a.cid FROM assign a WHERE a.vec_id = 0)
+              SELECT e1.vec_id,
+                ROUND(list_dot_product(e1.v, e0.v) /
+                  (sqrt(list_dot_product(e1.v, e1.v)) *
+                   sqrt(list_dot_product(e0.v, e0.v))), 4) AS cos
+              FROM assign a1
+              JOIN probe p ON a1.cid = p.cid
+              JOIN e e1 ON e1.vec_id = a1.vec_id AND e1.vec_id <> 0
+              JOIN e e0 ON e0.vec_id = 0
+              ORDER BY cos DESC, e1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        // nearest centroid by cosine = argmin of negated similarity
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("negsim",
+            SF.cosine(col("v"), col("cv")) * -1)
+          .groupBy("vec_id")
+          .agg(min_by(col("cid"), col("negsim")).as("cid"))
+        val probeCid = assign.filter(col("vec_id") === 0)
+          .select(col("cid").as("pcid"))
+        val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+        assign.join(broadcast(probeCid), col("cid") === col("pcid"))
+          .filter(col("vec_id") =!= 0)
+          .join(e, Seq("vec_id"))
+          .crossJoin(broadcast(probeVec))
           .select(col("vec_id"),
             round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))

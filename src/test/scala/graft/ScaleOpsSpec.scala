@@ -53,6 +53,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("A5: approx_count_distinct (HLL++) lands within 5% of exact") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val (approx, exact) = o
+      .agg(approx_count_distinct($"o_custkey").as("a"),
+        countDistinct($"o_custkey").as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("routeFor maps tags to the gateway endpoints") {
     val out = Seq("D", "S", "E", "X").toDF("t")
       .select(Telemetry.routeFor($"t")).as[Option[String]].collect()
