@@ -99,6 +99,44 @@ object TelemetryPipeline {
       writeDlq(partial)
   }
 
+  /** W3 as a stream: per-device weight-delta alerts — the domain
+    * purpose of the whole system (weight change between rounds;
+    * server-side in the reference, SURVEY.md §2.5 W3). `lag()` isn't
+    * available in streaming, so the previous value is keyed state:
+    * emit when |current − previous| ≥ threshold. State is one double
+    * per device (bounded by fleet size, not time).
+    */
+  case class RoundReading(device_code: String, round_ts: java.sql.Timestamp,
+      weight_g: Double)
+  case class DeltaAlert(device_code: String, round_ts: java.sql.Timestamp,
+      weight_g: Double, delta_g: Double)
+
+  def weightDeltaAlerts(
+      readings: Dataset[RoundReading],
+      thresholdG: Double): Dataset[DeltaAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_code)
+      .flatMapGroupsWithState[Double, DeltaAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (device, rows, state: GroupState[Double]) =>
+          // process in event-time order within the batch
+          val sorted = rows.toSeq.sortBy(_.round_ts.getTime)
+          var prev = state.getOption
+          val out = sorted.flatMap { r =>
+            val alert = prev match {
+              case Some(p) if math.abs(r.weight_g - p) >= thresholdG =>
+                Seq(DeltaAlert(device, r.round_ts, r.weight_g, r.weight_g - p))
+              case _ => Nil
+            }
+            prev = Some(r.weight_g)
+            alert
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-device protocol state for the two-phase R/X confirm protocol
     * (master/master.ino:231-258; slave/slave.ino:92-118): a reading is
     * accepted only when its confirmation arrived in the same round;

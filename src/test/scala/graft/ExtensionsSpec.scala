@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.TelemetryPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions SQL surface + the W3 delta-alert stream. Uses its
+  * own session (extensions bind at session build time).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("graft_* functions resolve and match the DataFrame-API results") {
+    val s = SparkSpecBase.spark
+    graft.plans.GraftExtensions.install(s)
+    import s.implicits._
+    val dot = s.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").as[Double].head()
+    assert(dot == 11.0)
+    val sig = s.sql(
+      """SELECT graft_minhash_sig(
+           graft_hex60_array(array('the quick brown', 'quick brown fox')), 4)
+      """).as[Seq[Long]].head()
+    assert(sig.length == 4 && sig.forall(_ >= 0))
+    val sh = s.sql(
+      "SELECT graft_shingle_hash60(array('a','b','c','d'), 3)")
+      .as[Seq[Long]].head()
+    assert(sh.length == 2) // "a b c", "b c d"
+    val cg = s.sql("SELECT graft_chargram_minhash('hello world', 5)")
+      .as[Long].head()
+    assert(cg > 0)
+  }
+
+  test("W3: weight-delta alert stream fires only past the threshold") {
+    val s = SparkSpecBase.spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(x: String) = Timestamp.valueOf(x)
+    val input = MemoryStream[TelemetryPipeline.RoundReading]
+    val q = TelemetryPipeline.weightDeltaAlerts(input.toDS(), 500.0)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TelemetryPipeline.RoundReading("H0001", ts("2024-01-01 00:00:00"), 32000),
+        TelemetryPipeline.RoundReading("H0001", ts("2024-01-01 01:00:00"), 32100), // +100: no alert
+        TelemetryPipeline.RoundReading("H0001", ts("2024-01-01 02:00:00"), 31000), // -1100: alert
+        TelemetryPipeline.RoundReading("H0002", ts("2024-01-01 00:00:00"), 28000)) // first: no alert
+      q.processAllAvailable()
+      val alerts = s.table("alerts_out")
+        .as[TelemetryPipeline.DeltaAlert].collect()
+      assert(alerts.length == 1)
+      assert(alerts.head.device_code == "H0001")
+      assert(alerts.head.delta_g == -1100.0)
+    } finally q.stop()
+  }
+}
