@@ -141,6 +141,42 @@ object AdvancedQueries {
           .orderBy("rk_a", "rk_b")
       }),
 
+    // A-family extra: exact interpolated median + p90 per group
+    // (distribution analytics over the weight-reading analog).
+    QueryDef(
+      "q36_median_percentile",
+      Some("""SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 4) AS med,
+              ROUND(quantile_cont(value, 0.9), 4) AS p90
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("med"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"))
+          .orderBy("event_type")),
+
+    // F-family extra: edit distance as a near-dup gate (string
+    // similarity tier below shingle Jaccard).
+    QueryDef(
+      "q37_levenshtein",
+      Some("""SELECT a.doc_id,
+              CAST(levenshtein(SUBSTRING(a.text, 1, 30),
+                               SUBSTRING(b.text, 1, 30)) AS BIGINT) AS dist
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              ORDER BY a.doc_id LIMIT 200"""),
+      (s, dir) => {
+        val a = t(s, dir, "documents").alias("a")
+        val b = t(s, dir, "documents").alias("b")
+        a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("doc_id"),
+            levenshtein(substring(col("a.text"), 1, 30),
+              substring(col("b.text"), 1, 30)).cast("long").as("dist"))
+          .orderBy("doc_id")
+          .limit(200)
+      }),
+
     // §4 — correlated scalar subquery (Catalyst decorrelation;
     // RewriteCorrelatedScalarSubquery).
     QueryDef(
