@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q38+: OLAP-surface breadth beyond the SURVEY §2.11 contract —
+  * predicate subqueries (Catalyst RewritePredicateSubquery → semi/anti
+  * joins), RANGE window frames, first/last/nth window values, ordered
+  * array & string aggregation, regex extraction, and null-handling
+  * scalar families. Same determinism conventions as the core set.
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // EXISTS / NOT IN predicate subqueries (planned as semi/anti joins)
+    QueryDef(
+      "q38_exists_subquery",
+      Some("""SELECT s_suppkey FROM supplier s
+              WHERE EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey
+                              AND n.n_regionkey = 0)
+              ORDER BY s_suppkey"""),
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT s_suppkey FROM supplier s
+                 WHERE EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey
+                                 AND n.n_regionkey = 0)
+                 ORDER BY s_suppkey""")
+      }),
+
+    // RANGE interval frame: sum of value over [value-0.1, value] per type
+    QueryDef(
+      "q39_range_frame",
+      Some("""SELECT event_id,
+              CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN 0.1 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS n_near
+              FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        // DataFrame rangeBetween only takes Long bounds; fractional
+        // RANGE frames are a SQL-surface feature
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT event_id,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                      RANGE BETWEEN 0.1 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_near
+                 FROM events ORDER BY event_id""")
+      }),
+
+    // first_value / last_value / nth_value window functions
+    QueryDef(
+      "q40_first_last_value",
+      Some("""SELECT event_id,
+              FIRST_VALUE(event_id) OVER w AS first_id,
+              LAST_VALUE(event_id) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS last_id,
+              NTH_VALUE(event_id, 2) OVER w AS second_id
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_id"),
+            first("event_id").over(w).as("first_id"),
+            last("event_id").over(wAll).as("last_id"),
+            nth_value(col("event_id"), 2).over(w).as("second_id"))
+          .orderBy("event_id")
+      }),
+
+    // ordered array aggregation (relational → array, deterministic)
+    QueryDef(
+      "q41_array_agg",
+      Some("""SELECT n_regionkey,
+              list_sort(list(n_name)) AS names
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(array_sort(collect_list("n_name")).as("names"))
+          .orderBy("n_regionkey")),
+
+    // ordered string aggregation
+    QueryDef(
+      "q42_string_agg",
+      Some("""SELECT n_regionkey,
+              array_to_string(list_sort(list(n_name)), ',') AS all_names
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(concat_ws(",", array_sort(collect_list("n_name")))
+            .as("all_names"))
+          .orderBy("n_regionkey")),
+
+    // regex extraction with capture group (F-family; gateway's
+    // substring routing generalized)
+    QueryDef(
+      "q43_regex_extract",
+      Some("""SELECT doc_id,
+              regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+              CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END
+                AS has_spark
+              FROM documents ORDER BY doc_id LIMIT 200"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+            when(col("text").rlike("spark"), 1).otherwise(0).as("has_spark"))
+          .orderBy("doc_id")
+          .limit(200)),
+
+    // null-handling scalar family: coalesce / nullif / nvl2-style
+    QueryDef(
+      "q44_null_funcs",
+      Some("""SELECT event_id,
+              COALESCE(NULLIF(event_type, 'click'), 'filtered') AS et,
+              CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                   THEN 'has_k' ELSE 'no_k' END AS k_state
+              FROM events ORDER BY event_id LIMIT 500"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            coalesce(nullif(col("event_type"), lit("click")), lit("filtered"))
+              .as("et"),
+            when(get_json_object(col("props"), "$.k").isNotNull, "has_k")
+              .otherwise("no_k").as("k_state"))
+          .orderBy("event_id")
+          .limit(500)),
+  )
+}
