@@ -122,8 +122,8 @@ object PipelineQueries {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         cand
-          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
+          .join(broadcast(sh.select(col("doc_id").as("da"), col("hh").as("ssa"))), "da")
+          .join(broadcast(sh.select(col("doc_id").as("db"), col("hh").as("ssb"))), "db")
           .withColumn("jac",
             size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
               size(array_union(col("ssa"), col("ssb"))))
@@ -201,8 +201,8 @@ object PipelineQueries {
           .agg(count(lit(1)).as("ci"))
         val sizes = sh.select(col("doc_id"), size(col("hh")).as("n"))
         inter
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+          .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
           .withColumn("jac",
             col("ci").cast("double") / (col("na") + col("nb") - col("ci")))
           .filter(col("jac") >= 0.8)
