@@ -133,6 +133,97 @@ object PipelineQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // ── Dedup, applied: the surviving corpus after near-dup removal —
+    // keep the lower doc_id of every confirmed pair (what a training
+    // pipeline actually ships downstream).
+    QueryDef(
+      "ns_dedup_apply",
+      Some(shingleCte + """,
+        seeds AS (SELECT seed,
+                 ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
+                   % 2147483646 + 1 a,
+                 ('0x' || substring(md5('b:' || seed), 1, 15))::BIGINT
+                   % 2147483647 b
+               FROM range(32) r(seed)),
+        mh AS (SELECT h.doc_id, s.seed,
+                 MIN((s.a * (u.hv % 2147483647) + s.b) % 2147483647) AS mh
+               FROM sh h, UNNEST(h.hh) AS u(hv), seeds s
+               GROUP BY 1, 2),
+        sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
+                 GROUP BY doc_id),
+        bands AS (SELECT doc_id, b,
+                    md5(array_to_string(list_transform(
+                      list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
+                    bucket
+                  FROM sigs, range(8) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+        dups AS (SELECT DISTINCT c.db AS drop_id
+                 FROM cand c JOIN sh x ON x.doc_id = c.da
+                             JOIN sh y ON y.doc_id = c.db
+                 WHERE len(list_intersect(x.hh, y.hh))::DOUBLE /
+                       len(list_distinct(list_concat(x.hh, y.hh))) >= 0.8)
+        SELECT d.doc_id FROM documents d
+        ANTI JOIN dups ON d.doc_id = dups.drop_id
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val sh = hashedShingled(s, dir)
+        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
+        val bands = sig.select(col("doc_id"),
+          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val drops = cand
+          .join(broadcast(sh.select(col("doc_id").as("da"), col("hh").as("ssa"))), "da")
+          .join(broadcast(sh.select(col("doc_id").as("db"), col("hh").as("ssb"))), "db")
+          .filter(
+            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+              size(array_union(col("ssa"), col("ssb"))) >= 0.8)
+          .select(col("db").as("drop_id")).distinct()
+        t(s, dir, "documents")
+          .join(drops, col("doc_id") === col("drop_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // ── Corpus analysis: per-language stats over the text-quality
+    // components (what a data curator reads before a training run).
+    QueryDef(
+      "ns_corpus_stats",
+      Some("""WITH q AS (SELECT doc_id, lang, source,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) n_tok,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                  length(text) alpha_r
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_docs,
+                COUNT(DISTINCT source) AS n_sources,
+                CAST(ROUND(SUM(CAST(n_tok AS DECIMAL(18,6))), 1) AS DOUBLE)
+                  AS total_tokens,
+                ROUND(AVG(alpha_r), 4) AS avg_alpha
+              FROM q GROUP BY lang ORDER BY lang"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            size(TF.tokens(col("text"))).as("n_tok"),
+            TF.alphaRatio(col("text")).as("alpha_r"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            round(sum(col("n_tok").cast(
+              org.apache.spark.sql.types.DecimalType(18, 6))), 1)
+              .cast("double").as("total_tokens"),
+            round(avg("alpha_r"), 4).as("avg_alpha"))
+          .orderBy("lang")),
+
     // ── Dedup tier 1b: exact dedup with keep-first semantics — the
     // dataset-returning form (q32_exact_dup only *finds* dup groups):
     // one surviving doc_id per content hash, the effectively-once
