@@ -23,26 +23,6 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TF.shingles(TF.tokens(col("text"))).as("ss"))
-      .filter(size(col("ss")) > 0)
-
-  /** The shingle table feeds both sides of self-joins; without
-    * materialization Spark recomputes the tokenize+shingle+md5 pipeline
-    * per branch (3-4× the cost). Locally: persist. At 100 TB the same
-    * role is played by writing the shingle/signature table to parquet
-    * once and joining against it.
-    */
-  private def shingledCached(s: SparkSession, dir: String): DataFrame = {
-    // CacheManager matches by canonicalized plan, so repeated calls
-    // (and both self-join branches) share one cached copy
-    val cached = shingled(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count() // materialize once
-    cached
-  }
-
   /** Hashed-shingle table (doc_id, hh: array<long>): distinct hex60
     * hashes of word 3-shingles, built natively from tokens
     * (graft.plans.ShingleHash60) — shingle strings never materialize.

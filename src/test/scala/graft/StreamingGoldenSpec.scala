@@ -113,6 +113,47 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T3/T7: RocksDB state store keeps dedup state watermark-bounded across replays") {
+    // the 100 TB streaming-state design point (SURVEY.md §7.3): state
+    // must not grow with stream length, only with keys inside the
+    // watermark; RocksDB is the production provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Reading]
+      val q = TelemetryPipeline.dedupRounds(input.toDF())
+        .writeStream.format("memory").queryName("rocks_dedup_out")
+        .outputMode("append").start()
+      try {
+        // 6 rounds, each 10 min apart, each delivered twice (retry)
+        (0 until 6).foreach { r =>
+          val ts0 = java.sql.Timestamp.valueOf(f"2024-01-01 00:${r * 10}%02d:00")
+          input.addData(
+            Reading("H0001", r, ts0, 32100 + r),
+            Reading("H0001", r, ts0, 32100 + r),
+            Reading("H0002", r, ts0, 28450 + r))
+          q.processAllAvailable()
+        }
+        assert(spark.table("rocks_dedup_out").count() == 12,
+          "one row per (device, round)")
+        val lastState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // 12 distinct (device, round) keys seen; watermark (60 s behind
+        // max event time) must have evicted all but the recent rounds
+        assert(lastState <= 6,
+          s"state must stay watermark-bounded, got $lastState rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T1: hourly rounds aggregate per device per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
