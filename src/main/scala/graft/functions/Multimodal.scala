@@ -36,6 +36,55 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(payloadCol)))
       .withColumn("sha", sha2(col(payloadCol), 256))
 
+  case class ResizedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: byte-subsample the payload to a target "resolution"
+    * (every k-th byte, k = ceil(len / (w*h))) — deterministic stand-in
+    * for an image resize kernel; the mapPartitions shape, the
+    * (payload, dims) schema, and the size contract are the production
+    * pattern.
+    */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val target = math.max(1, w * h)
+        val bytes = rec.payload
+        val out =
+          if (bytes.length <= target) bytes
+          else {
+            val step = math.ceil(bytes.length.toDouble / target).toInt
+            bytes.indices.collect { case i if i % step == 0 => bytes(i) }.toArray
+          }
+        ResizedMedia(rec.media_id, rec.kind, w, h, out)
+      }
+    }
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame-sample: emit every `everyN`-th 4-KiB block of a video
+    * payload as a "frame" — one row per sampled frame (flatMap shape:
+    * a 2 GB video becomes ~500 frame rows, never one huge row
+    * downstream).
+    */
+  def frameSampleStub(ds: Dataset[MediaRecord], everyN: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    val block = 4096
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        val nBlocks = math.max(1, rec.payload.length / block)
+        (0 until nBlocks by math.max(1, everyN)).iterator.map { b =>
+          val from = b * block
+          val until = math.min(rec.payload.length, from + block)
+          Frame(rec.media_id, b, java.util.Arrays.copyOfRange(
+            rec.payload, from, math.max(from, until)))
+        }
+      }
+    }
+  }
+
   /** STUB decode + feature extraction. A real deployment swaps the
     * body for an image/audio codec; the iterator shape (mapPartitions,
     * streaming over rows, no materialization) is the production

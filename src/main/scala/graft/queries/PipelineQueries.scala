@@ -433,14 +433,20 @@ object PipelineQueries {
               CAST(len(list_filter(string_split(lower(text), ' '),
                    x -> x <> '')) AS BIGINT) AS n_ws,
               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                   AS BIGINT) AS n_words
+                   AS BIGINT) AS n_words,
+              CAST(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
               FROM documents ORDER BY doc_id"""),
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
             size(TF.tokens(col("text"))).cast("long").as("n_ws"),
             regexp_count(lower(col("text")), lit("[a-z0-9]+"))
-              .cast("long").as("n_words"))
+              .cast("long").as("n_words"),
+            // BPE-ish segmentation: letter runs | digit runs | single
+            // punctuation — the token-budget estimator tier
+            regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .cast("long").as("n_bpe"))
           .orderBy("doc_id")),
 
     // ── Text analysis: quality scoring
@@ -543,6 +549,55 @@ object PipelineQueries {
           .agg(round(graft.functions.RobustCalibAgg.robustMean(col("value")), 4)
             .as("robust_mean"))
           .orderBy("user_id")),
+
+    // ── Pipeline plumbing: deterministic train/val/test split + 10%
+    // sample by content hash (reproducible across engines and runs —
+    // never rand()).
+    QueryDef(
+      "ns_sample_split",
+      Some("""WITH a AS (SELECT doc_id,
+                ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END AS in_sample
+              FROM a ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("bucket", TF.hex60(col("text")) % 100)
+          .select(col("doc_id"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"),
+            when(col("bucket") % 10 === 0, 1).otherwise(0).as("in_sample"))
+          .orderBy("doc_id")),
+
+    // ── Text cleaning: printable-only filter (P6,
+    // master/master.ino:612), whitespace collapse, digit-run redaction
+    // — the ingest normalization tier of a text pipeline.
+    QueryDef(
+      "ns_text_clean",
+      Some("""SELECT doc_id,
+              length(regexp_replace(regexp_replace(regexp_replace(text,
+                '[^ -~]', '', 'g'), '[0-9]+', '<num>', 'g'),
+                '\s+', ' ', 'g')) AS clean_len,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[^ -~]', '', 'g'), '[0-9]+', '<num>', 'g'),
+                '\s+', ' ', 'g')) AS clean_fp
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val cleaned = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "[^ -~]", ""),
+            "[0-9]+", "<num>"),
+          "\\s+", " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(cleaned).cast("long").as("clean_len"),
+            md5(cleaned.cast("binary")).as("clean_fp"))
+          .orderBy("doc_id")
+      }),
 
     // ── Multimodal: opaque binary payload + typed metadata columns
     // (the decode stubs live in graft.functions.Multimodal; this is

@@ -106,6 +106,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(again(0).mean_byte == feats(0).mean_byte)
   }
 
+  test("multimodal resize + frame-sample stubs: deterministic shapes") {
+    val vid = Multimodal.MediaRecord(7, "video",
+      Array.tabulate[Byte](40960)(i => (i % 127).toByte))
+    val resized = Multimodal.resizeStub(Seq(vid).toDS(), 16, 16).head()
+    assert(resized.width == 16 && resized.height == 16)
+    assert(resized.payload.length <= 256)
+    val frames = Multimodal.frameSampleStub(Seq(vid).toDS(), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 5) // 10 blocks, every 2nd
+    assert(frames.forall(_.frame.length == 4096))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
+  }
+
   test("multimodal metadata columns: length + sha256") {
     val df = Seq((1L, "payload-bytes")).toDF("id", "s")
       .select($"id", $"s".cast("binary").as("payload"))
