@@ -121,6 +121,96 @@ object ExtendedQueries {
           .orderBy("doc_id")
           .limit(200)),
 
+    // TPC-H Q1 shape: pricing summary with computed measures over a
+    // date-filtered scan (predicate pushdown + partial agg).
+    QueryDef(
+      "q45_tpch_pricing",
+      Some("""SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS sum_base,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc,
+              COUNT(*) AS cnt
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <=
+            lit("1998-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2)
+              .cast("double").as("sum_qty"),
+            round(sum(col("l_extendedprice").cast(DecimalType(18, 6))), 2)
+              .cast("double").as("sum_base"),
+            round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 6))), 2).cast("double").as("sum_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
+    // TPC-H Q3 shape: segment revenue top-N (fact-fact join + top-k).
+    QueryDef(
+      "q46_tpch_shipping",
+      Some("""SELECT o.o_orderkey,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+              GROUP BY o.o_orderkey
+              ORDER BY revenue DESC, o.o_orderkey LIMIT 20"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(o("o_orderkey"))
+          .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+            .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      }),
+
+    // TPC-H Q5 shape: revenue by nation through the full star
+    // (local supplier condition dropped — synthetic keys differ).
+    QueryDef(
+      "q47_tpch_local_volume",
+      Some("""SELECT n.n_name,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+              FROM region r
+              JOIN nation n ON n.n_regionkey = r.r_regionkey
+              JOIN customer c ON c.c_nationkey = n.n_nationkey
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE r.r_name = 'ASIA'
+              GROUP BY n.n_name ORDER BY n.n_name"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
+          .join(c, c("c_nationkey") === n("n_nationkey"))
+          .join(o, o("o_custkey") === c("c_custkey"))
+          .join(l, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(n("n_name"))
+          .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+            .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
+          .orderBy("n_name")
+      }),
+
     // null-handling scalar family: coalesce / nullif / nvl2-style
     QueryDef(
       "q44_null_funcs",
