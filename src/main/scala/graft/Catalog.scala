@@ -19,13 +19,17 @@ object Catalog {
     * by Catalyst (verified in QueryPlanSpec).
     */
   // Each spark.read.parquet call re-lists files and re-reads footers;
-  // memoize per (session, dir, table) so the 45-query contract pays
-  // schema/listing cost once per table.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // memoize per (session, dir, table) so the query contract pays
+  // schema/listing cost once per table. Weak session keys: a stopped
+  // and dereferenced session must not be pinned for the JVM lifetime.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), { _ =>
+    cache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), { _ =>
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
       // type for; read it as raw nanos (legacy.parquet.nanosAsLong) and
       // truncate to a µs TimestampType here so every downstream operator

@@ -24,6 +24,13 @@ object RobustCalibAgg {
 
   // Output is plain Double: groupBy groups always hold ≥1 row, so the
   // empty case can't reach finish().
+  //
+  // Known bounded risk: `sum` accumulates Double in partition-merge
+  // order, so the last ~ulp (≈1e-13 for these magnitudes) is
+  // order-dependent vs the oracle's sequential SUM. The oracle rounds
+  // to 4 dp, so a mismatch needs a group mean within ~1e-13 of a
+  // 0.00005 boundary (~1e-9 per group). A DECIMAL buffer would remove
+  // it but introduces per-value cast-rounding divergence instead.
   val aggregator: Aggregator[Double, Buf, Double] =
     new Aggregator[Double, Buf, Double] {
       def zero: Buf = Buf(0.0, Double.PositiveInfinity,

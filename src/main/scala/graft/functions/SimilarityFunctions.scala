@@ -63,12 +63,17 @@ object SimilarityFunctions {
       array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
     }: _*)
 
+  /** One hyperplane as a flat literal array (avoids building the full
+    * nPlanes×dim nested literal per term — O(n²·dim) tree blowup).
+    */
+  private def planeLiteral(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+
   /** Sign-bucket id in [0, 2^nPlanes): bit p set iff dot(v, plane_p)
     * > 0. Vectors sharing a bucket are ANN candidates.
     */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      when(dot(v, planesLiteral(nPlanes, dim).getItem(p)) > 0,
-        lit(1 << p)).otherwise(lit(0))
+      when(dot(v, planeLiteral(p, dim)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 }

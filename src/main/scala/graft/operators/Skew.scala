@@ -28,6 +28,14 @@ object Skew {
       key: String,
       salt: Int,
       joinType: String = "inner"): DataFrame = {
+    // dim-side replication is only transparent when the big side
+    // drives the join; right/full outer would emit per-salt
+    // null-padded duplicates for unmatched dim rows
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types, got $joinType")
     val bigCols = big.columns.map(col)
     val big2 = big.withColumn("_salt",
       pmod(xxhash64(bigCols: _*), lit(salt)).cast("int"))

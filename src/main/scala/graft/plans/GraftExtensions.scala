@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def register(
       ext: SparkSessionExtensions,
@@ -70,7 +70,8 @@ object GraftExtensions {
       org.apache.spark.sql.graft.Bridge.registerFunction(
         spark,
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, ""),
         builder)
     }
   }

@@ -75,16 +75,21 @@ object HashSupport {
     new GenericArrayData(out)
   }
 
-  /** Min over hex60 hashes of all char k-grams (winnowing sketch). */
+  /** Min over hex60 hashes of all char k-grams (winnowing sketch).
+    * Grams are CODE-POINT slices (DuckDB substring semantics) — a
+    * UTF-16-unit slice would split surrogate pairs on non-BMP text.
+    */
   def charGramMin(s: UTF8String, k: Int): Long = {
     val md = MessageDigest.getInstance("MD5")
     val str = s.toString
+    val cps = str.codePoints().toArray
     var min = Long.MaxValue
     var i = 0
-    val last = str.length - k
+    val last = cps.length - k
     while (i <= last) {
+      val gram = new String(cps, i, k)
       val h = hex60Bytes(md,
-        str.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (h < min) min = h
       i += 1
     }

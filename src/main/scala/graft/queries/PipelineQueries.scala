@@ -30,15 +30,22 @@ object PipelineQueries {
     * both sides of the candidate self-joins (at 100 TB this is the
     * signature table you write to parquet once).
     */
-  private def hashedShingled(s: SparkSession, dir: String): DataFrame = {
-    val cached = t(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
-      .filter(size(col("hh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    cached
-  }
+  private val shingleCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def hashedShingled(s: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, { _ =>
+        val cached = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
+          .filter(size(col("hh")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize once per (session, sf dir)
+        cached
+      })
 
   /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
     * hex60-hashed word 3-shingles per doc (mirrors ShingleHash60).
@@ -180,8 +187,9 @@ object PipelineQueries {
       Some("""WITH q AS (SELECT doc_id, lang, source,
                 len(list_filter(string_split(lower(text), ' '),
                     x -> x <> '')) n_tok,
-                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
-                  length(text) alpha_r
+                CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                    length(text) END alpha_r
                 FROM documents)
               SELECT lang, COUNT(*) AS n_docs,
                 COUNT(DISTINCT source) AS n_sources,
@@ -238,6 +246,9 @@ object PipelineQueries {
               FROM bits GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) =>
         t(s, dir, "documents")
+          // zero-token docs have no signature on either engine (the
+          // oracle's UNNEST drops them); filter explicitly to match
+          .filter(size(TF.tokens(col("text"))) > 0)
           .select(col("doc_id"),
             TF.simhash60(TF.tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")),
@@ -455,15 +466,18 @@ object PipelineQueries {
       "ns_text_quality",
       Some("""WITH q AS (SELECT doc_id,
                 list_filter(string_split(lower(text), ' '), x -> x <> '') tk,
-                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
-                  length(text) alpha_r
+                CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                    length(text) END alpha_r
                 FROM documents),
               c AS (SELECT doc_id, alpha_r,
-                len(list_filter(tk, x -> list_contains(
-                  ['the','a','of','and','is','to','in','that','it','for'],
-                  x)))::DOUBLE / len(tk) stop_r,
-                list_sum(list_transform(tk, x -> length(x)))::DOUBLE /
-                  len(tk) mean_len,
+                CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                  len(list_filter(tk, x -> list_contains(
+                    ['the','a','of','and','is','to','in','that','it','for'],
+                    x)))::DOUBLE / len(tk) END stop_r,
+                CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                  list_sum(list_transform(tk, x -> length(x)))::DOUBLE /
+                    len(tk) END mean_len,
                 least(len(tk) / 100.0, 1.0) len_score
                 FROM q)
               SELECT doc_id, ROUND(alpha_r, 4) AS alpha_r,

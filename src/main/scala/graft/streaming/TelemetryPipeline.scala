@@ -143,7 +143,8 @@ object TelemetryPipeline {
     * state times out on the round budget (flatMapGroupsWithState with
     * ProcessingTimeTimeout — the general form of T3).
     */
-  case class ProtoEvent(device_code: String, kind: String, value: Double)
+  case class ProtoEvent(device_code: String, kind: String, value: Double,
+      seq: Long = 0L)
   case class ProtoState(confirmed: Boolean)
   case class Accepted(device_code: String, value: Double)
 
@@ -163,7 +164,10 @@ object TelemetryPipeline {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var confirmed = state.getOption.exists(_.confirmed)
-            val out = evs.flatMap { e =>
+            // iterator order within a group is shuffle-dependent;
+            // impose the protocol order explicitly (cf. the two-phase
+            // exchange sequencing in master/master.ino:231-258)
+            val out = evs.toSeq.sortBy(_.seq).flatMap { e =>
               e.kind match {
                 case "confirm" => confirmed = true; Nil
                 case "value" if confirmed => Seq(Accepted(device, e.value))

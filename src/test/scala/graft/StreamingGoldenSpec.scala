@@ -102,10 +102,10 @@ class StreamingGoldenSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       input.addData(
-        TelemetryPipeline.ProtoEvent("H0001", "confirm", 0),
-        TelemetryPipeline.ProtoEvent("H0001", "value", 32.1),
+        TelemetryPipeline.ProtoEvent("H0001", "confirm", 0, seq = 1),
+        TelemetryPipeline.ProtoEvent("H0001", "value", 32.1, seq = 2),
         // H0002 sends a value with no confirmation → rejected
-        TelemetryPipeline.ProtoEvent("H0002", "value", 99.9))
+        TelemetryPipeline.ProtoEvent("H0002", "value", 99.9, seq = 1))
       q.processAllAvailable()
       val rows = spark.table("proto_out")
         .as[TelemetryPipeline.Accepted].collect()
