@@ -53,6 +53,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    // SURVEY.md scale posture: pre-bucket fact tables on the join key
+    // so repeated joins skip the shuffle entirely (the 100 TB win:
+    // shuffle once at write time, never again at read time)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Catalog.table(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("orders_bkt")
+      Catalog.table(spark, sfDir, "customer")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("customer_bkt")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          $"o_custkey" === $"c_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("A5: approx_count_distinct (HLL++) lands within 5% of exact") {
     val o = Catalog.table(spark, sfDir, "orders")
     val (approx, exact) = o

@@ -106,6 +106,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(again(0).mean_byte == feats(0).mean_byte)
   }
 
+  test("charGramMinHash slices code points, not UTF-16 units") {
+    // five non-BMP code points = ten UTF-16 units; code-point slicing
+    // (DuckDB substring semantics) yields exactly one 5-gram = the
+    // whole string
+    val emoji = "😀😁😂😃😄"
+    val got = Seq(emoji).toDF("text")
+      .select(TF.charGramMinHash($"text", 5)).as[Long].head()
+    assert(got == SF.hex60Local(emoji))
+    // four code points → below k → null
+    val short = Seq(emoji.substring(0, 8)).toDF("text")
+      .select(TF.charGramMinHash($"text", 5)).as[Option[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("multimodal resize + frame-sample stubs: deterministic shapes") {
     val vid = Multimodal.MediaRecord(7, "video",
       Array.tabulate[Byte](40960)(i => (i % 127).toByte))
