@@ -211,6 +211,49 @@ object ExtendedQueries {
           .orderBy("n_name")
       }),
 
+    // pivot: event counts per user across the five event types
+    // (groupBy().pivot() → conditional-agg oracle)
+    QueryDef(
+      "q48_pivot",
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+              COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy("user_id")),
+
+    // unpivot: wide metrics back to (key, metric, value) rows
+    QueryDef(
+      "q49_unpivot",
+      Some("""SELECT c_custkey, metric,
+              CAST(ROUND(val, 2) AS DOUBLE) AS val FROM (
+                SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE
+                FROM customer)
+              ORDER BY c_custkey, metric"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("c_acctbal").as("acctbal"),
+              col("c_nationkey").as("nationkey")),
+            "metric", "raw")
+          .select(col("c_custkey"), col("metric"),
+            round(col("raw"), 2).cast("double").as("val"))
+          .orderBy("c_custkey", "metric")),
+
     // null-handling scalar family: coalesce / nullif / nvl2-style
     QueryDef(
       "q44_null_funcs",
