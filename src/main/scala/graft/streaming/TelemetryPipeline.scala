@@ -99,6 +99,22 @@ object TelemetryPipeline {
       writeDlq(partial)
   }
 
+  /** T2: the 60 s round-budget late-data split, foreachBatch form
+    * (master/master.ino:33,130-145): rows older than `cutoff` relative
+    * to the batch's max event time go to the error-report DLQ instead
+    * of being silently dropped (what a bare watermark would do).
+    * Returns (onTime, late).
+    */
+  def lateSplit(batch: DataFrame, tsCol: String, cutoffSeconds: Long)
+      : (DataFrame, DataFrame) = {
+    val maxTs = batch.agg(max(col(tsCol))).head().getTimestamp(0)
+    if (maxTs == null) (batch, batch.limit(0))
+    else {
+      val cut = new java.sql.Timestamp(maxTs.getTime - cutoffSeconds * 1000)
+      (batch.filter(col(tsCol) >= cut), batch.filter(col(tsCol) < cut))
+    }
+  }
+
   /** W3 as a stream: per-device weight-delta alerts — the domain
     * purpose of the whole system (weight change between rounds;
     * server-side in the reference, SURVEY.md §2.5 W3). `lag()` isn't

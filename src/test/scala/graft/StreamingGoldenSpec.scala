@@ -154,6 +154,24 @@ class StreamingGoldenSpec extends SparkSpec {
     }
   }
 
+  test("T2: lateSplit diverts rows past the 60 s budget to the DLQ side") {
+    val batch = Seq(
+      ("H0001", "2024-01-01 00:10:00"), // 0 s behind max → on time
+      ("H0002", "2024-01-01 00:09:30"), // 30 s behind → on time
+      ("H0003", "2024-01-01 00:08:00")) // 120 s behind → late
+      .toDF("device_code", "ts")
+      .select($"device_code", $"ts".cast("timestamp").as("device_ts"))
+    val (onTime, late) = TelemetryPipeline.lateSplit(batch, "device_ts", 60)
+    assert(onTime.select("device_code").as[String].collect().sorted.toSeq ==
+      Seq("H0001", "H0002"))
+    assert(late.select("device_code").as[String].collect().toSeq ==
+      Seq("H0003"))
+    // empty batch: both sides empty, no NPE
+    val empty = batch.limit(0)
+    val (o2, l2) = TelemetryPipeline.lateSplit(empty, "device_ts", 60)
+    assert(o2.count() == 0 && l2.count() == 0)
+  }
+
   test("T1: hourly rounds aggregate per device per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
