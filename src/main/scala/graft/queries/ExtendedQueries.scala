@@ -121,6 +121,40 @@ object ExtendedQueries {
           .orderBy("doc_id")
           .limit(200)),
 
+    // W6 completion: percent_rank / cume_dist distribution analytics
+    QueryDef(
+      "q50_percent_rank",
+      Some("""SELECT event_id,
+              ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id), 6) AS pr,
+              ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id), 6) AS cd
+              FROM events ORDER BY event_id LIMIT 500"""),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        t(s, dir, "events")
+          .select(col("event_id"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("event_id")
+          .limit(500)
+      }),
+
+    // F20 completion: chr/ascii character codec round-trip
+    QueryDef(
+      "q51_chr_ascii",
+      Some("""SELECT doc_id,
+              CAST(ascii(SUBSTRING(lang, 1, 1)) AS INT) AS a,
+              chr(CAST(65 + doc_id % 26 AS INT)) AS c
+              FROM documents ORDER BY doc_id LIMIT 200"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            ascii(substring(col("lang"), 1, 1)).cast("int").as("a"),
+            expr("char(65 + doc_id % 26)").as("c"))
+          .orderBy("doc_id")
+          .limit(200)),
+
     // TPC-H Q1 shape: pricing summary with computed measures over a
     // date-filtered scan (predicate pushdown + partial agg).
     QueryDef(
