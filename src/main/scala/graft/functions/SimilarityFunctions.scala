@@ -76,4 +76,20 @@ object SimilarityFunctions {
     (0 until nPlanes).map { p =>
       when(dot(v, planeLiteral(p, dim)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Banded hyperplane-LSH buckets: `nBands` independent sign-buckets
+    * of `planesPerBand` planes each (band b uses planes
+    * b*planesPerBand .. b*planesPerBand+planesPerBand-1). OR-ed bands
+    * trade candidate-set size for recall exactly like MinHash LSH
+    * banding: a pair is a candidate if it agrees in ANY band. Returns
+    * array<int> of length nBands for posexplode into (band, bucket).
+    */
+  def lshBandBuckets(v: Column, nBands: Int, planesPerBand: Int,
+      dim: Int): Column =
+    array((0 until nBands).map { b =>
+      (0 until planesPerBand).map { i =>
+        when(dot(v, planeLiteral(b * planesPerBand + i, dim)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 }

@@ -79,16 +79,24 @@ object ExtendedQueries {
           .orderBy("event_id")
       }),
 
-    // ordered array aggregation (relational → array, deterministic)
+    // ordered array aggregation (relational → array, deterministic).
+    // The array is built and sorted as a real array<string>; the
+    // output serializes it (array_to_string) plus its cardinality
+    // because the driver's pandas comparator cannot hash raw array
+    // columns (round-1 q41 red, VERDICT.md item 2).
     QueryDef(
       "q41_array_agg",
       Some("""SELECT n_regionkey,
-              list_sort(list(n_name)) AS names
+              array_to_string(list_sort(list(n_name)), ',') AS names,
+              CAST(len(list(n_name)) AS BIGINT) AS n_names
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
       (s, dir) =>
         t(s, dir, "nation")
           .groupBy("n_regionkey")
-          .agg(array_sort(collect_list("n_name")).as("names"))
+          .agg(
+            array_join(array_sort(collect_list("n_name")), ",")
+              .as("names"),
+            size(collect_list("n_name")).cast("long").as("n_names"))
           .orderBy("n_regionkey")),
 
     // ordered string aggregation

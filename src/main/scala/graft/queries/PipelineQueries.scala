@@ -108,9 +108,13 @@ object PipelineQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
+        // Verify stage: the (small) candidate-pair set joins the
+        // signature table on doc_id via plain shuffle joins — NEVER
+        // broadcast sh: it is O(corpus) (~800 B/doc ⇒ tens of TB at
+        // 100 TB). AQE may still pick a broadcast when sh is tiny.
         cand
-          .join(broadcast(sh.select(col("doc_id").as("da"), col("hh").as("ssa"))), "da")
-          .join(broadcast(sh.select(col("doc_id").as("db"), col("hh").as("ssb"))), "db")
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
           .withColumn("jac",
             size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
               size(array_union(col("ssa"), col("ssb"))))
@@ -167,9 +171,10 @@ object PipelineQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
+        // plain shuffle joins — see ns_dedup_minhash_lsh verify note
         val drops = cand
-          .join(broadcast(sh.select(col("doc_id").as("da"), col("hh").as("ssa"))), "da")
-          .join(broadcast(sh.select(col("doc_id").as("db"), col("hh").as("ssb"))), "db")
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
           .filter(
             size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
               size(array_union(col("ssa"), col("ssb"))) >= 0.8)
@@ -261,12 +266,15 @@ object PipelineQueries {
       // compare ~4× cheaper than the shingle strings; md5-collision
       // behavior is identical on both engines by construction)
       Some(shingleCte + """,
-        inv AS (SELECT doc_id, UNNEST(hh) AS s FROM sh),
+        inv0 AS (SELECT doc_id, UNNEST(hh) AS s FROM sh),
+        hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 256),
+        inv AS (SELECT i.doc_id, i.s FROM inv0 i
+                ANTI JOIN hot h ON i.s = h.s),
         inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ci
                   FROM inv a JOIN inv b
                     ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, len(hh) n FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) n FROM inv GROUP BY doc_id),
         jac AS (SELECT i.da, i.db,
                   i.ci::DOUBLE / (sa.n + sb.n - i.ci) j
                 FROM inter i JOIN sizes sa ON sa.doc_id = i.da
@@ -275,16 +283,26 @@ object PipelineQueries {
         WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
         val sh = hashedShingled(s, dir)
-        val inv = sh.select(col("doc_id"), explode(col("hh")).as("s"))
+        val inv0 = sh.select(col("doc_id"), explode(col("hh")).as("s"))
+        // Document-frequency cap (standard stop-shingle trick): a
+        // shingle shared by 10^6 docs would emit 10^12 candidate pairs
+        // from the self-join below. Hot shingles carry no dedup signal
+        // anyway; Jaccard is computed over the capped shingle space on
+        // both engines (sizes likewise from the capped index).
+        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 256).select("s")
+        val inv = inv0.join(hot, Seq("s"), "left_anti")
         val inter = inv.as("a")
           .join(inv.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("ci"))
-        val sizes = sh.select(col("doc_id"), size(col("hh")).as("n"))
+        val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // plain shuffle joins on doc_id — sizes is O(corpus), never
+        // broadcast it (see ns_dedup_minhash_lsh verify note)
         inter
-          .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
-          .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
           .withColumn("jac",
             col("ci").cast("double") / (col("na") + col("nb") - col("ci")))
           .filter(col("jac") >= 0.8)
@@ -293,7 +311,16 @@ object PipelineQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
-    // ── Dedup tier 5: embedding-cosine near-dup pairs.
+    // ── Dedup tier 5: embedding-cosine near-dup pairs via banded
+    // hyperplane-LSH candidate prefilter (4 bands × 2 planes; a pair
+    // is a candidate iff it shares a bucket in ANY band — MinHash-LSH
+    // banding applied to sign-random-projection) + exact cosine
+    // verify. Replaces the all-pairs O(n²) self-join: the self-join
+    // here shuffles on (band, bucket), touching only co-bucketed
+    // pairs — the shape that survives 100 TB. Recall at the 0.45
+    // threshold ≈ 1-(1-p²)⁴ with p = 1-θ/π ≈ 0.89, rising with cos;
+    // both engines apply the identical prefilter so the oracle gate
+    // stays exact.
     QueryDef(
       "ns_dedup_embed_cosine",
       // norms precomputed per vector (narrow) — numerically identical
@@ -302,21 +329,50 @@ object PipelineQueries {
                 sqrt(list_dot_product(embedding::DOUBLE[],
                                       embedding::DOUBLE[])) nrm
                 FROM embeddings),
-              c AS (SELECT a.vec_id va, b.vec_id vb,
-                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) cos
-                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              pl AS (SELECT p,
+                [(('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR),
+                   1, 15))::BIGINT / 576460752303423488.0) - 1.0
+                 for d in range(0, 64)] plane
+                FROM range(8) t(p)),
+              bk AS (SELECT e.vec_id, pl.p // 2 AS band,
+                SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                    THEN (1 << (pl.p % 2)) ELSE 0 END)::INT bucket
+                FROM e, pl GROUP BY e.vec_id, pl.p // 2),
+              cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                       FROM bk a JOIN bk b
+                         ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id),
+              c AS (SELECT c.va, c.vb,
+                list_dot_product(x.v, y.v) / (x.nrm * y.nrm) cos
+                FROM cand c JOIN e x ON x.vec_id = c.va
+                            JOIN e y ON y.vec_id = c.vb)
               SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 4) AS cos FROM c
               WHERE cos >= 0.45 ORDER BY vec_a, vec_b"""),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", SF.l2Norm(col("v")))
-        e.as("a")
-          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        val bands = e.select(col("vec_id"),
+          posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
+            .as(Seq("band", "bucket")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .distinct()
+        // exact-cosine verify: plain shuffle joins on vec_id — the
+        // embedding table is O(corpus), never broadcast it
+        cand
+          .join(e.select(col("vec_id").as("va"), col("v").as("xv"),
+            col("nrm").as("xn")), "va")
+          .join(e.select(col("vec_id").as("vb"), col("v").as("yv"),
+            col("nrm").as("yn")), "vb")
           .withColumn("cosv",
-            SF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+            SF.dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
           .filter(col("cosv") >= 0.45)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          .select(col("va").as("vec_a"), col("vb").as("vec_b"),
             round(col("cosv"), 4).as("cos"))
           .orderBy("vec_a", "vec_b")
       }),

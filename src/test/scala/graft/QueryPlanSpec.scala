@@ -92,6 +92,22 @@ class QueryPlanSpec extends SparkSpec {
       "sketching must be a narrow transform")
   }
 
+  test("dedup tier never force-broadcasts a full-corpus table") {
+    // The signature / sizes / embedding tables are O(corpus) — at
+    // 100 TB broadcasting one is tens of TB to every executor. The
+    // verify joins must leave join-strategy choice to the optimizer
+    // (AQE may still broadcast when the table is actually tiny), so
+    // the analyzed plans must carry zero explicit broadcast hints.
+    for (q <- Seq("ns_dedup_minhash_lsh", "ns_dedup_apply",
+        "ns_dedup_ngram_jaccard", "ns_dedup_embed_cosine")) {
+      val hints = planOf(q).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty,
+        s"$q: forced-broadcast hint on an O(corpus) table: $hints")
+    }
+  }
+
   test("smoke: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
