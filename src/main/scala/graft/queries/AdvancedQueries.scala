@@ -25,15 +25,35 @@ object AdvancedQueries {
                 AND b.event_type <> a.event_type
               GROUP BY a.event_id ORDER BY a.event_id LIMIT 500"""),
       (s, dir) => {
-        val a = t(s, dir, "events").alias("a")
-        val b = t(s, dir, "events").alias("b")
-        a.join(b,
-            col("a.user_id") === col("b.user_id") &&
-              col("b.ts") < col("a.ts") &&
-              col("b.event_type") =!= col("a.event_type"),
-            "left")
-          .groupBy(col("a.event_id").as("event_id"))
-          .agg(max(col("b.event_id")).as("prior_b"))
+        // Linear as-of plan (VERDICT r1 item 5): the naive per-user
+        // inequality self-join is O(rows²) within each user key — one
+        // hot user kills it at 100×. Instead: ONE shuffle+sort on
+        // (user_id, ts) and a running max of event_id per event_type
+        // over the strictly-prior RANGE frame (epoch-µs sort key,
+        // upper bound -1 excludes ts ties, matching b.ts < a.ts);
+        // prior_b = greatest over the other types' running maxes.
+        // Per-type decomposition is linear because event_type is a
+        // metadata-scale enum — discovered with a 5-row distinct
+        // collect at plan-build time (a broadcast-dim analog, not a
+        // data-path collect).
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+        val types = ev.select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val withMaxes = ev.select(
+          col("event_id") +: col("event_type") +:
+            types.zipWithIndex.map { case (tp, i) =>
+              max(when(col("event_type") === tp, col("event_id")))
+                .over(w).as(s"m_$i")
+            }: _*)
+        val priorB = greatest(types.zipWithIndex.map { case (tp, i) =>
+          when(col("event_type") =!= tp, col(s"m_$i"))
+        }: _*)
+        withMaxes
+          .select(col("event_id"), priorB.as("prior_b"))
           .orderBy("event_id")
           .limit(500)
       }),

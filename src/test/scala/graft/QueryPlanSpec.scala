@@ -108,6 +108,12 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q29 as-of plans linearly: window over one sort, no self-join") {
+    val e = explainStr(planOf("q29_asof_prior"))
+    assert(!e.contains("Join"), s"as-of must not plan as a join:\n$e")
+    assert(e.contains("Window"), e)
+  }
+
   test("smoke: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
