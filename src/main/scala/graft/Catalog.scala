@@ -49,4 +49,34 @@ object Catalog {
     tableNames.foreach { n =>
       table(spark, dir, n).createOrReplaceTempView(n)
     }
+
+  /** Persist the star schema into the session's catalog (Hive
+    * metastore when the session is built via Engine.session): each
+    * table is an EXTERNAL parquet table pointing at the existing
+    * files — metadata-only registration, no data copy (the only
+    * sane move at 100 TB). `events` additionally gets a persistent
+    * view applying the nanos→µs timestamp normalization so SQL users
+    * see the same µs semantics as Catalog.table. Idempotent.
+    */
+  def createPersistentTables(spark: SparkSession, dir: String,
+      database: String = "graft"): Unit = {
+    // same TIMESTAMP(NANOS) escape hatch as `table` — scans of the
+    // external events table go through the session datasource path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    tableNames.foreach { n =>
+      val tbl = if (n == "events") "events_raw" else n
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $database.$tbl
+           |USING parquet LOCATION '$dir/$n.parquet'""".stripMargin)
+    }
+    val rawTs = spark.table(s"$database.events_raw").schema
+      .fields.exists(f => f.name == "ts" && f.dataType == LongType)
+    val tsExpr = if (rawTs) "timestamp_micros(ts div 1000)" else "ts"
+    val cols = spark.table(s"$database.events_raw").columns
+      .map(c => if (c == "ts") s"$tsExpr AS ts" else c).mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $database.events AS
+         |SELECT $cols FROM $database.events_raw""".stripMargin)
+  }
 }

@@ -17,7 +17,8 @@ object Engine {
   def session(
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Option[Int] = None,
-      warehouseDir: Option[String] = None): SparkSession = {
+      warehouseDir: Option[String] = None,
+      hiveMetastore: Boolean = true): SparkSession = {
     val cores = Runtime.getRuntime.availableProcessors()
     val b = SparkSession.builder()
       .master(master)
@@ -31,6 +32,15 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     warehouseDir.foreach(w => b.config("spark.sql.warehouse.dir", w))
+    // Persistent catalog (north-star spark_approach: "Spark SQL + Hive
+    // metastore"): table definitions land in the metastore and survive
+    // restarts — CREATE TABLE / SHOW TABLES work across sessions. Falls
+    // back to the in-memory catalog when spark-hive isn't on the
+    // classpath (hive jars ship with the Spark distribution used here).
+    if (hiveMetastore) {
+      try b.enableHiveSupport()
+      catch { case _: IllegalArgumentException => () }
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -8,12 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * startup dominates test wall-clock otherwise).
   */
 object SparkSpecBase {
+  // Hive-enabled so HiveCatalogSpec can prove metastore persistence;
+  // derby metastore + warehouse live under target/ (wiped by clean).
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "target/test-warehouse")
+    .config("javax.jdo.option.ConnectionURL",
+      "jdbc:derby:;databaseName=target/test-metastore_db;create=true")
+    .enableHiveSupport()
     .getOrCreate()
 }
 
