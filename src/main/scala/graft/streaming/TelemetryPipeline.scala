@@ -115,6 +115,61 @@ object TelemetryPipeline {
     }
   }
 
+  /** T5 — at-most-once fire-and-forget delivery (the sleep command is
+    * sent without waiting for confirmation — master/master.ino:348-352:
+    * losing one costs a round; retrying could double-sleep a device).
+    * Each row is attempted exactly once on its executor; failures are
+    * counted into `dropped` and swallowed — never retried, and never
+    * propagated, so foreachBatch cannot replay the batch. Partition-
+    * parallel (foreachPartition), no driver collect.
+    */
+  def fireAndForget(
+      batch: DataFrame,
+      send: org.apache.spark.sql.Row => Unit,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): Unit =
+    batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        try send(r)
+        catch { case scala.util.control.NonFatal(_) =>
+          dropped.foreach(_.add(1L))
+        }
+      }
+    }
+
+  /** T4 — at-least-once delivery completed to effectively-once by an
+    * idempotent sink (master/master.ino:74,166: the master retries a
+    * round; the server stores one value per round). foreachBatch
+    * replays a whole batch after a failure, so the write must
+    * tolerate redelivery: each batch overwrites ITS OWN batch_id=N
+    * partition — a replay rewrites the same partition with the same
+    * rows instead of appending duplicates (the standard foreachBatch
+    * transactional-sink pattern; partition discovery exposes batch_id
+    * as a column on read).
+    */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long,
+      path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** T7 — clock-skew policy (master/master.ino:122-124: the weekly
+    * resync bounds device-clock error to under one week). Pairs the
+    * device event time with the gateway ingest time: a row whose skew
+    * is inside `maxSkewSeconds` keeps event time (it buckets into its
+    * true window); a row beyond the bound — a clock that never
+    * resynced — is re-stamped to ingest time and flagged, instead of
+    * opening a years-old window that the watermark silently drops.
+    */
+  def withSkewPolicy(
+      df: DataFrame,
+      eventCol: String,
+      ingestCol: String,
+      maxSkewSeconds: Long = 7L * 24 * 3600): DataFrame =
+    df
+      .withColumn("skew_exceeded",
+        abs(unix_micros(col(eventCol)) - unix_micros(col(ingestCol))) >
+          maxSkewSeconds * 1000000L)
+      .withColumn("effective_ts",
+        when(col("skew_exceeded"), col(ingestCol)).otherwise(col(eventCol)))
+
   /** W3 as a stream: per-device weight-delta alerts — the domain
     * purpose of the whole system (weight change between rounds;
     * server-side in the reference, SURVEY.md §2.5 W3). `lag()` isn't
