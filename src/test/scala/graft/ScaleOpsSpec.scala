@@ -81,6 +81,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned facts: dim filter triggers dynamic partition pruning") {
+    // SURVEY §4.2 claim, proven: facts laid out by date partition +
+    // a runtime-filtered dim ⇒ the fact scan's PartitionFilters carry
+    // a dynamicpruning subquery — at 100 TB the scan touches only the
+    // dim-selected dates instead of the full history.
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Catalog.table(spark, sfDir, "events")
+      .withColumn("event_date", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim date-set is only known at runtime (filter on a non-join col)
+    val dim = Catalog.table(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select(to_date($"o_orderdate").as("d")).distinct()
+    val joined = fact.join(dim, $"event_date" === $"d")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected DPP in fact scan PartitionFilters:\n$plan")
+  }
+
   test("A5: approx_count_distinct (HLL++) lands within 5% of exact") {
     val o = Catalog.table(spark, sfDir, "orders")
     val (approx, exact) = o
