@@ -313,5 +313,45 @@ object ExtendedQueries {
               .otherwise("no_k").as("k_state"))
           .orderBy("event_id")
           .limit(500)),
+
+    // J2 first-class: per-sensor calibration dimension join
+    // (hx711_calibration.ino:8 — each scale has its own S/N-keyed
+    // calibration factor + zero offset; q03 applies constants only).
+    // The dim is derived deterministically from the user_id key space
+    // (md5-based factor/zero — identical on both engines), standing in
+    // for a real per-S/N calibration table; the fact side joins it
+    // BROADCAST: a fleet's calibration dim is tiny vs the readings.
+    QueryDef(
+      "q52_calibration_dim_join",
+      Some("""WITH dim AS (SELECT DISTINCT user_id,
+                1.0 + (('0x' || substring(md5('cf:' || user_id::VARCHAR),
+                       1, 15))::BIGINT % 1000) / 1000.0 AS factor,
+                (('0x' || substring(md5('z:' || user_id::VARCHAR),
+                  1, 15))::BIGINT % 100) / 10.0 AS zero
+              FROM events)
+              SELECT e.event_id, e.user_id,
+                ROUND(d.factor, 4) AS factor,
+                ROUND((e.value - d.zero) / d.factor, 4) AS calibrated_v
+              FROM events e JOIN dim d ON e.user_id = d.user_id
+              ORDER BY e.event_id LIMIT 1000"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = ev.select(col("user_id")).distinct()
+          .withColumn("factor", lit(1.0) +
+            (graft.functions.TextFunctions.hex60(
+              concat(lit("cf:"), col("user_id").cast("string"))) % 1000)
+              .cast("double") / 1000.0)
+          .withColumn("zero",
+            (graft.functions.TextFunctions.hex60(
+              concat(lit("z:"), col("user_id").cast("string"))) % 100)
+              .cast("double") / 10.0)
+        ev.join(broadcast(dim), Seq("user_id"))
+          .select(col("event_id"), col("user_id"),
+            round(col("factor"), 4).as("factor"),
+            round((col("value") - col("zero")) / col("factor"), 4)
+              .as("calibrated_v"))
+          .orderBy("event_id")
+          .limit(1000)
+      }),
   )
 }
