@@ -669,6 +669,102 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Text analysis: TF-IDF term scoring (ratio-idf: tf · N/df —
+    // log-free so both engines compute pure rational arithmetic; a
+    // log-idf differs in the last ulp between libm and java.lang.Math
+    // and can flip a ROUND boundary). Shape at scale: tf is a narrow
+    // per-doc explode+count, df one groupBy on term — both linear.
+    QueryDef(
+      "ns_text_tfidf",
+      Some("""WITH tk AS (SELECT doc_id,
+                UNNEST(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) AS w
+                FROM documents),
+              tf AS (SELECT doc_id, w, COUNT(*) c FROM tk GROUP BY 1, 2),
+              df AS (SELECT w, COUNT(DISTINCT doc_id) d FROM tk GROUP BY w),
+              n AS (SELECT COUNT(*) n FROM documents)
+              SELECT tf.doc_id, tf.w AS term,
+                ROUND(tf.c * (n.n * 1.0 / df.d), 4) AS score
+              FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+              ORDER BY score DESC, tf.doc_id, term LIMIT 50"""),
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        val tf = tk.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val df = tk.groupBy("w").agg(countDistinct("doc_id").as("d"))
+        val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+        tf.join(df, "w")
+          .crossJoin(broadcast(n)) // single global-count row
+          .select(col("doc_id"), col("w").as("term"),
+            round(col("c") * (col("n") * lit(1.0) / col("d")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("term"))
+          .limit(50)
+      }),
+
+    // ── Text cleaning tier 2: PII redaction (emails, phone-shaped
+    // digit groups, long digit runs → typed placeholders) — narrow
+    // regexp transforms; the count column audits redaction volume.
+    QueryDef(
+      "ns_text_pii_redact",
+      Some("""WITH r AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                  '<email>', 'g'),
+                  '\+?[0-9][0-9()\- ]{6,}[0-9]', '<phone>', 'g'),
+                  '[0-9]{6,}', '<id>', 'g') red,
+                CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                  AS BIGINT) n_email
+                FROM documents)
+              SELECT doc_id, n_email,
+                CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_fp
+              FROM r ORDER BY doc_id"""),
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val red = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<email>"),
+            "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<phone>"),
+          "[0-9]{6,}", "<id>")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+            length(red).cast("long").as("red_len"),
+            md5(red.cast("binary")).as("red_fp"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Sequence packing: assign docs to fixed-token-budget packs
+    // (4096) in arrival order within each language shard — the
+    // pre-training batch-assembly step. Contiguous cumulative-sum
+    // packing: pack_id = floor((cumsum_before_doc) / budget); one
+    // partitioned window, linear. At 100 TB the lang partition keys
+    // shard the global sort the same way.
+    QueryDef(
+      "ns_pack_sequences",
+      Some("""WITH tk AS (SELECT doc_id, lang,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) n_tok
+                FROM documents)
+              SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+                CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) - n_tok) / 4096.0) AS BIGINT) AS pack_id
+              FROM tk ORDER BY doc_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TF.tokens(col("text"))).as("n_tok"))
+          .select(col("doc_id"), col("lang"),
+            col("n_tok").cast("long").as("n_tok"),
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 4096.0)
+              .cast("long").as("pack_id"))
+          .orderBy("doc_id")
+      }),
+
     // ── Multimodal: opaque binary payload + typed metadata columns
     // (the decode stubs live in graft.functions.Multimodal; this is
     // the schema/metadata plumbing the oracle can check).

@@ -114,6 +114,23 @@ class QueryPlanSpec extends SparkSpec {
     assert(e.contains("Window"), e)
   }
 
+  test("global sweep: no CartesianProduct anywhere; BNLJ only for declared tiny-side broadcasts") {
+    // BroadcastNestedLoopJoin is legitimate ONLY when the broadcast
+    // side is O(1) rows by construction (a probe vector / global count)
+    // or a constant-size enum dim (q34's 5-row region self-theta).
+    val bnljAllowed = Set(
+      "q30_embedding_topk", "ns_ann_cosine_topk", "ns_ann_ivf_topk",
+      "ns_ann_lsh_topk", "ns_text_tfidf", "q34_theta_join")
+    for ((name, fn) <- Registry.queries) {
+      val e = explainStr(fn(spark, sfDir))
+      assert(!e.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!e.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin on an undeclared side")
+    }
+  }
+
   test("smoke: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
