@@ -88,6 +88,12 @@ object Bench {
     // per-query latencies are still reported individually and their
     // SUM exceeds the wall-clock `value`, making the overlap explicit.
     val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
+    // Alphabetical submission clusters the CPU-heavy families
+    // (ns_text_*, ns_dedup_*) into the same pool slots and convoys the
+    // wall; interleave deterministically by name hash instead.
+    val spread = work.sortBy { case (n, _) =>
+      java.util.UUID.nameUUIDFromBytes(n.getBytes).toString
+    }
     val wall0 = System.nanoTime()
     val results: Seq[(String, Double)] =
       if (par <= 1) work.map { case (name, fn) => runOne(spark, sfDir, name, fn) }
@@ -95,7 +101,7 @@ object Bench {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val futs = work.map { case (name, fn) =>
+        val futs = spread.map { case (name, fn) =>
           scala.concurrent.Future(runOne(spark, sfDir, name, fn))
         }
         val out = futs.map(f =>

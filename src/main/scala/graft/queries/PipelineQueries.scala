@@ -500,6 +500,119 @@ object PipelineQueries {
           .limit(10)
       }),
 
+    // ── Similarity search, IVF with TRAINED centroids: 2 Lloyd
+    // iterations of k-means (k=8, init = lowest vec_ids), then the
+    // probe searches only its inverted list + exact rerank. Fully
+    // declarative and cross-engine deterministic: every float SUM
+    // (dot products, per-dim centroid means, norms) quantizes each
+    // term to fixed-point BIGINT (floor(x·1e12)) before summing —
+    // long addition is exact and order-independent, so Spark's
+    // partial aggregation and DuckDB's sequential sum see identical
+    // values (and longs stay on the codegen fast path, unlike
+    // precision>18 decimals); ties break on cid. Shape at scale: the
+    // long-form (vec, dim) table is n×64 rows, every stage is an
+    // equi-join/groupBy — linear, no pair blowup; real deployments
+    // run more iterations of exactly this dataflow.
+    QueryDef(
+      "ns_ann_ivf_kmeans_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) nrm
+                FROM embeddings),
+              ev AS (SELECT vec_id, nrm, d, v[d+1] x
+                     FROM e, range(0, 64) r(d)),
+              c0 AS (SELECT vec_id cid, d, x cx FROM ev WHERE vec_id < 8),
+              cn0 AS (SELECT cid,
+                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
+                             ::DOUBLE / 1000000000000.0) cnrm
+                      FROM c0 GROUP BY cid),
+              s1 AS (SELECT ev.vec_id, c0.cid,
+                       SUM(CAST(FLOOR(ev.x*c0.cx*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 dt,
+                       MAX(ev.nrm) nrm
+                     FROM ev JOIN c0 ON ev.d = c0.d GROUP BY 1, 2),
+              a1 AS (SELECT vec_id, cid FROM (
+                       SELECT s1.vec_id, s1.cid,
+                         ROW_NUMBER() OVER (PARTITION BY s1.vec_id
+                           ORDER BY -(s1.dt/(s1.nrm*cn0.cnrm)), s1.cid) rn
+                       FROM s1 JOIN cn0 ON s1.cid = cn0.cid) WHERE rn = 1),
+              c1 AS (SELECT a1.cid, ev.d,
+                       SUM(CAST(FLOOR(ev.x*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 / COUNT(*) cx
+                     FROM ev JOIN a1 ON ev.vec_id = a1.vec_id GROUP BY 1, 2),
+              cn1 AS (SELECT cid,
+                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
+                             ::DOUBLE / 1000000000000.0) cnrm
+                      FROM c1 GROUP BY cid),
+              s2 AS (SELECT ev.vec_id, c1.cid,
+                       SUM(CAST(FLOOR(ev.x*c1.cx*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 dt,
+                       MAX(ev.nrm) nrm
+                     FROM ev JOIN c1 ON ev.d = c1.d GROUP BY 1, 2),
+              a2 AS (SELECT vec_id, cid FROM (
+                       SELECT s2.vec_id, s2.cid,
+                         ROW_NUMBER() OVER (PARTITION BY s2.vec_id
+                           ORDER BY -(s2.dt/(s2.nrm*cn1.cnrm)), s2.cid) rn
+                       FROM s2 JOIN cn1 ON s2.cid = cn1.cid) WHERE rn = 1),
+              pc AS (SELECT cid FROM a2 WHERE vec_id = 0)
+              SELECT e1.vec_id,
+                ROUND(list_dot_product(e1.v, e0.v) /
+                  (sqrt(list_dot_product(e1.v, e1.v)) *
+                   sqrt(list_dot_product(e0.v, e0.v))), 4) AS cos
+              FROM a2 JOIN pc ON a2.cid = pc.cid
+              JOIN e e1 ON e1.vec_id = a2.vec_id AND e1.vec_id <> 0
+              JOIN e e0 ON e0.vec_id = 0
+              ORDER BY cos DESC, e1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Q = 1000000000000.0 // fixed-point scale: 1e-12 resolution
+        def fx(c: org.apache.spark.sql.Column) = floor(c * Q).cast("long")
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", SF.l2Norm(col("v")))
+        val ev = e.select(col("vec_id"), col("nrm"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        def cnorm(cent: DataFrame): DataFrame = cent.groupBy("cid")
+          .agg(sqrt(sum(fx(col("cx") * col("cx"))).cast("double") / Q)
+            .as("cnrm"))
+        def assign(cent: DataFrame): DataFrame = {
+          val sims = ev.join(cent, "d")
+            .groupBy("vec_id", "cid")
+            .agg((sum(fx(col("x") * col("cx"))).cast("double") / Q).as("dt"),
+              max("nrm").as("nrm"))
+            .join(cnorm(cent), "cid")
+            .withColumn("negsim", -(col("dt") / (col("nrm") * col("cnrm"))))
+          sims.withColumn("rn", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("negsim"), col("cid"))))
+            .filter(col("rn") === 1).select("vec_id", "cid")
+        }
+        val c0 = ev.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("d"), col("x").as("cx"))
+        val a1 = assign(c0)
+        // Trained model → driver → broadcast (the standard Spark ML
+        // shape: k×dim = 512 parameter rows, O(model) not O(data)).
+        // Without this the iterative lineage (a2 → c1 → a1 → ev) is
+        // recomputed for every downstream reference of a2.
+        import s.implicits._
+        val c1 = ev.join(a1, "vec_id").groupBy("cid", "d")
+          .agg((sum(fx(col("x"))).cast("double") / Q / count(lit(1)))
+            .as("cx"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .toSeq.toDF("cid", "d", "cx")
+        val a2 = assign(c1)
+        val probeCid = a2.filter(col("vec_id") === 0)
+          .select(col("cid").as("pcid"))
+        val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+        a2.join(broadcast(probeCid), col("cid") === col("pcid"))
+          .filter(col("vec_id") =!= 0)
+          .join(e, Seq("vec_id"))
+          .crossJoin(broadcast(probeVec))
+          .select(col("vec_id"),
+            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }),
+
     // ── Text analysis: token counting (whitespace + word-regex).
     QueryDef(
       "ns_text_tokens",

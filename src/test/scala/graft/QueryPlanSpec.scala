@@ -120,7 +120,8 @@ class QueryPlanSpec extends SparkSpec {
     // or a constant-size enum dim (q34's 5-row region self-theta).
     val bnljAllowed = Set(
       "q30_embedding_topk", "ns_ann_cosine_topk", "ns_ann_ivf_topk",
-      "ns_ann_lsh_topk", "ns_text_tfidf", "q34_theta_join")
+      "ns_ann_ivf_kmeans_topk", "ns_ann_lsh_topk", "ns_text_tfidf",
+      "q34_theta_join")
     for ((name, fn) <- Registry.queries) {
       val e = explainStr(fn(spark, sfDir))
       assert(!e.contains("CartesianProduct"),
