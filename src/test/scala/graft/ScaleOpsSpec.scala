@@ -102,6 +102,18 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected DPP in fact scan PartitionFilters:\n$plan")
   }
 
+  test("approx percentile (t-digest-style sketch) lands within 5% of exact") {
+    // the 100 TB path for q36's exact percentile: a mergeable sketch
+    // instead of a full sort — single pass, partial+final aggregation
+    val e = Catalog.table(spark, sfDir, "events")
+    val (approx, exact) = e
+      .agg(expr("approx_percentile(value, 0.9, 1000)").as("a"),
+        expr("percentile(value, 0.9)").as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(approx - exact) / math.abs(exact) < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("A5: approx_count_distinct (HLL++) lands within 5% of exact") {
     val o = Catalog.table(spark, sfDir, "orders")
     val (approx, exact) = o
