@@ -79,4 +79,30 @@ object Catalog {
       s"""CREATE OR REPLACE VIEW $database.events AS
          |SELECT $cols FROM $database.events_raw""".stripMargin)
   }
+
+  /** Compute table + column statistics for every catalog table so the
+    * cost-based optimizer (join reorder, broadcast decisions beyond
+    * the size threshold) has real rowCounts/NDVs to plan with — on a
+    * 1000-executor cluster CBO stats are the difference between a
+    * bushy star-join plan and a left-deep disaster. Column stats go
+    * on the declared join keys.
+    */
+  def analyzeTables(spark: SparkSession,
+      database: String = "graft"): Unit = {
+    val keyCols = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey, n_regionkey",
+      "customer" -> "c_custkey, c_nationkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey, o_custkey",
+      "lineitem" -> "l_orderkey, l_partkey", "events" -> "event_id, user_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    tableNames.foreach { n =>
+      val tbl = if (n == "events") "events_raw" else n
+      spark.sql(s"ANALYZE TABLE $database.$tbl COMPUTE STATISTICS")
+      if (n != "events") // view cols aren't analyzable; raw has them
+        keyCols.get(n).foreach { ks =>
+          spark.sql(
+            s"ANALYZE TABLE $database.$tbl COMPUTE STATISTICS FOR COLUMNS $ks")
+        }
+    }
+  }
 }

@@ -30,6 +30,9 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CBO reads the metastore stats written by Catalog.analyzeTables
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
     warehouseDir.foreach(w => b.config("spark.sql.warehouse.dir", w))
     // Persistent catalog (north-star spark_approach: "Spark SQL + Hive
