@@ -81,6 +81,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // the runtime half of the skew story (Skew.saltedJoin is the
+    // static half): one hot key dominating a sort-merge join gets its
+    // partition split by OptimizeSkewedJoin — thresholds lowered to
+    // trigger at test scale
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000)
+        .select(
+          when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000)
+            .as("k"),
+          col("id").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // NOTE: no aggregation downstream of the join — a required hash
+      // distribution on k would veto the skew split (split partitions
+      // no longer satisfy hashpartitioning)
+      val joined = hot.join(dim, "k").select("k")
+      joined.collect() // finalize THIS dataset's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split in executed plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compaction rewrites a small-file directory to the target count, rows intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val df = Catalog.table(spark, sfDir, "orders").limit(400)
