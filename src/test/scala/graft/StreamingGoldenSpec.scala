@@ -172,6 +172,49 @@ class StreamingGoldenSpec extends SparkSpec {
     assert(o2.count() == 0 && l2.count() == 0)
   }
 
+  test("e2e: frames → decode → hourly rounds → routed sink (the whole reference dataflow)") {
+    // One live stream exercising the full composition the reference
+    // firmware implements across master+gateway: tagged-frame ingest,
+    // JSON decode, hourly windowed rounds, and the complete/partial
+    // routing with one-shot setup notification.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val frames = input.toDF().toDF("frame", "device_ts")
+    val rounds = TelemetryPipeline.hourlyRounds(
+      TelemetryPipeline.decode(frames)
+        .select($"device_code", $"device_ts", $"weight_g"))
+    var setupCount = 0
+    val dataRows = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val dlqRows = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val sink = TelemetryPipeline.routedSink(
+      rounds = null, expectedDevices = 2,
+      writeData = b => dataRows ++= b.select($"device_code", $"n_readings")
+        .as[(String, Long)].collect(),
+      writeDlq = b => dlqRows ++= b.select($"device_code", $"n_readings")
+        .as[(String, Long)].collect(),
+      writeSetup = () => setupCount += 1)
+    val q = rounds.writeStream.outputMode("append")
+      .foreachBatch(sink).start()
+    try {
+      input.addData(
+        // hour 0: both registry devices report → complete round
+        ("""D{"H0001":{"w":32100}}""", ts("2024-01-01 00:10:00")),
+        ("""D{"H0001":{"w":32300}}""", ts("2024-01-01 00:40:00")),
+        ("""D{"H0002":{"w":28450}}""", ts("2024-01-01 00:20:00")),
+        // hour 1: only H0001 reports → partial round → DLQ
+        ("""D{"H0001":{"w":32350}}""", ts("2024-01-01 01:30:00")))
+      q.processAllAvailable()
+      // watermark pusher closes hours 0 and 1
+      input.addData(("""D{"H0009":{"w":1}}""", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      assert(setupCount == 1, "one-shot setup on batch 0")
+      assert(dataRows.sorted.toSeq == Seq(("H0001", 2L), ("H0002", 1L)),
+        s"complete hour-0 round to data sink: $dataRows")
+      assert(dlqRows.toSeq == Seq(("H0001", 1L)),
+        s"partial hour-1 round to DLQ: $dlqRows")
+    } finally q.stop()
+  }
+
   test("T1: hourly rounds aggregate per device per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
