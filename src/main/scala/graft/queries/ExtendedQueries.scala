@@ -314,6 +314,29 @@ object ExtendedQueries {
           .orderBy("event_id")
           .limit(500)),
 
+    // §4 SQL surface: correlated LATERAL subquery with per-row top-k
+    // (Catalyst DecorrelateInnerQuery; the "top-2 per group" shape a
+    // report engine serves constantly).
+    QueryDef(
+      "q53_lateral_topk",
+      Some("""SELECT r.r_name, l.c_name, l.bal FROM region r,
+              LATERAL (SELECT c.c_name, ROUND(c.c_acctbal, 2) bal
+                       FROM customer c JOIN nation n
+                         ON c.c_nationkey = n.n_nationkey
+                       WHERE n.n_regionkey = r.r_regionkey
+                       ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2) l
+              ORDER BY r.r_name, bal DESC, c_name"""),
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT r.r_name, l.c_name, l.bal FROM region r,
+                 LATERAL (SELECT c.c_name, ROUND(c.c_acctbal, 2) bal
+                          FROM customer c JOIN nation n
+                            ON c.c_nationkey = n.n_nationkey
+                          WHERE n.n_regionkey = r.r_regionkey
+                          ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2) l
+                 ORDER BY r.r_name, bal DESC, c_name""")
+      }),
+
     // J2 first-class: per-sensor calibration dimension join
     // (hx711_calibration.ino:8 — each scale has its own S/N-keyed
     // calibration factor + zero offset; q03 applies constants only).

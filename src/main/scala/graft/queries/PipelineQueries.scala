@@ -306,7 +306,8 @@ object PipelineQueries {
           .agg(count(lit(1)).as("ci"))
         val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // plain shuffle joins on doc_id — sizes is O(corpus), never
-        // broadcast it (see ns_dedup_minhash_lsh verify note)
+        // broadcast it (see ns_dedup_minhash_lsh verify note); the
+        // join probes only the (small) candidate-pair set
         inter
           .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
           .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
