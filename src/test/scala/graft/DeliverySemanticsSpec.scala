@@ -50,6 +50,18 @@ class DeliverySemanticsSpec extends SparkSpec {
     assert(dropped.value == 2L, "failures counted, not propagated")
   }
 
+  test("T7 boundary: exactly 1 week of skew is still within the bound (strict >)") {
+    val rows = Seq(
+      ("H0001", ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00")), // = 7d
+      ("H0002", ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:01"))) // 7d+1s
+      .toDF("device_code", "device_ts", "ingest_ts")
+    val out = TelemetryPipeline
+      .withSkewPolicy(rows, "device_ts", "ingest_ts")
+      .select("device_code", "skew_exceeded")
+      .as[(String, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("H0001", false), ("H0002", true)))
+  }
+
   test("T7: skew within the 1-week bound keeps event time; beyond is re-stamped + flagged") {
     val rows = Seq(
       // resynced device: 3-day-old event time (inside the bound)
