@@ -12,6 +12,10 @@ object Bench {
   private def runOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
       : (String, Double) = {
+    // FAIR mode shares BETWEEN pools; jobs inside one pool are FIFO.
+    // Give each query its own pool so a large job cannot convoy the
+    // tiny ones behind its stage queue.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q-$name")
     val t0 = System.nanoTime()
     val ok =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -19,6 +23,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     // a failed query must not masquerade as a fast one
     name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
   }
@@ -51,7 +56,10 @@ object Bench {
     // probe: one representative aggregate timed against raw parquet
     // BEFORE the columnar-cache warmup, so scan-path regressions stay
     // visible (VERDICT r1 perf note) without JVM-warmup noise.
-    SparkEntry.queries.get("q01_scan_ordered")
+    // warm JIT on a DIFFERENT table than the probe's (q26 reads
+    // events; q45 reads lineitem) so the probe still pays lineitem's
+    // file listing + footer decode
+    SparkEntry.queries.get("q26_hourly_window")
       .foreach(q => q(spark, sfDir).write.format("noop").mode("overwrite").save())
     val coldT0 = System.nanoTime()
     val coldSec =
@@ -112,8 +120,11 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // -1.0 failure sentinels must not deflate the disclosed sum
+    val latencySum = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     val detail =
-      s"""{"metric":"total","value":$wallSec,"unit":"sec","queries":$qs,"parallelism":$par,"latency_sum_sec":${results.map(_._2).sum},"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wallSec,"unit":"sec","queries":$qs,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
     // Full per-query detail: one (long) line + a file copy. The
     // driver's tail capture truncated this line in round 1
     // ("parsed": null), so the LAST line printed is a short summary
@@ -122,7 +133,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$wallSec,"unit":"sec","n_queries":${results.size},"parallelism":$par,"latency_sum_sec":${results.map(_._2).sum},"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wallSec,"unit":"sec","n_queries":${results.size},"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,9 +66,20 @@ object Catalog {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     tableNames.foreach { n =>
       val tbl = if (n == "events") "events_raw" else n
+      // IF NOT EXISTS alone would silently keep a STALE location when
+      // re-registering against a different data dir (external tables
+      // are metadata-only, so drop+create is cheap and loses nothing)
+      val existingLoc =
+        if (spark.catalog.tableExists(s"$database.$tbl"))
+          spark.sql(s"DESCRIBE FORMATTED $database.$tbl").collect()
+            .find(_.getString(0).trim == "Location").map(_.getString(1))
+        else None
+      val wanted = s"$dir/$n.parquet"
+      if (!existingLoc.exists(_.endsWith(wanted)))
+        spark.sql(s"DROP TABLE IF EXISTS $database.$tbl")
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $database.$tbl
-           |USING parquet LOCATION '$dir/$n.parquet'""".stripMargin)
+           |USING parquet LOCATION '$wanted'""".stripMargin)
     }
     val rawTs = spark.table(s"$database.events_raw").schema
       .fields.exists(f => f.name == "ts" && f.dataType == LongType)
@@ -96,13 +107,14 @@ object Catalog {
       "lineitem" -> "l_orderkey, l_partkey", "events" -> "event_id, user_id",
       "documents" -> "doc_id", "embeddings" -> "vec_id")
     tableNames.foreach { n =>
+      // stats land on the analyzable base table (events_raw carries
+      // the event_id/user_id key columns; the view is not analyzable)
       val tbl = if (n == "events") "events_raw" else n
       spark.sql(s"ANALYZE TABLE $database.$tbl COMPUTE STATISTICS")
-      if (n != "events") // view cols aren't analyzable; raw has them
-        keyCols.get(n).foreach { ks =>
-          spark.sql(
-            s"ANALYZE TABLE $database.$tbl COMPUTE STATISTICS FOR COLUMNS $ks")
-        }
+      keyCols.get(n).foreach { ks =>
+        spark.sql(
+          s"ANALYZE TABLE $database.$tbl COMPUTE STATISTICS FOR COLUMNS $ks")
+      }
     }
   }
 }

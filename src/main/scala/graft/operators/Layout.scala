@@ -38,11 +38,22 @@ object Layout {
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
     spark.read.parquet(path)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // swap via rename-aside, never delete-before-rename: a crash at
+    // any point leaves either the old or the new data at a recoverable
+    // path, and rename results are checked (HDFS rename returns false
+    // instead of throwing)
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      sys.error(s"compact: failed to move $p aside to $old")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      sys.error(s"compact: failed to move $tmp into place at $p")
+    }
+    fs.delete(old, true)
     nFiles
   }
 }

@@ -38,13 +38,16 @@ object AdvancedQueries {
         // data-path collect).
         import org.apache.spark.sql.expressions.Window
         val ev = t(s, dir, "events")
-        val types = ev.select("event_type").distinct()
+        // NULL types can't seed a per-type column (and the oracle's
+        // b.event_type <> a.event_type drops NULL b-rows anyway)
+        val types = ev.select("event_type")
+          .filter(col("event_type").isNotNull).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
         val w = Window.partitionBy("user_id")
           .orderBy(unix_micros(col("ts")))
           .rangeBetween(Window.unboundedPreceding, -1)
         val withMaxes = ev.select(
-          col("event_id") +: col("event_type") +:
+          col("event_id") +: col("event_type") +: col("user_id") +:
             types.zipWithIndex.map { case (tp, i) =>
               max(when(col("event_type") === tp, col("event_id")))
                 .over(w).as(s"m_$i")
@@ -53,7 +56,10 @@ object AdvancedQueries {
           when(col("event_type") =!= tp, col(s"m_$i"))
         }: _*)
         withMaxes
-          .select(col("event_id"), priorB.as("prior_b"))
+          // the window groups NULL user_ids into one partition; the
+          // oracle's equi-join condition never matches NULLs → NULL out
+          .select(col("event_id"),
+            when(col("user_id").isNotNull, priorB).as("prior_b"))
           .orderBy("event_id")
           .limit(500)
       }),

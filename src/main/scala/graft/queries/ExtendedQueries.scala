@@ -96,7 +96,9 @@ object ExtendedQueries {
           .agg(
             array_join(array_sort(collect_list("n_name")), ",")
               .as("names"),
-            size(collect_list("n_name")).cast("long").as("n_names"))
+            // count(col) ≡ len(list(col)) (both skip nulls) without a
+            // second collect_list buffer per group
+            count("n_name").as("n_names"))
           .orderBy("n_regionkey")),
 
     // ordered string aggregation

@@ -576,8 +576,8 @@ object PipelineQueries {
         def cnorm(cent: DataFrame): DataFrame = cent.groupBy("cid")
           .agg(sqrt(sum(fx(col("cx") * col("cx"))).cast("double") / Q)
             .as("cnrm"))
-        def assign(cent: DataFrame): DataFrame = {
-          val sims = ev.join(cent, "d")
+        def assign(cent: DataFrame, vecs: DataFrame = ev): DataFrame = {
+          val sims = vecs.join(cent, "d")
             .groupBy("vec_id", "cid")
             .agg((sum(fx(col("x") * col("cx"))).cast("double") / Q).as("dt"),
               max("nrm").as("nrm"))
@@ -601,10 +601,14 @@ object PipelineQueries {
           .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
           .toSeq.toDF("cid", "d", "cx")
         val a2 = assign(c1)
-        val probeCid = a2.filter(col("vec_id") === 0)
-          .select(col("cid").as("pcid"))
+        // the probe's list id needs only the probe's own 64 rows
+        // (assignment is row-local given centroids) — resolve it from
+        // that tiny slice so the full second Lloyd assignment (the
+        // expensive stage) executes exactly once, in the final join
+        val pcid = assign(c1, ev.filter(col("vec_id") === 0))
+          .head().getLong(1)
         val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-        a2.join(broadcast(probeCid), col("cid") === col("pcid"))
+        a2.filter(col("cid") === pcid)
           .filter(col("vec_id") =!= 0)
           .join(e, Seq("vec_id"))
           .crossJoin(broadcast(probeVec))

@@ -122,11 +122,29 @@ object TelemetryPipeline {
     * counted into `dropped` and swallowed — never retried, and never
     * propagated, so foreachBatch cannot replay the batch. Partition-
     * parallel (foreachPartition), no driver collect.
+    *
+    * At-most-once holds per task ATTEMPT: swallowing send() failures
+    * stops Spark-level retries of the batch, but a task-level failure
+    * AFTER some sends (executor loss, speculation) replays the whole
+    * partition. For a strict at-most-once guarantee the JOB must run
+    * with spark.task.maxFailures=1 and speculation off (local mode's
+    * default is already 1) — warned below when violated, because a
+    * silent retry is this sink's one forbidden behavior.
     */
   def fireAndForget(
       batch: DataFrame,
       send: org.apache.spark.sql.Row => Unit,
-      dropped: Option[org.apache.spark.util.LongAccumulator] = None): Unit =
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): Unit = {
+    val sc = batch.sparkSession.sparkContext
+    val maxFailures = sc.getConf.getInt("spark.task.maxFailures", 4)
+    val speculation = sc.getConf.getBoolean("spark.speculation", false)
+    if (maxFailures > 1 || speculation)
+      System.err.println(
+        s"[fireAndForget] WARNING: task retries enabled " +
+          s"(maxFailures=$maxFailures, speculation=$speculation) — a task " +
+          "failure mid-partition re-sends delivered rows; set " +
+          "spark.task.maxFailures=1 and disable speculation for " +
+          "strict at-most-once")
     batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
         try send(r)
@@ -135,6 +153,7 @@ object TelemetryPipeline {
         }
       }
     }
+  }
 
   /** T4 — at-least-once delivery completed to effectively-once by an
     * idempotent sink (master/master.ino:74,166: the master retries a
