@@ -227,6 +227,30 @@ object TelemetryPipeline {
       }
   }
 
+  /** J3 declarative form: the two-phase confirm⋈value pairing as a
+    * watermarked stream-stream INTERVAL join — a value is accepted if
+    * a confirmation for the same device arrived in the preceding
+    * `windowSeconds` (master/master.ino:231-258 round budget). Engine
+    * manages the join state, bounded by watermark + interval on both
+    * sides — the declarative alternative to confirmPairing's explicit
+    * flatMapGroupsWithState (use this when per-event sequencing
+    * inside a round doesn't matter, the custom operator when it does).
+    * Inputs: (device_code, ts, value?) with event-time ts.
+    */
+  def confirmValueJoin(
+      confirms: DataFrame,
+      values: DataFrame,
+      windowSeconds: Long = 60L): DataFrame = {
+    val c = confirms.withWatermark("ts", "60 seconds").alias("c")
+    val v = values.withWatermark("ts", "60 seconds").alias("v")
+    v.join(c,
+      expr(s"""c.device_code = v.device_code AND
+               v.ts >= c.ts AND
+               v.ts <= c.ts + interval $windowSeconds seconds"""))
+      .select(col("v.device_code").as("device_code"),
+        col("v.ts").as("value_ts"), col("v.value").as("value"))
+  }
+
   /** Per-device protocol state for the two-phase R/X confirm protocol
     * (master/master.ino:231-258; slave/slave.ino:92-118): a reading is
     * accepted only when its confirmation arrived in the same round;

@@ -215,6 +215,28 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J3 declarative: stream-stream interval join accepts values only inside the confirm window") {
+    implicit val sqlCtx = spark.sqlContext
+    val confirms = MemoryStream[(String, Timestamp)]
+    val values = MemoryStream[(String, Timestamp, Double)]
+    val out = TelemetryPipeline.confirmValueJoin(
+      confirms.toDF().toDF("device_code", "ts"),
+      values.toDF().toDF("device_code", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      confirms.addData(("H0001", ts("2024-01-01 00:00:00")))
+      values.addData(
+        ("H0001", ts("2024-01-01 00:00:30"), 32.1), // inside 60 s window
+        ("H0001", ts("2024-01-01 00:02:00"), 47.7), // outside window
+        ("H0002", ts("2024-01-01 00:00:10"), 99.9)) // never confirmed
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("device_code", "value").as[(String, Double)].collect()
+      assert(rows.toSeq == Seq(("H0001", 32.1)))
+    } finally q.stop()
+  }
+
   test("T1: hourly rounds aggregate per device per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
