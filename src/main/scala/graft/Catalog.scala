@@ -75,7 +75,14 @@ object Catalog {
             .find(_.getString(0).trim == "Location").map(_.getString(1))
         else None
       val wanted = s"$dir/$n.parquet"
-      if (!existingLoc.exists(_.endsWith(wanted)))
+      // compare normalized absolute paths, not suffixes — a location
+      // that merely ENDS with the wanted path is a different dataset
+      val wantedPath = new java.io.File(wanted).getAbsolutePath
+      val samePath = existingLoc.exists { l =>
+        try new java.net.URI(l).getPath == wantedPath
+        catch { case _: Exception => false }
+      }
+      if (!samePath)
         spark.sql(s"DROP TABLE IF EXISTS $database.$tbl")
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $database.$tbl

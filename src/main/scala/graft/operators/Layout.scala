@@ -50,8 +50,13 @@ object Layout {
     if (!fs.rename(p, old))
       sys.error(s"compact: failed to move $p aside to $old")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll back
-      sys.error(s"compact: failed to move $tmp into place at $p")
+      if (fs.rename(old, p))
+        sys.error(s"compact: failed to move $tmp into place at $p; " +
+          s"original data restored at $p, compacted copy left at $tmp")
+      else
+        sys.error(s"compact: failed to move $tmp into place AND the " +
+          s"rollback failed — original data is at $old, compacted " +
+          s"copy at $tmp; $p is missing and needs manual recovery")
     }
     fs.delete(old, true)
     nFiles

@@ -606,9 +606,11 @@ object PipelineQueries {
         // that tiny slice so the full second Lloyd assignment (the
         // expensive stage) executes exactly once, in the final join
         val pcid = assign(c1, ev.filter(col("vec_id") === 0))
-          .head().getLong(1)
+          .collect().headOption.map(_.getLong(1))
         val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-        a2.filter(col("cid") === pcid)
+        // no probe vector ⇒ empty result (not a crash), like the
+        // join-based form would produce
+        pcid.fold(a2.filter(lit(false)))(id => a2.filter(col("cid") === id))
           .filter(col("vec_id") =!= 0)
           .join(e, Seq("vec_id"))
           .crossJoin(broadcast(probeVec))

@@ -138,7 +138,9 @@ object TelemetryPipeline {
     val sc = batch.sparkSession.sparkContext
     val maxFailures = sc.getConf.getInt("spark.task.maxFailures", 4)
     val speculation = sc.getConf.getBoolean("spark.speculation", false)
-    if (maxFailures > 1 || speculation)
+    // local[N] ignores spark.task.maxFailures (effective value is 1),
+    // so only warn where retries can actually happen
+    if (!sc.isLocal && (maxFailures > 1 || speculation))
       System.err.println(
         s"[fireAndForget] WARNING: task retries enabled " +
           s"(maxFailures=$maxFailures, speculation=$speculation) — a task " +
@@ -241,8 +243,15 @@ object TelemetryPipeline {
       confirms: DataFrame,
       values: DataFrame,
       windowSeconds: Long = 60L): DataFrame = {
-    val c = confirms.withWatermark("ts", "60 seconds").alias("c")
-    val v = values.withWatermark("ts", "60 seconds").alias("v")
+    // watermark must cover the acceptance window, or in-window rows
+    // get dropped as late before the join ever sees them
+    val wm = s"$windowSeconds seconds"
+    // retried confirms are the norm (T4): dedupe per device inside
+    // the watermark so one value cannot match twice and emit dups —
+    // confirmPairing's accept-once semantics, declaratively
+    val c = confirms.withWatermark("ts", wm)
+      .dropDuplicatesWithinWatermark("device_code").alias("c")
+    val v = values.withWatermark("ts", wm).alias("v")
     v.join(c,
       expr(s"""c.device_code = v.device_code AND
                v.ts >= c.ts AND

@@ -225,7 +225,9 @@ class StreamingGoldenSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("ssj_out")
       .outputMode("append").start()
     try {
-      confirms.addData(("H0001", ts("2024-01-01 00:00:00")))
+      confirms.addData(
+        ("H0001", ts("2024-01-01 00:00:00")),
+        ("H0001", ts("2024-01-01 00:00:05"))) // retried confirm (T4 norm)
       values.addData(
         ("H0001", ts("2024-01-01 00:00:30"), 32.1), // inside 60 s window
         ("H0001", ts("2024-01-01 00:02:00"), 47.7), // outside window
