@@ -61,4 +61,38 @@ class PropertySpec extends SparkSpec {
       .collect()
     assert(rows.toSeq == Seq(None, Some(1.5), Some(-2.0), None))
   }
+
+  test("X4/LSH: JVM plane components equal the SQL md5 derivation exactly") {
+    // lshBucket/lshBandBuckets constant-fold planeComponent(p, d) into
+    // literals; the DuckDB oracles re-derive the identical planes with
+    // ('0x'||substring(md5(p||':'||d),1,15))::BIGINT / 2^59 - 1 — the
+    // two formulas must agree bit-for-bit or every LSH query diverges
+    import graft.functions.SimilarityFunctions
+    for (p <- 0 until 8; d <- 0 until 64) {
+      val jvm = SimilarityFunctions.planeComponent(p, d)
+      val viaHex = SimilarityFunctions.hex60Local(s"$p:$d").toDouble /
+        576460752303423488.0 - 1.0
+      assert(jvm == viaHex, s"plane($p,$d): $jvm != $viaHex")
+      assert(jvm >= -1.0 && jvm < 1.0)
+    }
+  }
+
+  test("NS pack: pack_id is non-decreasing in doc order and respects the budget") {
+    val rows = graft.queries.Registry.queries("ns_pack_sequences")(spark, sfDir)
+      .select("lang", "doc_id", "n_tok", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // monotone pack ids per shard
+      assert(ordered.map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true })
+      // every pack's cumulative tokens start below its boundary:
+      // floor((cum-before)/4096) = pack_id by construction
+      var cum = 0L
+      ordered.foreach { case (_, _, n, pid) =>
+        assert(pid == cum / 4096, s"pack_id $pid != ${cum / 4096}")
+        cum += n
+      }
+    }
+  }
 }
