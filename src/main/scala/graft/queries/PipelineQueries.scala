@@ -192,6 +192,98 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Dedup clustering: connected components over the confirmed
+    // near-dup pair graph (a-b and b-c must collapse into ONE keep
+    // group — pairwise keep-first alone can't see transitive dups).
+    // Label propagation with the component's min doc_id, 3 unrolled
+    // iterations on BOTH engines (deterministic regardless of
+    // convergence; production iterates to fixpoint — each round is
+    // one equi-join + groupBy, linear in edges, the standard
+    // large-graph CC dataflow).
+    QueryDef(
+      "ns_dedup_components",
+      Some(shingleCte + """,
+        seeds AS (SELECT seed,
+                 ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
+                   % 2147483646 + 1 a,
+                 ('0x' || substring(md5('b:' || seed), 1, 15))::BIGINT
+                   % 2147483647 b
+               FROM range(32) r(seed)),
+        mh AS (SELECT h.doc_id, s.seed,
+                 MIN((s.a * (u.hv % 2147483647) + s.b) % 2147483647) AS mh
+               FROM sh h, UNNEST(h.hh) AS u(hv), seeds s
+               GROUP BY 1, 2),
+        sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
+                 GROUP BY doc_id),
+        bands AS (SELECT doc_id, b,
+                    md5(array_to_string(list_transform(
+                      list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
+                    bucket
+                  FROM sigs, range(8) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.da, c.db
+                  FROM cand c JOIN sh x ON x.doc_id = c.da
+                              JOIN sh y ON y.doc_id = c.db
+                  WHERE len(list_intersect(x.hh, y.hh))::DOUBLE /
+                        len(list_distinct(list_concat(x.hh, y.hh))) >= 0.8),
+        edges AS (SELECT da, db FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        l0 AS (SELECT doc_id, doc_id lbl FROM documents),
+        l1 AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) lbl
+               FROM l0 l LEFT JOIN (SELECT e.da doc_id, MIN(x.lbl) nl
+                 FROM edges e JOIN l0 x ON x.doc_id = e.db
+                 GROUP BY e.da) m ON m.doc_id = l.doc_id),
+        l2 AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) lbl
+               FROM l1 l LEFT JOIN (SELECT e.da doc_id, MIN(x.lbl) nl
+                 FROM edges e JOIN l1 x ON x.doc_id = e.db
+                 GROUP BY e.da) m ON m.doc_id = l.doc_id),
+        l3 AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) lbl
+               FROM l2 l LEFT JOIN (SELECT e.da doc_id, MIN(x.lbl) nl
+                 FROM edges e JOIN l2 x ON x.doc_id = e.db
+                 GROUP BY e.da) m ON m.doc_id = l.doc_id)
+        SELECT doc_id, lbl AS component FROM l3 ORDER BY doc_id"""),
+      (s, dir) => {
+        val sh = hashedShingled(s, dir)
+        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
+        val bands = sig.select(col("doc_id"),
+          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val pairs = cand
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
+          .filter(
+            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+              size(array_union(col("ssa"), col("ssb"))) >= 0.8)
+          .select(col("da"), col("db"))
+        // materialize the edge list once — every propagation round
+        // re-reads it, and recomputing pair discovery per round is 3×
+        // the whole query (production CC writes edges to parquet once)
+        val edges = pairs.union(
+          pairs.select(col("db").as("da"), col("da").as("db")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = t(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("lbl"))
+        for (_ <- 1 to 3) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("db"), col("lbl")), "db")
+            .groupBy(col("da").as("doc_id")).agg(min("lbl").as("nl"))
+          labels = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        }
+        labels.select(col("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id")
+      }),
+
     // ── Corpus analysis: per-language stats over the text-quality
     // components (what a data curator reads before a training run).
     QueryDef(
