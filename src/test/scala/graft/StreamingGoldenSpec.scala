@@ -239,6 +239,29 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: live readings enrich against the calibration dim") {
+    // the stream-static shape (per-micro-batch broadcast of a catalog
+    // dim) — how a 100 TB pipeline applies per-sensor calibration to
+    // live telemetry without any stateful join
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("H0001", 2.0, 100.0), ("H0002", 4.0, 50.0))
+      .toDF("device_code", "factor", "zero")
+    val input = MemoryStream[(String, Double)]
+    val out = input.toDF().toDF("device_code", "raw")
+      .join(dim, Seq("device_code")) // static side: re-read per batch
+      .select($"device_code", (($"raw" - $"zero") / $"factor").as("g"))
+    val q = out.writeStream.format("memory").queryName("ssx_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("H0001", 500.0), ("H0002", 250.0), ("H9999", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssx_out").as[(String, Double)]
+        .collect().sortBy(_._1)
+      // unknown device drops out (inner join against the registry dim)
+      assert(rows.toSeq == Seq(("H0001", 200.0), ("H0002", 50.0)))
+    } finally q.stop()
+  }
+
   test("T1: hourly rounds aggregate per device per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
