@@ -839,6 +839,61 @@ object PipelineQueries {
             .as("robust_mean"))
           .orderBy("user_id")),
 
+    // ── Curation, applied: the ship-ready corpus after the quality +
+    // language gates (what actually goes to training after scoring;
+    // composes the ns_text_quality / ns_text_langid components).
+    QueryDef(
+      "ns_quality_filter_apply",
+      Some("""WITH q AS (SELECT doc_id, lang, text,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) n_tok,
+                CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                    length(text) END alpha_r
+                FROM documents)
+              SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
+              FROM q
+              WHERE n_tok >= 5 AND alpha_r >= 0.6 AND lang IN ('en', 'fr')
+              ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TF.tokens(col("text"))).as("n_tok"),
+            TF.alphaRatio(col("text")).as("alpha_r"))
+          .filter(col("n_tok") >= 5 && col("alpha_r") >= 0.6 &&
+            col("lang").isin("en", "fr"))
+          .select(col("doc_id"), col("lang"), col("n_tok").cast("long"))
+          .orderBy("doc_id")),
+
+    // ── Text analysis: corpus-wide bigram counts (n-gram LM counting
+    // tier; reuses the shingle machinery at n=2 — narrow explode +
+    // one groupBy, the canonical linear count dataflow).
+    QueryDef(
+      "ns_text_bigrams",
+      Some("""WITH toks AS (SELECT
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              bg AS (SELECT UNNEST([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, len(tk))]) AS g
+                     FROM toks WHERE len(tk) >= 2)
+              SELECT g AS bigram, COUNT(*) AS cnt FROM bg
+              GROUP BY g ORDER BY cnt DESC, bigram LIMIT 20"""),
+      (s, dir) => {
+        // NOT TF.shingles — that dedupes per doc (right for minhash,
+        // wrong for counting); raw occurrence bigrams here
+        val tk = TF.tokens(col("text"))
+        val bigrams = when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", slice(tk, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+        t(s, dir, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20)
+      }),
+
     // ── Pipeline plumbing: deterministic train/val/test split + 10%
     // sample by content hash (reproducible across engines and runs —
     // never rand()).

@@ -56,4 +56,29 @@ class StreamingFileSourceSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(spark.read.parquet(outDir).count() == 6)
   }
+
+  test("Trigger.AvailableNow drains the backlog then terminates on its own") {
+    // the batch-backfill operational pattern: process everything
+    // currently in the source, commit, and STOP — how a 100 TB
+    // pipeline replays history with streaming (checkpointed,
+    // incremental) semantics but batch (bounded) lifecycle
+    val base = Files.createTempDirectory("graft_avnow").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    (1 to 3).foreach { i =>
+      Files.writeString(Paths.get(s"$inDir/f$i.txt"),
+        s"""D{"H000$i":{"w":${i}000}}""")
+    }
+    val frames = spark.readStream.format("text").load(inDir)
+      .select($"value".as("frame"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("device_ts"))
+    val q = TelemetryPipeline.decode(frames)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates by itself once the backlog is drained
+    assert(q.awaitTermination(120000), "query should self-terminate")
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
 }
