@@ -880,11 +880,15 @@ object PipelineQueries {
               GROUP BY g ORDER BY cnt DESC, bigram LIMIT 20"""),
       (s, dir) => {
         // NOT TF.shingles — that dedupes per doc (right for minhash,
-        // wrong for counting); raw occurrence bigrams here
+        // wrong for counting); raw occurrence bigrams. zip_with over
+        // two one-shot slices is one linear pass (a per-index slice()
+        // inside transform() re-materializes a subarray per element)
         val tk = TF.tokens(col("text"))
         val bigrams = when(size(tk) >= 2,
-          transform(sequence(lit(1), size(tk) - 1),
-            i => concat_ws(" ", slice(tk, i, lit(2)))))
+          zip_with(
+            slice(tk, lit(1), size(tk) - 1),
+            slice(tk, lit(2), size(tk) - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
         t(s, dir, "documents")
           .select(explode(bigrams).as("bigram"))
