@@ -316,6 +316,46 @@ object ExtendedQueries {
           .orderBy("event_id")
           .limit(500)),
 
+    // U-family multiset forms: INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate cardinality (q19 covers the distinct variants).
+    QueryDef(
+      "q54_set_ops_all",
+      Some("""SELECT k FROM (
+                (SELECT c_nationkey AS k FROM customer
+                 INTERSECT ALL SELECT s_nationkey FROM supplier)
+                EXCEPT ALL SELECT n_nationkey FROM nation)
+              ORDER BY k"""),
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val supp = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        val nat = t(s, dir, "nation").select(col("n_nationkey").as("k"))
+        cust.intersectAll(supp).exceptAll(nat).orderBy("k")
+      }),
+
+    // A6 companion: GROUPING() disambiguates rollup-generated NULLs
+    // from data NULLs (the standard report-total marker).
+    QueryDef(
+      "q55_grouping_id",
+      Some("""SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM orders
+              GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST,
+                       o_orderpriority NULLS FIRST, g_status, g_prio"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(grouping("o_orderstatus").cast("int").as("g_status"),
+            grouping("o_orderpriority").cast("int").as("g_prio"),
+            count(lit(1)).as("cnt"))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("g_status"), col("g_prio"), col("cnt"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first,
+            col("g_status"), col("g_prio"))),
+
     // §4 SQL surface: correlated LATERAL subquery with per-row top-k
     // (Catalyst DecorrelateInnerQuery; the "top-2 per group" shape a
     // report engine serves constantly).
