@@ -316,6 +316,47 @@ object ExtendedQueries {
           .orderBy("event_id")
           .limit(500)),
 
+    // F9-F11 completeness: calendar arithmetic (truncation, month-end
+    // clamping, day arithmetic) over the order dates.
+    QueryDef(
+      "q56_date_funcs",
+      Some("""SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+              last_day(o_orderdate) AS mend,
+              CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+              CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                   AS BIGINT) AS d_from_95
+              FROM orders ORDER BY o_orderkey LIMIT 500"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+            last_day(col("o_orderdate")).as("mend"),
+            add_months(col("o_orderdate"), 2).as("plus2m"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long").as("d_from_95"))
+          .orderBy("o_orderkey")
+          .limit(500)),
+
+    // A-family completeness: boolean aggregates (the all-present
+    // barrier generalized: bool_and ≡ "every device reported").
+    QueryDef(
+      "q57_bool_agg",
+      Some("""SELECT o_orderstatus,
+              bool_and(o_totalprice > 1000) AS all_over_1k,
+              bool_or(o_totalprice > 400000) AS any_jumbo,
+              CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                AS n_large
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+            bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+            count(when(col("o_totalprice") > 200000, 1)).as("n_large"))
+          .orderBy("o_orderstatus")),
+
     // U-family multiset forms: INTERSECT ALL / EXCEPT ALL preserve
     // duplicate cardinality (q19 covers the distinct variants).
     QueryDef(
