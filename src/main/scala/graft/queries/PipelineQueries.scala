@@ -68,13 +68,11 @@ object PipelineQueries {
            s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) hh
          FROM toks WHERE len(tk) >= 3)"""
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // ── Dedup tier 2: MinHash(32) + LSH(8 bands × 4 rows) + exact
-    // Jaccard verify at 0.8 — the standard near-dup pipeline.
-    QueryDef(
-      "ns_dedup_minhash_lsh",
-      Some(shingleCte + """,
+  /** Shared DuckDB CTE suffix: MinHash(32) signatures → LSH(8×4)
+    * bands → distinct candidate pairs (mirrors the Spark dataflow in
+    * `minhashCandidates`). Appended after `shingleCte`.
+    */
+  private val minhashCandCte = """,
         seeds AS (SELECT seed,
                  ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
                    % 2147483646 + 1 a,
@@ -95,135 +93,42 @@ object PipelineQueries {
         cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
                  FROM bands a JOIN bands b
                    ON a.b = b.b AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id),
-        jac AS (SELECT c.da, c.db,
-                  len(list_intersect(x.hh, y.hh))::DOUBLE /
-                  len(list_distinct(list_concat(x.hh, y.hh))) j
-                FROM cand c JOIN sh x ON x.doc_id = c.da
-                            JOIN sh y ON y.doc_id = c.db)
-        SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
-        WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
-      (s, dir) => {
-        val sh = hashedShingled(s, dir)
-        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
-        val bands = sig.select(col("doc_id"),
-          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        // Verify stage: the (small) candidate-pair set joins the
-        // signature table on doc_id via plain shuffle joins — NEVER
-        // broadcast sh: it is O(corpus) (~800 B/doc ⇒ tens of TB at
-        // 100 TB). AQE may still pick a broadcast when sh is tiny.
-        cand
-          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
-          .withColumn("jac",
-            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-              size(array_union(col("ssa"), col("ssb"))))
-          .filter(col("jac") >= 0.8)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jac"), 3).as("j"))
-          .orderBy("doc_a", "doc_b")
-      }),
+                   AND a.doc_id < b.doc_id)"""
 
-    // ── Dedup, applied: the surviving corpus after near-dup removal —
-    // keep the lower doc_id of every confirmed pair (what a training
-    // pipeline actually ships downstream).
-    QueryDef(
-      "ns_dedup_apply",
-      Some(shingleCte + """,
-        seeds AS (SELECT seed,
-                 ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
-                   % 2147483646 + 1 a,
-                 ('0x' || substring(md5('b:' || seed), 1, 15))::BIGINT
-                   % 2147483647 b
-               FROM range(32) r(seed)),
-        mh AS (SELECT h.doc_id, s.seed,
-                 MIN((s.a * (u.hv % 2147483647) + s.b) % 2147483647) AS mh
-               FROM sh h, UNNEST(h.hh) AS u(hv), seeds s
-               GROUP BY 1, 2),
-        sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
-                 GROUP BY doc_id),
-        bands AS (SELECT doc_id, b,
-                    md5(array_to_string(list_transform(
-                      list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
-                    bucket
-                  FROM sigs, range(8) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-                 FROM bands a JOIN bands b
-                   ON a.b = b.b AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id),
-        dups AS (SELECT DISTINCT c.db AS drop_id
-                 FROM cand c JOIN sh x ON x.doc_id = c.da
-                             JOIN sh y ON y.doc_id = c.db
-                 WHERE len(list_intersect(x.hh, y.hh))::DOUBLE /
-                       len(list_distinct(list_concat(x.hh, y.hh))) >= 0.8)
-        SELECT d.doc_id FROM documents d
-        ANTI JOIN dups ON d.doc_id = dups.drop_id
-        ORDER BY d.doc_id"""),
-      (s, dir) => {
-        val sh = hashedShingled(s, dir)
-        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
-        val bands = sig.select(col("doc_id"),
-          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        // plain shuffle joins — see ns_dedup_minhash_lsh verify note
-        val drops = cand
-          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
-          .filter(
-            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-              size(array_union(col("ssa"), col("ssb"))) >= 0.8)
-          .select(col("db").as("drop_id")).distinct()
-        t(s, dir, "documents")
-          .join(drops, col("doc_id") === col("drop_id"), "left_anti")
-          .select("doc_id")
-          .orderBy("doc_id")
-      }),
+  /** Spark twin of `minhashCandCte`: LSH candidate pairs (da, db). */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingled(s, dir)
+    val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
+    val bands = sig.select(col("doc_id"),
+      posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
 
-    // ── Dedup clustering: connected components over the confirmed
-    // near-dup pair graph (a-b and b-c must collapse into ONE keep
-    // group — pairwise keep-first alone can't see transitive dups).
-    // Label propagation with the component's min doc_id, 3 unrolled
-    // iterations on BOTH engines (deterministic regardless of
-    // convergence; production iterates to fixpoint — each round is
-    // one equi-join + groupBy, linear in edges, the standard
-    // large-graph CC dataflow).
-    QueryDef(
-      "ns_dedup_components",
-      Some(shingleCte + """,
-        seeds AS (SELECT seed,
-                 ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
-                   % 2147483646 + 1 a,
-                 ('0x' || substring(md5('b:' || seed), 1, 15))::BIGINT
-                   % 2147483647 b
-               FROM range(32) r(seed)),
-        mh AS (SELECT h.doc_id, s.seed,
-                 MIN((s.a * (u.hv % 2147483647) + s.b) % 2147483647) AS mh
-               FROM sh h, UNNEST(h.hh) AS u(hv), seeds s
-               GROUP BY 1, 2),
-        sigs AS (SELECT doc_id, list(mh ORDER BY seed) sig FROM mh
-                 GROUP BY doc_id),
-        bands AS (SELECT doc_id, b,
-                    md5(array_to_string(list_transform(
-                      list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
-                    bucket
-                  FROM sigs, range(8) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-                 FROM bands a JOIN bands b
-                   ON a.b = b.b AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id),
+  /** Candidate pairs verified by exact Jaccard ≥ 0.8 over the shingle
+    * sets (plain shuffle joins on doc_id — never broadcast sh).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingled(s, dir)
+    minhashCandidates(s, dir)
+      .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
+      .filter(
+        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          size(array_union(col("ssa"), col("ssb"))) >= 0.8)
+      .select(col("da"), col("db"))
+  }
+
+  /** Shared DuckDB CTE suffix: verified pairs → symmetric edges →
+    * 3 rounds of min-label propagation (l3 = doc_id → component
+    * label). Appended after `minhashCandCte`.
+    */
+  private val labelPropCte = """,
         pairs AS (SELECT c.da, c.db
                   FROM cand c JOIN sh x ON x.doc_id = c.da
                               JOIN sh y ON y.doc_id = c.db
@@ -243,27 +148,22 @@ object PipelineQueries {
         l3 AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) lbl
                FROM l2 l LEFT JOIN (SELECT e.da doc_id, MIN(x.lbl) nl
                  FROM edges e JOIN l2 x ON x.doc_id = e.db
-                 GROUP BY e.da) m ON m.doc_id = l.doc_id)
-        SELECT doc_id, lbl AS component FROM l3 ORDER BY doc_id"""),
-      (s, dir) => {
-        val sh = hashedShingled(s, dir)
-        val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
-        val bands = sig.select(col("doc_id"),
-          posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        val pairs = cand
-          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
-          .filter(
-            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-              size(array_union(col("ssa"), col("ssb"))) >= 0.8)
-          .select(col("da"), col("db"))
+                 GROUP BY e.da) m ON m.doc_id = l.doc_id)"""
+
+  /** Spark twin of `labelPropCte`: (doc_id, lbl) after 3 rounds.
+    * Memoized + persisted per (session, sf dir) like the shingle
+    * table — both component queries (labels, apply) share one
+    * propagation; at 100 TB this is the write-labels-once job.
+    */
+  private val labelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, { _ =>
+        val pairs = minhashPairs(s, dir)
         // materialize the edge list once — every propagation round
         // re-reads it, and recomputing pair discovery per round is 3×
         // the whole query (production CC writes edges to parquet once)
@@ -280,9 +180,97 @@ object PipelineQueries {
             .select(col("doc_id"),
               least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         }
-        labels.select(col("doc_id"), col("lbl").as("component"))
+        val out = labels
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize, then drop the intermediate edge cache
+        edges.unpersist()
+        out
+      })
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Dedup tier 2: MinHash(32) + LSH(8 bands × 4 rows) + exact
+    // Jaccard verify at 0.8 — the standard near-dup pipeline.
+    QueryDef(
+      "ns_dedup_minhash_lsh",
+      Some(shingleCte + minhashCandCte + """,
+        jac AS (SELECT c.da, c.db,
+                  len(list_intersect(x.hh, y.hh))::DOUBLE /
+                  len(list_distinct(list_concat(x.hh, y.hh))) j
+                FROM cand c JOIN sh x ON x.doc_id = c.da
+                            JOIN sh y ON y.doc_id = c.db)
+        SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
+        WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = hashedShingled(s, dir)
+        // Verify stage: the (small) candidate-pair set joins the
+        // signature table on doc_id via plain shuffle joins — NEVER
+        // broadcast sh: it is O(corpus) (~800 B/doc ⇒ tens of TB at
+        // 100 TB). AQE may still pick a broadcast when sh is tiny.
+        minhashCandidates(s, dir)
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
+          .withColumn("jac",
+            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+              size(array_union(col("ssa"), col("ssb"))))
+          .filter(col("jac") >= 0.8)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jac"), 3).as("j"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ── Dedup, applied: the surviving corpus after near-dup removal —
+    // keep the lower doc_id of every confirmed pair (what a training
+    // pipeline actually ships downstream).
+    QueryDef(
+      "ns_dedup_apply",
+      Some(shingleCte + minhashCandCte + """,
+        dups AS (SELECT DISTINCT c.db AS drop_id
+                 FROM cand c JOIN sh x ON x.doc_id = c.da
+                             JOIN sh y ON y.doc_id = c.db
+                 WHERE len(list_intersect(x.hh, y.hh))::DOUBLE /
+                       len(list_distinct(list_concat(x.hh, y.hh))) >= 0.8)
+        SELECT d.doc_id FROM documents d
+        ANTI JOIN dups ON d.doc_id = dups.drop_id
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val drops = minhashPairs(s, dir)
+          .select(col("db").as("drop_id")).distinct()
+        t(s, dir, "documents")
+          .join(drops, col("doc_id") === col("drop_id"), "left_anti")
+          .select("doc_id")
           .orderBy("doc_id")
       }),
+
+    // ── Dedup clustering: connected components over the confirmed
+    // near-dup pair graph (a-b and b-c must collapse into ONE keep
+    // group — pairwise keep-first alone can't see transitive dups).
+    // Label propagation with the component's min doc_id, 3 unrolled
+    // iterations on BOTH engines (deterministic regardless of
+    // convergence; production iterates to fixpoint — each round is
+    // one equi-join + groupBy, linear in edges, the standard
+    // large-graph CC dataflow).
+    QueryDef(
+      "ns_dedup_components",
+      Some(shingleCte + minhashCandCte + labelPropCte + """
+        SELECT doc_id, lbl AS component FROM l3 ORDER BY doc_id"""),
+      (s, dir) =>
+        componentLabels(s, dir)
+          .select(col("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id")),
+
+    // ── Dedup, applied transitively: keep exactly ONE representative
+    // (the min doc_id) per connected component — unlike pairwise
+    // ns_dedup_apply, an a-b-c chain keeps only a.
+    QueryDef(
+      "ns_dedup_apply_components",
+      Some(shingleCte + minhashCandCte + labelPropCte + """
+        SELECT doc_id FROM l3 WHERE doc_id = lbl ORDER BY doc_id"""),
+      (s, dir) =>
+        componentLabels(s, dir)
+          .filter(col("doc_id") === col("lbl"))
+          .select("doc_id")
+          .orderBy("doc_id")),
 
     // ── Corpus analysis: per-language stats over the text-quality
     // components (what a data curator reads before a training run).
