@@ -38,7 +38,9 @@ object PipelineQueries {
     * (bench warm path; all four dedup tiers build on it).
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
-    hashedShingled(s, dir); ()
+    hashedShingled(s, dir)
+    componentLabels(s, dir)
+    ()
   }
 
   private def hashedShingled(s: SparkSession, dir: String): DataFrame =
