@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public near-duplicate-detection operator API over ARBITRARY
+  * DataFrames — the library surface behind the `ns_dedup_*` query
+  * contract (PipelineQueries delegates here). Works on any (id, text)
+  * frame; nothing is tied to the test catalog.
+  *
+  * Scale shape: signatures are narrow per-row transforms; candidate
+  * discovery shuffles on (band, bucket) keys only; the verify join
+  * probes the candidate-pair set against the signature table via
+  * plain shuffle joins (never broadcast — signatures are O(corpus)).
+  */
+object Dedup {
+
+  /** Distinct hex60-hashed word k-shingle signatures: (id, hh). Docs
+    * with fewer than k tokens drop out (no signature).
+    */
+  def shingleSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.plans.ShingleHash60(TF.tokens(col(textCol)), k).as("hh"))
+      .filter(size(col("hh")) > 0)
+
+  /** MinHash(nHashes) + LSH(bands × rowsPerBand) candidate pairs
+    * (ida < idb) from a signature frame (id, hh).
+    */
+  def minhashCandidates(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
+    val banded = sig.select(col("id"),
+      posexplode(TF.lshBuckets(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+  }
+
+  /** Candidate pairs verified by exact Jaccard ≥ threshold over the
+    * shingle sets: (ida, idb, jaccard).
+    */
+  def verifiedPairs(sh: DataFrame, cand: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    cand
+      .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          size(array_union(col("ssa"), col("ssb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+
+  /** Connected components over a pair graph via min-label
+    * propagation: (id, component). `iterations` bounds the label
+    * diameter covered; iterate to fixpoint in production.
+    */
+  def componentLabels(ids: DataFrame, pairs: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("ida"), col("idb")).union(
+      pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("idb"), col("lbl")), "idb")
+        .groupBy(col("ida").as("id")).agg(min("lbl").as("nl"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    val out = labels.select(col("id"), col("lbl").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then drop the intermediate edge cache
+    edges.unpersist()
+    out
+  }
+
+  /** End-to-end: the surviving ids after transitive near-dup removal
+    * (one representative — the min id — per component).
+    */
+  def dedupTransitive(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleSignatures(docs, idCol, textCol)
+    val pairs = verifiedPairs(sh, minhashCandidates(sh), threshold)
+    componentLabels(docs.select(col(idCol).as("id")), pairs)
+      .filter(col("id") === col("component"))
+      .select("id")
+  }
+}

@@ -97,34 +97,22 @@ object PipelineQueries {
                    ON a.b = b.b AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id)"""
 
-  /** Spark twin of `minhashCandCte`: LSH candidate pairs (da, db). */
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingled(s, dir)
-    val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), 32))
-    val bands = sig.select(col("doc_id"),
-      posexplode(TF.lshBuckets(col("sig"), 8, 4)).as(Seq("band", "bucket")))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+  /** Spark twin of `minhashCandCte` + verify, via the PUBLIC operator
+    * API (graft.operators.Dedup) — the query contract is a thin demo
+    * over library functions a user can call on any (id, text) frame.
+    */
+  private def shForApi(s: SparkSession, dir: String): DataFrame =
+    hashedShingled(s, dir).withColumnRenamed("doc_id", "id")
+
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val sh = shForApi(s, dir)
+    graft.operators.Dedup.verifiedPairs(
+      sh, graft.operators.Dedup.minhashCandidates(sh))
   }
 
-  /** Candidate pairs verified by exact Jaccard ≥ 0.8 over the shingle
-    * sets (plain shuffle joins on doc_id — never broadcast sh).
-    */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingled(s, dir)
-    minhashCandidates(s, dir)
-      .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
-      .filter(
-        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          size(array_union(col("ssa"), col("ssb"))) >= 0.8)
-      .select(col("da"), col("db"))
-  }
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashVerified(s, dir)
+      .select(col("ida").as("da"), col("idb").as("db"))
 
   /** Shared DuckDB CTE suffix: verified pairs → symmetric edges →
     * 3 rounds of min-label propagation (l3 = doc_id → component
@@ -165,28 +153,10 @@ object PipelineQueries {
     labelCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(dir, { _ =>
-        val pairs = minhashPairs(s, dir)
-        // materialize the edge list once — every propagation round
-        // re-reads it, and recomputing pair discovery per round is 3×
-        // the whole query (production CC writes edges to parquet once)
-        val edges = pairs.union(
-          pairs.select(col("db").as("da"), col("da").as("db")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = t(s, dir, "documents")
-          .select(col("doc_id"), col("doc_id").as("lbl"))
-        for (_ <- 1 to 3) {
-          val nbrMin = edges
-            .join(labels.select(col("doc_id").as("db"), col("lbl")), "db")
-            .groupBy(col("da").as("doc_id")).agg(min("lbl").as("nl"))
-          labels = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        }
-        val out = labels
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count() // materialize, then drop the intermediate edge cache
-        edges.unpersist()
-        out
+        graft.operators.Dedup.componentLabels(
+          t(s, dir, "documents").select(col("doc_id").as("id")),
+          minhashVerified(s, dir))
+          .select(col("id").as("doc_id"), col("component").as("lbl"))
       })
 
   val defs: Seq[QueryDef] = Seq(
@@ -203,23 +173,16 @@ object PipelineQueries {
                             JOIN sh y ON y.doc_id = c.db)
         SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
         WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
-      (s, dir) => {
-        val sh = hashedShingled(s, dir)
-        // Verify stage: the (small) candidate-pair set joins the
-        // signature table on doc_id via plain shuffle joins — NEVER
-        // broadcast sh: it is O(corpus) (~800 B/doc ⇒ tens of TB at
-        // 100 TB). AQE may still pick a broadcast when sh is tiny.
-        minhashCandidates(s, dir)
-          .join(sh.select(col("doc_id").as("da"), col("hh").as("ssa")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("hh").as("ssb")), "db")
-          .withColumn("jac",
-            size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-              size(array_union(col("ssa"), col("ssb"))))
-          .filter(col("jac") >= 0.8)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jac"), 3).as("j"))
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) =>
+        // Verify stage inside Dedup.verifiedPairs: the (small)
+        // candidate-pair set joins the signature table on id via
+        // plain shuffle joins — NEVER broadcast the signatures: they
+        // are O(corpus) (~800 B/doc ⇒ tens of TB at 100 TB). AQE may
+        // still pick a broadcast when the table is tiny.
+        minhashVerified(s, dir)
+          .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+            round(col("jaccard"), 3).as("j"))
+          .orderBy("doc_a", "doc_b")),
 
     // ── Dedup, applied: the surviving corpus after near-dup removal —
     // keep the lower doc_id of every confirmed pair (what a training

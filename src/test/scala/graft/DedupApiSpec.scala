@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The public dedup operator API must work on ARBITRARY user frames,
+  * not just the test catalog — the "switch your pipeline to this
+  * library" contract.
+  */
+class DedupApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (11L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 10
+    (12L, "completely different content about spark query planning and shuffles today"),
+    (13L, "the quick brown fox jumps over the lazy dog near the river bend now"), // near-dup of 11
+    (14L, "short doc")
+  ).toDF("my_id", "body")
+
+  test("dedupTransitive keeps one representative per near-dup chain") {
+    val kept = Dedup.dedupTransitive(docs, "my_id", "body", threshold = 0.5)
+      .as[Long].collect().sorted
+    // 10-11 and 11-13 chain into one component -> keep 10 only
+    assert(kept.toSeq == Seq(10L, 12L, 14L), kept.toSeq.toString)
+  }
+
+  test("verifiedPairs reports exact jaccard for candidates") {
+    val sh = Dedup.shingleSignatures(docs, "my_id", "body")
+    val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().sorted
+    assert(pairs.contains((10L, 11L)), pairs.toSeq.toString)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("componentLabels groups a transitive chain under the min id") {
+    val sh = Dedup.shingleSignatures(docs, "my_id", "body")
+    val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
+    val labels = Dedup.componentLabels(
+      docs.select(col("my_id").as("id")), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(11L) == 10L && labels(13L) == 10L, labels.toString)
+    assert(labels(12L) == 12L)
+  }
+}
