@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public corpus-curation operator API over arbitrary DataFrames —
+  * the library surface behind the `ns_text_*` / `ns_pack_*` /
+  * `ns_sample_split` query contract. Every operator is a narrow
+  * column transform or a single partitioned window: linear at any
+  * scale.
+  */
+object Curate {
+
+  /** Quality gate: keep rows passing token-count / alpha-ratio /
+    * language thresholds (the ship-ready corpus filter).
+    */
+  def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
+      minTokens: Int = 5, minAlphaRatio: Double = 0.6,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    docs
+      .withColumn("n_tok", size(TF.tokens(col(textCol))))
+      .withColumn("alpha_r", TF.alphaRatio(col(textCol)))
+      .filter(col("n_tok") >= minTokens &&
+        col("alpha_r") >= minAlphaRatio && col(langCol).isin(langs: _*))
+      .drop("alpha_r")
+
+  /** Sequence packing: assign each doc a pack_id so cumulative token
+    * counts fill `budgetTokens` per pack, in `orderCol` order within
+    * each `shardCol` partition (shards bound the sort at scale).
+    */
+  def packSequences(docs: DataFrame, textCol: String, shardCol: String,
+      orderCol: String, budgetTokens: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(TF.tokens(col(textCol))).cast("long"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok"))
+          / budgetTokens.toDouble).cast("long"))
+  }
+
+  /** Deterministic content-hash train/val/test split + sample flag —
+    * reproducible across engines and runs, never rand().
+    */
+  def sampleSplit(docs: DataFrame, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket", TF.hex60(col(textCol)) % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .withColumn("in_sample",
+        when(col("bucket") % 10 === 0, 1).otherwise(0))
+      .drop("bucket")
+
+  /** PII redaction tiers: emails, phone-shaped digit groups, long
+    * digit runs → typed placeholders (narrow regexp transforms).
+    */
+  def redactPii(docs: DataFrame, textCol: String,
+      outCol: String = "text_redacted"): DataFrame =
+    docs.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<email>"),
+          "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<phone>"),
+        "[0-9]{6,}", "<id>"))
+}
