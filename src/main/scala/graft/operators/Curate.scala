@@ -14,17 +14,20 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** Quality gate: keep rows passing token-count / alpha-ratio /
-    * language thresholds (the ship-ready corpus filter).
+    * language thresholds (the ship-ready corpus filter). Adds
+    * `n_tok`; internal working columns use a reserved prefix so
+    * arbitrary user columns survive untouched.
     */
   def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
       minTokens: Int = 5, minAlphaRatio: Double = 0.6,
       langs: Seq[String] = Seq("en")): DataFrame =
     docs
       .withColumn("n_tok", size(TF.tokens(col(textCol))))
-      .withColumn("alpha_r", TF.alphaRatio(col(textCol)))
+      .withColumn("__graft_alpha_r", TF.alphaRatio(col(textCol)))
       .filter(col("n_tok") >= minTokens &&
-        col("alpha_r") >= minAlphaRatio && col(langCol).isin(langs: _*))
-      .drop("alpha_r")
+        col("__graft_alpha_r") >= minAlphaRatio &&
+        col(langCol).isin(langs: _*))
+      .drop("__graft_alpha_r")
 
   /** Sequence packing: assign each doc a pack_id so cumulative token
     * counts fill `budgetTokens` per pack, in `orderCol` order within
@@ -42,19 +45,27 @@ object Curate {
   }
 
   /** Deterministic content-hash train/val/test split + sample flag —
-    * reproducible across engines and runs, never rand().
+    * reproducible across engines and runs, never rand(). Adds `split`
+    * and `in_sample`; a user's own `bucket` column survives.
     */
   def sampleSplit(docs: DataFrame, textCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame =
     docs
-      .withColumn("bucket", TF.hex60(col(textCol)) % 100)
+      .withColumn("__graft_bucket", TF.hex60(col(textCol)) % 100)
       .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
+        when(col("__graft_bucket") < trainPct, "train")
+          .when(col("__graft_bucket") < trainPct + valPct, "val")
           .otherwise("test"))
       .withColumn("in_sample",
-        when(col("bucket") % 10 === 0, 1).otherwise(0))
-      .drop("bucket")
+        when(col("__graft_bucket") % 10 === 0, 1).otherwise(0))
+      .drop("__graft_bucket")
+
+  /** PII regexes, shared with the audit counters in the query layer
+    * (one definition — the two copies must never drift).
+    */
+  val emailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRegex = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val idRunRegex = "[0-9]{6,}"
 
   /** PII redaction tiers: emails, phone-shaped digit groups, long
     * digit runs → typed placeholders (narrow regexp transforms).
@@ -64,8 +75,7 @@ object Curate {
     docs.withColumn(outCol,
       regexp_replace(
         regexp_replace(
-          regexp_replace(col(textCol),
-            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<email>"),
-          "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<phone>"),
-        "[0-9]{6,}", "<id>"))
+          regexp_replace(col(textCol), emailRegex, "<email>"),
+          phoneRegex, "<phone>"),
+        idRunRegex, "<id>"))
 }

@@ -30,6 +30,11 @@ object Dedup {
     */
   def minhashCandidates(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
+    // a band slicing past the signature end would hash an EMPTY slice
+    // — every doc shares that bucket and the self-join goes O(n²)
+    require(nHashes >= bands * rowsPerBand,
+      s"nHashes ($nHashes) must cover bands*rowsPerBand " +
+        s"(${bands * rowsPerBand})")
     val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
     val banded = sig.select(col("id"),
       posexplode(TF.lshBuckets(col("sig"), bands, rowsPerBand))
@@ -58,32 +63,54 @@ object Dedup {
       .select("ida", "idb", "jaccard")
 
   /** Connected components over a pair graph via min-label
-    * propagation: (id, component). `iterations` bounds the label
-    * diameter covered; iterate to fixpoint in production.
+    * propagation: (id, component). `iterations = None` (default)
+    * iterates to FIXPOINT — required for chains whose propagation
+    * distance exceeds any fixed round count; `Some(n)` runs exactly n
+    * rounds (deterministic even when unconverged, for differential
+    * testing). EAGER: the job runs at call time, and the returned
+    * frame is persisted (each round re-reads it) — callers own
+    * releasing it via `.unpersist()` when done.
     */
   def componentLabels(ids: DataFrame, pairs: DataFrame,
-      iterations: Int = 3): DataFrame = {
+      iterations: Option[Int] = None, maxIterations: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("ida"), col("idb")).union(
       pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iterations) {
+      .persist(lvl)
+    var persisted = ids.select(col("id"), col("id").as("lbl")).persist(lvl)
+    persisted.count()
+    var labels = persisted
+    var round = 0
+    var converged = false
+    val bound = iterations.getOrElse(maxIterations)
+    while (round < bound && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("idb"), col("lbl")), "idb")
         .groupBy(col("ida").as("id")).agg(min("lbl").as("nl"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .persist(lvl)
+      val changed = next.filter(col("lbl") < col("prev")).count()
+      // unpersist the PERSISTED handle (unpersisting a derived select
+      // would be a no-op on the actual cache)
+      persisted.unpersist()
+      persisted = next
+      labels = next.select("id", "lbl")
+      round += 1
+      // fixpoint only ends the loop in the default mode; an explicit
+      // iteration count runs all rounds for deterministic testing
+      converged = iterations.isEmpty && changed == 0
     }
     val out = labels.select(col("id"), col("lbl").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then drop the intermediate edge cache
     edges.unpersist()
     out
   }
 
   /** End-to-end: the surviving ids after transitive near-dup removal
-    * (one representative — the min id — per component).
+    * (one representative — the min id — per component). Converges to
+    * fixpoint regardless of chain length. EAGER like componentLabels;
+    * the returned frame is backed by a persisted labels frame.
     */
   def dedupTransitive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {

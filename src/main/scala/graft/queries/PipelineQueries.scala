@@ -153,9 +153,12 @@ object PipelineQueries {
     labelCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(dir, { _ =>
+        // exactly 3 rounds — the oracle SQL unrolls 3 label CTEs, and
+        // the differential gate needs identical (possibly unconverged)
+        // labels; the public API defaults to fixpoint instead
         graft.operators.Dedup.componentLabels(
           t(s, dir, "documents").select(col("doc_id").as("id")),
-          minhashVerified(s, dir))
+          minhashVerified(s, dir), iterations = Some(3))
           .select(col("id").as("doc_id"), col("component").as("lbl"))
       })
 
@@ -809,12 +812,8 @@ object PipelineQueries {
               WHERE n_tok >= 5 AND alpha_r >= 0.6 AND lang IN ('en', 'fr')
               ORDER BY doc_id"""),
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(TF.tokens(col("text"))).as("n_tok"),
-            TF.alphaRatio(col("text")).as("alpha_r"))
-          .filter(col("n_tok") >= 5 && col("alpha_r") >= 0.6 &&
-            col("lang").isin("en", "fr"))
+        graft.operators.Curate.qualityFilter(
+          t(s, dir, "documents"), "text", "lang", langs = Seq("en", "fr"))
           .select(col("doc_id"), col("lang"), col("n_tok").cast("long"))
           .orderBy("doc_id")),
 
@@ -865,13 +864,8 @@ object PipelineQueries {
                 CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END AS in_sample
               FROM a ORDER BY doc_id"""),
       (s, dir) =>
-        t(s, dir, "documents")
-          .withColumn("bucket", TF.hex60(col("text")) % 100)
-          .select(col("doc_id"),
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val")
-              .otherwise("test").as("split"),
-            when(col("bucket") % 10 === 0, 1).otherwise(0).as("in_sample"))
+        graft.operators.Curate.sampleSplit(t(s, dir, "documents"), "text")
+          .select("doc_id", "split", "in_sample")
           .orderBy("doc_id")),
 
     // ── Text cleaning: printable-only filter (P6,
@@ -950,20 +944,15 @@ object PipelineQueries {
               SELECT doc_id, n_email,
                 CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_fp
               FROM r ORDER BY doc_id"""),
-      (s, dir) => {
-        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-        val red = regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<email>"),
-            "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<phone>"),
-          "[0-9]{6,}", "<id>")
-        t(s, dir, "documents")
+      (s, dir) =>
+        graft.operators.Curate.redactPii(t(s, dir, "documents"), "text")
           .select(col("doc_id"),
-            regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
-            length(red).cast("long").as("red_len"),
-            md5(red.cast("binary")).as("red_fp"))
-          .orderBy("doc_id")
-      }),
+            regexp_count(col("text"),
+              lit(graft.operators.Curate.emailRegex))
+              .cast("long").as("n_email"),
+            length(col("text_redacted")).cast("long").as("red_len"),
+            md5(col("text_redacted").cast("binary")).as("red_fp"))
+          .orderBy("doc_id")),
 
     // ── Sequence packing: assign docs to fixed-token-budget packs
     // (4096) in arrival order within each language shard — the
@@ -982,19 +971,11 @@ object PipelineQueries {
                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
                   CURRENT ROW) - n_tok) / 4096.0) AS BIGINT) AS pack_id
               FROM tk ORDER BY doc_id"""),
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(TF.tokens(col("text"))).as("n_tok"))
-          .select(col("doc_id"), col("lang"),
-            col("n_tok").cast("long").as("n_tok"),
-            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 4096.0)
-              .cast("long").as("pack_id"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        graft.operators.Curate.packSequences(
+          t(s, dir, "documents"), "text", "lang", "doc_id")
+          .select("doc_id", "lang", "n_tok", "pack_id")
+          .orderBy("doc_id")),
 
     // ── Multimodal: opaque binary payload + typed metadata columns
     // (the decode stubs live in graft.functions.Multimodal; this is
