@@ -33,6 +33,21 @@ class DedupApiSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("componentLabels converges on chains longer than any fixed round count") {
+    // propagation distance 5 > the old fixed 3 rounds: fixpoint mode
+    // must still collapse the whole chain under the min id
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("ida", "idb")
+    val labels = Dedup.componentLabels(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.forall(_ == 1L), labels.toString)
+    // and the explicit-rounds mode is deliberately unconverged
+    val l3 = Dedup.componentLabels(ids, pairs, iterations = Some(1))
+      .as[(Long, Long)].collect().toMap
+    assert(l3(6L) == 5L, s"1 round reaches only the direct neighbor: $l3")
+  }
+
   test("componentLabels groups a transitive chain under the min id") {
     val sh = Dedup.shingleSignatures(docs, "my_id", "body")
     val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
