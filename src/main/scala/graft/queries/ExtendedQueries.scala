@@ -316,6 +316,27 @@ object ExtendedQueries {
           .orderBy("event_id")
           .limit(500)),
 
+    // Ingest hygiene: error-safe casts — dirty fields become NULL
+    // instead of failing the job (the only sane semantics when one
+    // malformed row in 100 TB must not kill a pipeline).
+    QueryDef(
+      "q58_try_cast",
+      Some("""SELECT doc_id,
+              TRY_CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT)
+                AS src_num,
+              TRY_CAST(lang AS BIGINT) AS not_a_number,
+              TRY_CAST(n_chars AS SMALLINT) AS maybe_small
+              FROM documents ORDER BY doc_id LIMIT 500"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT)")
+              .as("src_num"),
+            expr("try_cast(lang AS BIGINT)").as("not_a_number"),
+            expr("try_cast(n_chars AS SMALLINT)").as("maybe_small"))
+          .orderBy("doc_id")
+          .limit(500)),
+
     // F9-F11 completeness: calendar arithmetic (truncation, month-end
     // clamping, day arithmetic) over the order dates.
     QueryDef(
