@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes through sbt's logger by default, prefixing every
+// line with "[info] " — which breaks the driver's JSON tail parse of the
+// Bench summary line (BENCH_r01/r02 "parsed": null). StdoutOutput passes
+// the child's stdout through verbatim so the JSON lines stay raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

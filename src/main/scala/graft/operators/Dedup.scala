@@ -67,9 +67,11 @@ object Dedup {
     * iterates to FIXPOINT — required for chains whose propagation
     * distance exceeds any fixed round count; `Some(n)` runs exactly n
     * rounds (deterministic even when unconverged, for differential
-    * testing). EAGER: the job runs at call time, and the returned
-    * frame is persisted (each round re-reads it) — callers own
-    * releasing it via `.unpersist()` when done.
+    * testing). EAGER: the job runs at call time, and the RETURNED
+    * frame itself is persisted and materialized (loop intermediates
+    * are released before returning) — callers own releasing it via
+    * `.unpersist()` when done, which works because the returned plan
+    * IS the cached plan, not a derived select over it.
     */
   def componentLabels(ids: DataFrame, pairs: DataFrame,
       iterations: Option[Int] = None, maxIterations: Int = 50): DataFrame = {
@@ -102,7 +104,13 @@ object Dedup {
       // iteration count runs all rounds for deterministic testing
       converged = iterations.isEmpty && changed == 0
     }
-    val out = labels.select(col("id"), col("lbl").as("component"))
+    // persist + materialize the returned plan ITSELF before dropping
+    // the loop's cache: unpersist on a derived select would be a no-op
+    // on the actual cache entry, so handing back a derived plan would
+    // leak `persisted` for the session lifetime (ADVICE r2)
+    val out = labels.select(col("id"), col("lbl").as("component")).persist(lvl)
+    out.count()
+    persisted.unpersist()
     edges.unpersist()
     out
   }
@@ -110,14 +118,19 @@ object Dedup {
   /** End-to-end: the surviving ids after transitive near-dup removal
     * (one representative — the min id — per component). Converges to
     * fixpoint regardless of chain length. EAGER like componentLabels;
-    * the returned frame is backed by a persisted labels frame.
+    * the returned frame itself is persisted and materialized (the
+    * intermediate labels cache is released here) — callers own
+    * releasing it via `.unpersist()`.
     */
   def dedupTransitive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val sh = shingleSignatures(docs, idCol, textCol)
     val pairs = verifiedPairs(sh, minhashCandidates(sh), threshold)
-    componentLabels(docs.select(col(idCol).as("id")), pairs)
-      .filter(col("id") === col("component"))
-      .select("id")
+    val labels = componentLabels(docs.select(col(idCol).as("id")), pairs)
+    val out = labels.filter(col("id") === col("component")).select("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    out
   }
 }

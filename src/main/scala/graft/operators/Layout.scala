@@ -27,21 +27,53 @@ object Layout {
     * per file — the maintenance job that undoes streaming-sink
     * small-file accumulation (every micro-batch writes ≥1 file per
     * partition; a day of 1-minute batches is 1440+ files whose open/
-    * footer cost dominates scans). Rewrites into ceil(bytes/target)
-    * files; returns the new file count.
+    * footer cost dominates scans). Flat layouts rewrite into
+    * ceil(bytes/target) files; hive-partitioned layouts (k=v dirs)
+    * keep their partition structure and compact to one file per
+    * partition directory. Returns the new data-file count.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    val bytes = fs.getContentSummary(p).getLength
+    // size by DATA bytes only — getContentSummary would count
+    // _SUCCESS/metadata/hidden files into the target math
+    val files = fs.listFiles(p, true)
+    var bytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // A hive-partitioned layout (k=v subdirectories — e.g.
+    // writeDatePartitioned output) must be rewritten WITH partitionBy,
+    // or the inferred partition columns become data columns and the
+    // DPP directory structure this file exists to support is silently
+    // flattened (ADVICE r2). Walk the first child chain to recover the
+    // ordered partition-column names.
+    def partitionCols(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val sub = fs.listStatus(dir).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (sub.isEmpty) Nil
+      else sub.head.getPath.getName.split("=", 2)(0) +:
+        partitionCols(sub.head.getPath)
+    }
+    val partCols = partitionCols(p)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(path)
+    if (partCols.isEmpty)
+      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    else
+      // hash on the partition values co-locates each partition's rows
+      // into one task ⇒ one compacted file per partition dir (the
+      // writeDatePartitioned write shape); partitionBy preserves the
+      // k=v layout
+      df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(tmp.toString)
     // swap via rename-aside, never delete-before-rename: a crash at
     // any point leaves either the old or the new data at a recoverable
     // path, and rename results are checked (HDFS rename returns false
@@ -59,6 +91,14 @@ object Layout {
           s"copy at $tmp; $p is missing and needs manual recovery")
     }
     fs.delete(old, true)
-    nFiles
+    // report what was actually written (per-partition counts differ
+    // from the flat ceil(bytes/target) estimate)
+    val written = fs.listFiles(p, true)
+    var n = 0
+    while (written.hasNext) {
+      val name = written.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
   }
 }

@@ -52,9 +52,16 @@ object AdvancedQueries {
               max(when(col("event_type") === tp, col("event_id")))
                 .over(w).as(s"m_$i")
             }: _*)
-        val priorB = greatest(types.zipWithIndex.map { case (tp, i) =>
+        // greatest() requires ≥2 args — a 0/1-type dataset must yield
+        // NULL / the single other-type max, not a plan-build error
+        val priorExprs = types.zipWithIndex.map { case (tp, i) =>
           when(col("event_type") =!= tp, col(s"m_$i"))
-        }: _*)
+        }
+        val priorB = priorExprs match {
+          case Seq() => lit(null).cast(ev.schema("event_id").dataType)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
         withMaxes
           // the window groups NULL user_ids into one partition; the
           // oracle's equi-join condition never matches NULLs → NULL out

@@ -325,15 +325,14 @@ object PipelineQueries {
         hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 256),
         inv AS (SELECT i.doc_id, i.s FROM inv0 i
                 ANTI JOIN hot h ON i.s = h.s),
-        inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ci
-                  FROM inv a JOIN inv b
-                    ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, COUNT(*) n FROM inv GROUP BY doc_id),
-        jac AS (SELECT i.da, i.db,
-                  i.ci::DOUBLE / (sa.n + sb.n - i.ci) j
-                FROM inter i JOIN sizes sa ON sa.doc_id = i.da
-                             JOIN sizes sb ON sb.doc_id = i.db)
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                 FROM inv a JOIN inv b
+                   ON a.s = b.s AND a.doc_id < b.doc_id),
+        jac AS (SELECT c.da, c.db,
+                  len(list_intersect(x.hh, y.hh))::DOUBLE /
+                  len(list_distinct(list_concat(x.hh, y.hh))) j
+                FROM cand c JOIN sh x ON x.doc_id = c.da
+                            JOIN sh y ON y.doc_id = c.db)
         SELECT da AS doc_a, db AS doc_b, ROUND(j, 3) AS j FROM jac
         WHERE j >= 0.8 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
@@ -341,26 +340,28 @@ object PipelineQueries {
         val inv0 = sh.select(col("doc_id"), explode(col("hh")).as("s"))
         // Document-frequency cap (standard stop-shingle trick): a
         // shingle shared by 10^6 docs would emit 10^12 candidate pairs
-        // from the self-join below. Hot shingles carry no dedup signal
-        // anyway; Jaccard is computed over the capped shingle space on
-        // both engines (sizes likewise from the capped index).
+        // from the self-join below. The cap gates CANDIDATE DISCOVERY
+        // only (pairs overlapping solely on hot shingles are missed —
+        // the documented recall tradeoff); survivors are verified with
+        // exact Jaccard over the FULL shingle sets, so the reported j
+        // matches the tier's "exact" billing (ADVICE r2).
         val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > 256).select("s")
         val inv = inv0.join(hot, Seq("s"), "left_anti")
-        val inter = inv.as("a")
+        val cand = inv.as("a")
           .join(inv.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("ci"))
-        val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // plain shuffle joins on doc_id — sizes is O(corpus), never
-        // broadcast it (see ns_dedup_minhash_lsh verify note); the
-        // join probes only the (small) candidate-pair set
-        inter
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        // plain shuffle joins on doc_id — the signature table is
+        // O(corpus), never broadcast it (see ns_dedup_minhash_lsh
+        // verify note); the join probes only the candidate-pair set
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("hh").as("ha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("hh").as("hb")), "db")
           .withColumn("jac",
-            col("ci").cast("double") / (col("na") + col("nb") - col("ci")))
+            size(array_intersect(col("ha"), col("hb"))).cast("double") /
+              size(array_union(col("ha"), col("hb"))))
           .filter(col("jac") >= 0.8)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("jac"), 3).as("j"))

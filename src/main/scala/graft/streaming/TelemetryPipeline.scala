@@ -238,19 +238,31 @@ object TelemetryPipeline {
     * flatMapGroupsWithState (use this when per-event sequencing
     * inside a round doesn't matter, the custom operator when it does).
     * Inputs: (device_code, ts, value?) with event-time ts.
+    *
+    * `roundCol`: optional round-identifier column on `confirms` to
+    * scope the retry dedup to (device, round). WITHOUT it the dedup
+    * keys on device_code alone inside the watermark, so two
+    * legitimate confirms from consecutive rounds < windowSeconds
+    * apart collapse to one and the second round's values silently
+    * miss (ADVICE r2) — when rounds can be that close, pass the
+    * round id, or use the stateful confirmPairing which keys on
+    * (device_code, round_id) for exactly this reason.
     */
   def confirmValueJoin(
       confirms: DataFrame,
       values: DataFrame,
-      windowSeconds: Long = 60L): DataFrame = {
+      windowSeconds: Long = 60L,
+      roundCol: Option[String] = None): DataFrame = {
     // watermark must cover the acceptance window, or in-window rows
     // get dropped as late before the join ever sees them
     val wm = s"$windowSeconds seconds"
-    // retried confirms are the norm (T4): dedupe per device inside
-    // the watermark so one value cannot match twice and emit dups —
-    // confirmPairing's accept-once semantics, declaratively
+    // retried confirms are the norm (T4): dedupe per device (and
+    // round, when identified) inside the watermark so one value
+    // cannot match twice and emit dups — confirmPairing's
+    // accept-once semantics, declaratively
     val c = confirms.withWatermark("ts", wm)
-      .dropDuplicatesWithinWatermark("device_code").alias("c")
+      .dropDuplicatesWithinWatermark("device_code", roundCol.toSeq: _*)
+      .alias("c")
     val v = values.withWatermark("ts", wm).alias("v")
     v.join(c,
       expr(s"""c.device_code = v.device_code AND

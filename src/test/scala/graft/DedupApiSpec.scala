@@ -48,6 +48,24 @@ class DedupApiSpec extends SparkSpec {
     assert(l3(6L) == 5L, s"1 round reaches only the direct neighbor: $l3")
   }
 
+  test("returned frames are the cached plan: caller unpersist releases them") {
+    // ADVICE r2: a derived select over the persisted frame would make
+    // .unpersist() a no-op and leak the cache for the session lifetime
+    val ids = (1L to 4L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    val labels = Dedup.componentLabels(ids, pairs)
+    assert(labels.storageLevel.useMemory || labels.storageLevel.useDisk,
+      s"componentLabels result not persisted: ${labels.storageLevel}")
+    labels.unpersist(blocking = true)
+    assert(labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+
+    val kept = Dedup.dedupTransitive(docs, "my_id", "body", threshold = 0.5)
+    assert(kept.storageLevel.useMemory || kept.storageLevel.useDisk,
+      s"dedupTransitive result not persisted: ${kept.storageLevel}")
+    kept.unpersist(blocking = true)
+    assert(kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("componentLabels groups a transitive chain under the min id") {
     val sh = Dedup.shingleSignatures(docs, "my_id", "body")
     val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)

@@ -133,6 +133,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("compaction preserves a hive-partitioned layout and its row set") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    graft.operators.Layout.writeDatePartitioned(
+      Catalog.table(spark, sfDir, "events").limit(2000), "ts", out)
+    // fragment each partition dir into several small files
+    spark.read.parquet(out)
+      .repartition(5, col("part_date"), col("event_id"))
+      .write.mode("overwrite").partitionBy("part_date").parquet(out + "_frag")
+    val frag = out + "_frag"
+    val expected = spark.read.parquet(frag).count()
+    val beforeDirs = new java.io.File(frag).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(beforeDirs.nonEmpty && beforeDirs.forall(_.startsWith("part_date=")))
+    graft.operators.Layout.compact(spark, frag)
+    val afterDirs = new java.io.File(frag).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // the k=v directory structure survives compaction (ADVICE r2:
+    // partition columns must not collapse into data columns)
+    assert(afterDirs == beforeDirs,
+      s"partition dirs changed: $beforeDirs -> $afterDirs")
+    assert(spark.read.parquet(frag).count() == expected)
+    // partition column still prunes (layout, not just naming)
+    val oneDay = afterDirs.head.stripPrefix("part_date=")
+    assert(spark.read.parquet(frag)
+      .filter(col("part_date") === oneDay).count() > 0)
+  }
+
   test("writeDatePartitioned lays facts out one directory per day") {
     val out = java.nio.file.Files.createTempDirectory("graft_datepart").toString
     graft.operators.Layout.writeDatePartitioned(
