@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public as-of join operator: for each probe row, attach the values
+  * of the LATEST build row whose time is <= (or <, when strict) the
+  * probe's time, per key — the "display shows the most recent prior
+  * reading" semantics (reference prototype_2/prototype_2.ino:49-70)
+  * generalized to arbitrary frames.
+  *
+  * Scale shape: tag the two inputs, union them, and run ONE
+  * shuffle+sort on (key, time) with a running last-non-null window —
+  * linear in total rows. The naive inequality self-join is O(rows²)
+  * PER KEY and dies on one hot key at 100 TB (VERDICT r1 on q29);
+  * this plan has no join at all.
+  */
+object AsOf {
+
+  /** Left as-of join. Returns every probe row (all its columns) plus
+    * `valueCols` from the matching build row, null when no build row
+    * precedes it.
+    *
+    * Semantics notes:
+    * - `valueCols` travel as one struct, so they always come from the
+    *   SAME build row (no per-column mixing when a build column is
+    *   null).
+    * - Build rows with a null key never match (SQL equi-join
+    *   semantics); probe rows with a null key get null values.
+    * - Ties among build rows with identical (key, time): which row
+    *   wins is unspecified (engine sort is not stable) — pre-aggregate
+    *   the build side to unique (key, time) when it matters.
+    */
+  def joinLatest(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val pCols = probe.columns.toSeq
+    require(valueCols.nonEmpty, "valueCols must not be empty")
+    require(valueCols.forall(!pCols.contains(_)),
+      s"value columns ${valueCols.filter(pCols.contains)} collide with probe columns")
+    // at equal time the build row is visible to the probe iff the
+    // match is inclusive: order build before probe for <=, after for <
+    val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
+    val p = probe
+      .withColumn("__graft_k", col(probeKey))
+      .withColumn("__graft_t", col(probeTime))
+      .withColumn("__graft_side", lit(probeSide))
+    // null-key or null-time build rows can never satisfy the SQL
+    // predicates (k = k AND t <= t) — and a null-time row would
+    // otherwise sort nulls-first ahead of every probe and leak into
+    // matches — drop them up front
+    val b = build
+      .filter(col(buildKey).isNotNull && col(buildTime).isNotNull)
+      .select(
+        col(buildKey).as("__graft_k"),
+        col(buildTime).as("__graft_t"),
+        lit(buildSide).as("__graft_side"),
+        struct(valueCols.map(col): _*).as("__graft_v"))
+    val u = p.unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy("__graft_k")
+      .orderBy(col("__graft_t"), col("__graft_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // probe rows with a null time sort first (nulls-first ascending),
+    // before any build row ⇒ null values — matching the SQL predicate
+    // build.time <= NULL never being true
+    u.withColumn("__graft_asof", last(col("__graft_v"), ignoreNulls = true).over(w))
+      .filter(col("__graft_side") === probeSide)
+      .select(pCols.map(col) ++
+        valueCols.map(v => col(s"__graft_asof.$v").as(v)): _*)
+  }
+}

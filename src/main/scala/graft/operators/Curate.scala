@@ -60,6 +60,49 @@ object Curate {
         when(col("__graft_bucket") % 10 === 0, 1).otherwise(0))
       .drop("__graft_bucket")
 
+  /** Fixed-size token chunking with overlap — the long-document →
+    * training-sequence splitter. Chunk i covers tokens
+    * [i·step, i·step + maxTokens) with step = maxTokens - overlap;
+    * zero-token docs produce no chunks. Adds `chunk_id` (0-based),
+    * `n_tok` (tokens in this chunk) and `chunk_text`; all input
+    * columns survive. Narrow per-row transform + explode — linear,
+    * no shuffle, a map-only job at any scale.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap ($overlap) < maxTokens ($maxTokens)")
+    val step = maxTokens - overlap
+    docs
+      .withColumn("__graft_toks", TF.tokens(col(textCol)))
+      .withColumn("__graft_n", size(col("__graft_toks")))
+      .filter(col("__graft_n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((col("__graft_n") - 1) / step).cast("int"))))
+      .withColumn("__graft_chunk",
+        slice(col("__graft_toks"), col("chunk_id") * step + 1, lit(maxTokens)))
+      .withColumn("n_tok", size(col("__graft_chunk")))
+      .withColumn("chunk_text", concat_ws(" ", col("__graft_chunk")))
+      .drop("__graft_toks", "__graft_n", "__graft_chunk")
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep percentages
+    * (e.g. en → 50), `defaultPct` for unlisted strata, bucketed by a
+    * content hash of the id — reproducible across engines and runs,
+    * never rand(). `rates` is ordered pairs (not a Map) so the plan
+    * is deterministic.
+    */
+  def sampleStratified(docs: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int = 10): DataFrame = {
+    val bucket =
+      TF.hex60(concat(lit("strat:"), col(idCol).cast("string"))) % 100
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(strataCol) === k, lit(pct)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
   /** PII regexes, shared with the audit counters in the query layer
     * (one definition — the two copies must never drift).
     */

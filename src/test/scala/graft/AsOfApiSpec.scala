@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** The public as-of join operator over arbitrary frames: linear
+  * union+window plan, inclusive/strict match, null handling, and
+  * same-row atomicity of multi-column values.
+  */
+class AsOfApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probe = Seq(
+    (1L, 1L, 10L), // user 1 at t=10
+    (2L, 1L, 20L),
+    (3L, 1L, 5L),  // before any build row
+    (4L, 2L, 50L),
+    (5L, 3L, 50L)  // user with no build rows at all
+  ).toDF("event_id", "k", "t")
+
+  private val build = Seq(
+    (1L, 10L, "a", 100.0),
+    (1L, 15L, "b", 200.0),
+    (2L, 50L, "c", 300.0)
+  ).toDF("k", "t", "tag", "amount")
+
+  test("inclusive match takes the latest build row with t <= probe t") {
+    val out = AsOf.joinLatest(probe, build, "k", "k", "t", "t",
+      valueCols = Seq("tag", "amount"))
+      .select("event_id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).contains("a"))  // t=10 matches the t=10 build row
+    assert(out(2L).contains("b"))  // latest prior is t=15
+    assert(out(3L).isEmpty)        // nothing at or before t=5
+    assert(out(4L).contains("c"))  // equal time matches
+    assert(out(5L).isEmpty)        // key never appears in build
+  }
+
+  test("strict match excludes build rows at the probe's exact time") {
+    val out = AsOf.joinLatest(probe, build, "k", "k", "t", "t",
+      valueCols = Seq("tag"), strict = true)
+      .select("event_id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).isEmpty)        // t=10 build row no longer visible
+    assert(out(4L).isEmpty)        // equal time excluded
+    assert(out(2L).contains("b"))  // strictly-prior rows still match
+  }
+
+  test("value columns stay atomic: both come from the same build row") {
+    val out = AsOf.joinLatest(probe, build, "k", "k", "t", "t",
+      valueCols = Seq("tag", "amount"))
+      .filter($"event_id" === 2L)
+      .select("tag", "amount").as[(String, Double)].head()
+    assert(out == ("b", 200.0), out.toString)
+  }
+
+  test("null keys and null times never match; probe rows survive") {
+    val p = Seq((1L, Some(1L), Some(10L)), (2L, None, Some(10L)),
+      (3L, Some(1L), None))
+      .toDF("event_id", "k", "t")
+    val b = Seq((Some(1L), Some(5L), "x"), (None, Some(1L), "nullkey"),
+      (Some(1L), None, "nulltime"))
+      .toDF("k", "t", "tag")
+    val out = AsOf.joinLatest(p, b, "k", "k", "t", "t", Seq("tag"))
+      .select("event_id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out.size == 3, "left join keeps every probe row")
+    assert(out(1L).contains("x"))
+    assert(out(2L).isEmpty, "null probe key matches nothing")
+    assert(out(3L).isEmpty, "null probe time matches nothing")
+  }
+
+  test("the plan is one shuffle + window — no join operator") {
+    val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of must be join-free (union+window):\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+}

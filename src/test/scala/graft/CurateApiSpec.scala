@@ -43,6 +43,43 @@ class CurateApiSpec extends SparkSpec {
     assert(!red.contains("9876543"), red)
   }
 
+  test("chunkDocuments: overlapping fixed-size chunks cover every token") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ") // 100 tokens
+    val one = Seq((7L, text)).toDF("id", "body")
+    val chunks = Curate.chunkDocuments(one, "id", "body",
+      maxTokens = 64, overlap = 16)
+      .select("chunk_id", "n_tok", "chunk_text")
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    // step 48: chunks at 0..63, 48..95, 96..99
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(chunks.map(_._2).toSeq == Seq(64, 52, 4))
+    assert(chunks(0)._3.startsWith("w1 ") && chunks(2)._3.endsWith(" w100"))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val c0 = chunks(0)._3.split(" ").toSeq
+    val c1 = chunks(1)._3.split(" ").toSeq
+    assert(c0.takeRight(16) == c1.take(16))
+    // empty docs yield no chunks
+    assert(Curate.chunkDocuments(Seq((1L, "")).toDF("id", "body"),
+      "id", "body").count() == 0)
+  }
+
+  test("sampleStratified applies per-stratum rates deterministically") {
+    val many = (1 to 1000).flatMap(i =>
+      Seq((i.toLong, "en"), (i.toLong + 10000, "fr"), (i.toLong + 20000, "xx")))
+      .toDF("id", "lang")
+    val kept = Curate.sampleStratified(many, "id", "lang",
+      rates = Seq("en" -> 50, "fr" -> 25), defaultPct = 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // hash buckets are uniform-ish: rates land within a loose band
+    assert(kept("en") > 400 && kept("en") < 600, kept.toString)
+    assert(kept("fr") > 180 && kept("fr") < 320, kept.toString)
+    assert(kept("xx") > 50 && kept("xx") < 160, kept.toString)
+    val again = Curate.sampleStratified(many, "id", "lang",
+      rates = Seq("en" -> 50, "fr" -> 25), defaultPct = 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == again, "must be deterministic")
+  }
+
   test("sampleSplit is deterministic and covers all three splits") {
     val many = (1 to 300).map(i => (i.toLong, s"document number $i body"))
       .toDF("id", "body")

@@ -118,6 +118,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the row-group-level cousin of DPP: a selective dim filter
+    // builds a bloom filter at runtime and pushes might_contain into
+    // the fact scan — at 100 TB this skips most of the fact I/O for
+    // joins the partition layout can't pre-prune. Thresholds lowered
+    // to trigger at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Catalog.table(spark, sfDir, "lineitem")
+      val dim = Catalog.table(spark, sfDir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .select("l_orderkey", "o_orderpriority")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compaction rewrites a small-file directory to the target count, rows intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val df = Catalog.table(spark, sfDir, "orders").limit(400)
