@@ -62,6 +62,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
 
+  /** Candidate pairs verified by shingle CONTAINMENT ≥ threshold:
+    * |A∩B| / min(|A|,|B|) — Broder's containment, the asymmetric
+    * near-dup measure that catches subset duplication (one doc quoted
+    * inside a larger one) which symmetric Jaccard dilutes below any
+    * useful threshold. Returns (ida, idb, containment).
+    */
+  def containmentPairs(sh: DataFrame, cand: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    cand
+      .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
+      .withColumn("containment",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          least(size(col("ssa")), size(col("ssb"))))
+      .filter(col("containment") >= threshold)
+      .select("ida", "idb", "containment")
+
   /** Connected components over a pair graph via min-label
     * propagation: (id, component). `iterations = None` (default)
     * iterates to FIXPOINT — required for chains whose propagation

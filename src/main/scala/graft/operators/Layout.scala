@@ -23,6 +23,26 @@ object Layout {
       .repartition(col("part_date"))
       .write.mode("overwrite").partitionBy("part_date").parquet(path)
 
+  /** Retention/TTL: drop hive partitions (`partCol=value` dirs) whose
+    * value sorts strictly below `cutoff` — the maintenance job that
+    * bounds a date-partitioned fact table's history (ISO dates sort
+    * lexicographically, so string compare is date compare). Partition
+    * deletes are O(dirs) metadata operations — no data rewrite, the
+    * reason retention wants the date-partitioned layout in the first
+    * place. Returns the number of partitions dropped.
+    */
+  def expirePartitions(spark: SparkSession, path: String,
+      partCol: String, cutoff: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partCol="
+    val doomed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(_.getPath.getName.stripPrefix(prefix) < cutoff)
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    doomed.length
+  }
+
   /** Compact a parquet directory to approximately `targetFileBytes`
     * per file — the maintenance job that undoes streaming-sink
     * small-file accumulation (every micro-batch writes ≥1 file per

@@ -222,6 +222,15 @@ object PipelineQueries {
           .select(col("id").as("doc_id"), col("component").as("lbl"))
       })
 
+  /** Shared oracle CTEs / shingle cache, exposed for sibling query
+    * families (Round3Queries' containment tier reuses the exact same
+    * signature + candidate dataflow).
+    */
+  def shingleCtePublic: String = shingleCte
+  def minhashCandCtePublic: String = minhashCandCte
+  def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    hashedShingled(s, dir)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Dedup tier 2: MinHash(32) + LSH(8 bands × 4 rows) + exact

@@ -142,6 +142,82 @@ object Round3Queries {
           .orderBy("probe_id", "rnk")
       }),
 
+    // W-family extension — hourly gap-fill + forward-fill: the
+    // "display shows the last known reading" semantics as a batch
+    // resample (reference prototype_2:49-70 keeps the previous weight
+    // on screen between rounds). Per user: generate the full hourly
+    // grid between first and last event, average readings into their
+    // hour (decimal-sum determinism), forward-fill empty hours with
+    // the last non-null value. Linear: one groupBy + one explode +
+    // one window, all partitioned by user.
+    QueryDef(
+      "q60_gapfill_ffill",
+      Some("""WITH b AS (SELECT user_id,
+                date_trunc('hour', MIN(ts::TIMESTAMP)) h0,
+                date_trunc('hour', MAX(ts::TIMESTAMP)) h1
+                FROM events WHERE user_id <= 10 GROUP BY 1),
+              hrs AS (SELECT user_id, UNNEST(generate_series(h0, h1,
+                INTERVAL 1 HOUR)) h FROM b),
+              v AS (SELECT user_id, date_trunc('hour', ts::TIMESTAMP) h,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*), 3) avg_v
+                FROM events WHERE user_id <= 10 GROUP BY 1, 2)
+              SELECT hrs.user_id, epoch_us(hrs.h) // 1000000 AS h_epoch,
+                last_value(v.avg_v IGNORE NULLS) OVER (
+                  PARTITION BY hrs.user_id ORDER BY hrs.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM hrs LEFT JOIN v
+                ON v.user_id = hrs.user_id AND v.h = hrs.h
+              ORDER BY hrs.user_id, h_epoch"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") <= 10)
+        val bounds = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+        val hrs = bounds.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+        val v = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(round(
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 3).as("avg_v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("h")
+          .rowsBetween(Long.MinValue, 0)
+        hrs.join(v, Seq("user_id", "h"), "left")
+          .select(col("user_id"),
+            unix_timestamp(col("h")).as("h_epoch"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("user_id", "h_epoch")
+      }),
+
+    // ── Dedup tier 6: shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) —
+    // the asymmetric measure that catches a document quoted inside a
+    // larger one, which symmetric Jaccard dilutes below threshold.
+    // Same MinHash-LSH candidate discovery as tier 2; only the verify
+    // formula differs (Broder's containment).
+    QueryDef(
+      "ns_dedup_containment",
+      Some(PipelineQueries.shingleCtePublic +
+        PipelineQueries.minhashCandCtePublic + """,
+        cont AS (SELECT c.da, c.db,
+                   len(list_intersect(x.hh, y.hh))::DOUBLE /
+                   least(len(x.hh), len(y.hh)) cont
+                 FROM cand c JOIN sh x ON x.doc_id = c.da
+                             JOIN sh y ON y.doc_id = c.db)
+        SELECT da AS doc_a, db AS doc_b, ROUND(cont, 3) AS containment
+        FROM cont WHERE cont >= 0.9 ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = PipelineQueries.sharedShingles(s, dir)
+          .withColumnRenamed("doc_id", "id")
+        graft.operators.Dedup.containmentPairs(
+            sh, graft.operators.Dedup.minhashCandidates(sh))
+          .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+            round(col("containment"), 3).as("containment"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // ── Curation: stratified content-hash sampling — per-stratum keep
     // rates (en 50%, fr 25%, else 10%), deterministic by id hash,
     // never rand(). Narrow filter: linear at any scale.

@@ -189,6 +189,37 @@ class ScaleOpsSpec extends SparkSpec {
       .filter(col("part_date") === oneDay).count() > 0)
   }
 
+  test("expirePartitions drops only partitions older than the cutoff") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    graft.operators.Layout.writeDatePartitioned(
+      Catalog.table(spark, sfDir, "events"), "ts", out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("part_date=")).sorted
+    assert(dirs.length > 3, s"need several days, got ${dirs.length}")
+    val cutoff = dirs(2) // keep the last n-2 days
+    val dropped = graft.operators.Layout.expirePartitions(
+      spark, out, "part_date", cutoff)
+    assert(dropped == 2, s"expected 2 partitions dropped, got $dropped")
+    val left = spark.read.parquet(out)
+    assert(left.agg(min(col("part_date").cast("string"))).head.getString(0)
+      == cutoff, "oldest surviving partition must be the cutoff day")
+  }
+
+  test("schema evolution: mergeSchema reads mixed-generation layouts") {
+    // 100 TB tables accrete columns over years; old files must stay
+    // readable next to new ones (new column null for old rows)
+    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$out/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "v", "score", "gen"))
+    val rows = merged.select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5))
+  }
+
   test("writeDatePartitioned lays facts out one directory per day") {
     val out = java.nio.file.Files.createTempDirectory("graft_datepart").toString
     graft.operators.Layout.writeDatePartitioned(
