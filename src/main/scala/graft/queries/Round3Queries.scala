@@ -192,6 +192,28 @@ object Round3Queries {
           .orderBy("user_id", "h_epoch")
       }),
 
+    // T1 extension — HOPPING window aggregate (2-hour windows sliding
+    // every hour) via Spark's native window() in batch: each event
+    // lands in exactly two overlapping windows. The oracle mirrors by
+    // exploding each event into its two slot starts. Streaming uses
+    // the identical window() call with a watermark.
+    QueryDef(
+      "q61_hopping_window",
+      Some("""WITH x AS (SELECT date_trunc('hour', ts::TIMESTAMP)
+                  - u.i * INTERVAL 1 HOUR ws, event_type
+                FROM events, UNNEST([0, 1]) u(i))
+              SELECT epoch_us(ws) // 1000000 AS wstart, event_type,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM x GROUP BY 1, 2 ORDER BY wstart, event_type"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("cnt"))
+          .orderBy("wstart", "event_type")),
+
     // ── Dedup tier 6: shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) —
     // the asymmetric measure that catches a document quoted inside a
     // larger one, which symmetric Jaccard dilutes below threshold.

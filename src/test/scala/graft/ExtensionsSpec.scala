@@ -33,6 +33,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cg > 0)
   }
 
+  test("HLL sketches merge: per-shard sketches union to the global estimate") {
+    // the 100 TB distinct-count pattern: build an hll sketch per
+    // partition/day at write time, MERGE sketches at query time —
+    // never rescan history. Spark 4's datasketches functions make the
+    // sketch a first-class aggregatable value.
+    val s = SparkSpecBase.spark
+    import s.implicits._
+    val df = (1 to 10000).map(i => (i % 7, (i % 1000).toLong))
+      .toDF("shard", "uid")
+    val global = df.selectExpr("hll_sketch_estimate(hll_sketch_agg(uid)) AS est")
+      .as[Long].head()
+    val merged = df.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.expr("hll_sketch_agg(uid)").as("sk"))
+      .selectExpr("hll_sketch_estimate(hll_union_agg(sk)) AS est")
+      .as[Long].head()
+    assert(merged == global,
+      s"merged-sketch estimate $merged must equal single-pass $global")
+    // estimate is within HLL error of the true 1000
+    assert(math.abs(merged - 1000) < 50, merged.toString)
+  }
+
   test("W3: weight-delta alert stream fires only past the threshold") {
     val s = SparkSpecBase.spark
     import s.implicits._
