@@ -42,6 +42,10 @@ object AsOf {
     require(valueCols.nonEmpty, "valueCols must not be empty")
     require(valueCols.forall(!pCols.contains(_)),
       s"value columns ${valueCols.filter(pCols.contains)} collide with probe columns")
+    // the working columns below would silently overwrite same-named
+    // probe columns (withColumn replaces) — fail fast instead
+    require(!(pCols ++ valueCols).exists(_.startsWith("__graft_")),
+      "column names with the __graft_ prefix are reserved")
     // at equal time the build row is visible to the probe iff the
     // match is inclusive: order build before probe for <=, after for <
     val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)

@@ -72,14 +72,23 @@ object Curate {
       maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap ($overlap) < maxTokens ($maxTokens)")
+    val clash = docs.columns.toSet
+      .intersect(Set("chunk_id", "n_tok", "chunk_text"))
+    require(clash.isEmpty,
+      s"input columns $clash collide with chunk output columns")
     val step = maxTokens - overlap
     docs
       .withColumn("__graft_toks", TF.tokens(col(textCol)))
       .withColumn("__graft_n", size(col("__graft_toks")))
       .filter(col("__graft_n") > 0)
+      // last chunk must contribute at least one token BEYOND the
+      // previous chunk's coverage, i.e. i·step + overlap < n — else
+      // the tail chunk is fully contained in its predecessor and
+      // ships duplicate training tokens
       .withColumn("chunk_id",
         explode(sequence(lit(0),
-          floor((col("__graft_n") - 1) / step).cast("int"))))
+          greatest(lit(0),
+            floor((col("__graft_n") - overlap - 1) / step)).cast("int"))))
       .withColumn("__graft_chunk",
         slice(col("__graft_toks"), col("chunk_id") * step + 1, lit(maxTokens)))
       .withColumn("n_tok", size(col("__graft_chunk")))

@@ -48,19 +48,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared verify scaffolding: probe the candidate-pair set against
+    * the signature table via plain shuffle joins (NEVER broadcast —
+    * signatures are O(corpus)), score each pair's shingle sets, keep
+    * pairs at or above threshold. One definition so the scale rule
+    * can't drift between similarity measures.
+    */
+  private def scoredPairs(sh: DataFrame, cand: DataFrame,
+      scoreName: String, threshold: Double)(
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame =
+    cand
+      .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
+      .withColumn(scoreName, score(col("ssa"), col("ssb")))
+      .filter(col(scoreName) >= threshold)
+      .select("ida", "idb", scoreName)
+
   /** Candidate pairs verified by exact Jaccard ≥ threshold over the
     * shingle sets: (ida, idb, jaccard).
     */
   def verifiedPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.8): DataFrame =
-    cand
-      .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
-      .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
-      .withColumn("jaccard",
-        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          size(array_union(col("ssa"), col("ssb"))))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+    scoredPairs(sh, cand, "jaccard", threshold) { (a, b) =>
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    }
 
   /** Candidate pairs verified by shingle CONTAINMENT ≥ threshold:
     * |A∩B| / min(|A|,|B|) — Broder's containment, the asymmetric
@@ -70,14 +82,9 @@ object Dedup {
     */
   def containmentPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.9): DataFrame =
-    cand
-      .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
-      .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
-      .withColumn("containment",
-        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          least(size(col("ssa")), size(col("ssb"))))
-      .filter(col("containment") >= threshold)
-      .select("ida", "idb", "containment")
+    scoredPairs(sh, cand, "containment", threshold) { (a, b) =>
+      size(array_intersect(a, b)).cast("double") / least(size(a), size(b))
+    }
 
   /** Connected components over a pair graph via min-label
     * propagation: (id, component). `iterations = None` (default)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,23 +24,51 @@ object Layout {
       .repartition(col("part_date"))
       .write.mode("overwrite").partitionBy("part_date").parquet(path)
 
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Total bytes and count of DATA files under `dir` (recursive),
+    * skipping hidden/metadata entries (_SUCCESS, .crc, …) which must
+    * not skew target-size math or reported counts.
+    */
+  private def dataFileStats(fs: FileSystem, dir: Path): (Long, Int) = {
+    val it = fs.listFiles(dir, true)
+    var bytes = 0L
+    var count = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        bytes += f.getLen
+        count += 1
+      }
+    }
+    (bytes, count)
+  }
+
   /** Retention/TTL: drop hive partitions (`partCol=value` dirs) whose
     * value sorts strictly below `cutoff` — the maintenance job that
     * bounds a date-partitioned fact table's history (ISO dates sort
     * lexicographically, so string compare is date compare). Partition
     * deletes are O(dirs) metadata operations — no data rewrite, the
     * reason retention wants the date-partitioned layout in the first
-    * place. Returns the number of partitions dropped.
+    * place. Returns the number of partitions dropped; fails loudly if
+    * any delete reports failure (HDFS returns false instead of
+    * throwing), so "retention enforced" is never reported over data
+    * that silently survived.
     */
   def expirePartitions(spark: SparkSession, path: String,
       partCol: String, cutoff: String): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fileSystem(spark, path)
     val prefix = s"$partCol="
-    val doomed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val doomed = fs.listStatus(new Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(_.getPath.getName.stripPrefix(prefix) < cutoff)
-    doomed.foreach(st => fs.delete(st.getPath, true))
+    val failed = doomed.filterNot(st => fs.delete(st.getPath, true))
+    if (failed.nonEmpty)
+      sys.error(s"expirePartitions: delete failed for " +
+        failed.map(_.getPath).mkString(", "))
     doomed.length
   }
 
@@ -49,31 +78,22 @@ object Layout {
     * partition; a day of 1-minute batches is 1440+ files whose open/
     * footer cost dominates scans). Flat layouts rewrite into
     * ceil(bytes/target) files; hive-partitioned layouts (k=v dirs)
-    * keep their partition structure and compact to one file per
-    * partition directory. Returns the new data-file count.
+    * keep their partition structure, each leaf partition rewriting to
+    * ceil(partitionBytes/target) files — so a hot 20 GB day still
+    * splits instead of funneling through one task into one giant
+    * file. Returns the new data-file count.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    // size by DATA bytes only — getContentSummary would count
-    // _SUCCESS/metadata/hidden files into the target math
-    val files = fs.listFiles(p, true)
-    var bytes = 0L
-    while (files.hasNext) {
-      val f = files.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
-    }
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val fs = fileSystem(spark, path)
+    val p = new Path(path)
     // A hive-partitioned layout (k=v subdirectories — e.g.
     // writeDatePartitioned output) must be rewritten WITH partitionBy,
     // or the inferred partition columns become data columns and the
     // DPP directory structure this file exists to support is silently
     // flattened (ADVICE r2). Walk the first child chain to recover the
     // ordered partition-column names.
-    def partitionCols(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    def partitionCols(dir: Path): Seq[String] = {
       val sub = fs.listStatus(dir).filter(st =>
         st.isDirectory && st.getPath.getName.contains("="))
       if (sub.isEmpty) Nil
@@ -81,19 +101,47 @@ object Layout {
         partitionCols(sub.head.getPath)
     }
     val partCols = partitionCols(p)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    val tmp = new Path(path + "_compact_tmp")
+    val old = new Path(path + "_compact_old")
     val df = spark.read.parquet(path)
-    if (partCols.isEmpty)
+    if (partCols.isEmpty) {
+      val (bytes, _) = dataFileStats(fs, p)
+      val nFiles =
+        math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    else
-      // hash on the partition values co-locates each partition's rows
-      // into one task ⇒ one compacted file per partition dir (the
-      // writeDatePartitioned write shape); partitionBy preserves the
-      // k=v layout
-      df.repartition(partCols.map(col): _*)
+    } else {
+      // per-leaf-partition file targets: walk to each leaf dir (the
+      // k=v chain), size its data bytes, and salt its rows into
+      // ceil(bytes/target) buckets. Hashing on (partition values,
+      // salt) gives every partition its own task fan-out while
+      // partitionBy preserves the k=v layout.
+      def leaves(dir: Path, vals: Seq[String]): Seq[(Seq[String], Long)] = {
+        val sub = fs.listStatus(dir).filter(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+        if (sub.isEmpty) Seq(vals -> dataFileStats(fs, dir)._1)
+        else sub.toSeq.flatMap(st => leaves(st.getPath,
+          vals :+ st.getPath.getName.split("=", 2)(1)))
+      }
+      import spark.implicits._
+      val stats = leaves(p, Nil).map { case (vals, bytes) =>
+        (vals.mkString("/"),
+          math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
+      }.toDF("__graft_pkey", "__graft_nf")
+      // join key = the partition values as strings, exactly as the
+      // directory names spell them (the reader parses them back to
+      // typed columns, so cast to string for the compare)
+      val pkey = concat_ws("/", partCols.map(c => col(c).cast("string")): _*)
+      val dataCols = df.columns.filterNot(partCols.contains)
+      val salt =
+        if (dataCols.isEmpty) lit(0L)
+        else pmod(xxhash64(dataCols.map(col): _*), col("__graft_nf"))
+      df.withColumn("__graft_pkey", pkey)
+        .join(broadcast(stats), "__graft_pkey")
+        .repartition(partCols.map(col) :+ salt: _*)
+        .drop("__graft_pkey", "__graft_nf")
         .write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(tmp.toString)
+    }
     // swap via rename-aside, never delete-before-rename: a crash at
     // any point leaves either the old or the new data at a recoverable
     // path, and rename results are checked (HDFS rename returns false
@@ -113,12 +161,6 @@ object Layout {
     fs.delete(old, true)
     // report what was actually written (per-partition counts differ
     // from the flat ceil(bytes/target) estimate)
-    val written = fs.listFiles(p, true)
-    var n = 0
-    while (written.hasNext) {
-      val name = written.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
+    dataFileStats(fs, p)._2
   }
 }

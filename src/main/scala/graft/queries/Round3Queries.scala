@@ -61,7 +61,7 @@ object Round3Queries {
               c AS (SELECT doc_id, u.i AS chunk_id,
                       list_slice(tt, u.i*48 + 1, u.i*48 + 64) ch
                     FROM n, UNNEST([ii for ii in
-                      range(0, ((n-1)//48) + 1)]) u(i))
+                      range(0, greatest(0, (n - 16 - 1)//48) + 1)]) u(i))
               SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
                 CAST(len(ch) AS INT) AS n_tok,
                 array_to_string(ch, ' ') AS chunk_text

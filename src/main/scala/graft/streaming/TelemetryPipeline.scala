@@ -246,7 +246,10 @@ object TelemetryPipeline {
     * apart collapse to one and the second round's values silently
     * miss (ADVICE r2) — when rounds can be that close, pass the
     * round id, or use the stateful confirmPairing which keys on
-    * (device_code, round_id) for exactly this reason.
+    * (device_code, round_id) for exactly this reason. With roundCol
+    * set, one value's window can overlap TWO surviving rounds'
+    * confirms, so the join output is deduped per (device, value_ts,
+    * value) to keep the accept-once contract.
     */
   def confirmValueJoin(
       confirms: DataFrame,
@@ -264,12 +267,18 @@ object TelemetryPipeline {
       .dropDuplicatesWithinWatermark("device_code", roundCol.toSeq: _*)
       .alias("c")
     val v = values.withWatermark("ts", wm).alias("v")
-    v.join(c,
+    val joined = v.join(c,
       expr(s"""c.device_code = v.device_code AND
                v.ts >= c.ts AND
                v.ts <= c.ts + interval $windowSeconds seconds"""))
       .select(col("v.device_code").as("device_code"),
         col("v.ts").as("value_ts"), col("v.value").as("value"))
+    // with per-round confirms surviving the upstream dedup, a value
+    // inside two rounds' windows would emit twice — collapse it
+    // (value_ts carries the event-time watermark through the join;
+    // Spark 4 allows chaining stateful operators in append mode)
+    roundCol.fold(joined)(_ =>
+      joined.dropDuplicatesWithinWatermark("device_code", "value_ts", "value"))
   }
 
   /** Per-device protocol state for the two-phase R/X confirm protocol

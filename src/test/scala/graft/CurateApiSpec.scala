@@ -50,10 +50,12 @@ class CurateApiSpec extends SparkSpec {
       maxTokens = 64, overlap = 16)
       .select("chunk_id", "n_tok", "chunk_text")
       .as[(Int, Int, String)].collect().sortBy(_._1)
-    // step 48: chunks at 0..63, 48..95, 96..99
-    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
-    assert(chunks.map(_._2).toSeq == Seq(64, 52, 4))
-    assert(chunks(0)._3.startsWith("w1 ") && chunks(2)._3.endsWith(" w100"))
+    // step 48: chunk 0 covers tokens 1-64, chunk 1 covers 49-100; a
+    // third chunk at 97 would be fully contained in chunk 1 (its 4
+    // tokens are all inside 49-100) and must NOT be emitted
+    assert(chunks.map(_._1).toSeq == Seq(0, 1))
+    assert(chunks.map(_._2).toSeq == Seq(64, 52))
+    assert(chunks(0)._3.startsWith("w1 ") && chunks(1)._3.endsWith(" w100"))
     // consecutive chunks overlap by exactly `overlap` tokens
     val c0 = chunks(0)._3.split(" ").toSeq
     val c1 = chunks(1)._3.split(" ").toSeq

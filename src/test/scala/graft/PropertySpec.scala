@@ -77,6 +77,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("J6/AsOf: linear union+window join equals the naive quadratic join") {
+    // randomized differential proof of the as-of rewrite: on arbitrary
+    // (key, time) data with duplicates and unmatched keys, the
+    // join-free AsOf.joinLatest must agree row-for-row with the
+    // obviously-correct O(n²) formulation
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 50L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(1, 6), Gen.choose(0L, 50L))))
+    samples(gen, 8).zipWithIndex.foreach { case ((probeRows, buildRows), i) =>
+      val probe = probeRows.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      // unique (k, t) on the build side — ties are unspecified by contract
+      val build = buildRows.distinct.groupBy(r => (r._1, r._2)).map(_._1)
+        .map { case (k, t) => (k, t, k * 1000L + t) }.toSeq
+        .toDF("k", "t", "v")
+      val fast = graft.operators.AsOf.joinLatest(
+          probe, build, "k", "k", "t", "t", Seq("v"))
+        .select("pid", "v").as[(Long, Option[Long])].collect().toMap
+      val naive = probe.as("p")
+        .join(build.as("b"),
+          col("p.k") === col("b.k") && col("b.t") <= col("p.t"), "left")
+        .groupBy(col("pid"))
+        .agg(max_by(col("b.v"), col("b.t")).as("v"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(fast == naive, s"sample $i diverged")
+    }
+  }
+
   test("NS pack: pack_id is non-decreasing in doc order and respects the budget") {
     val rows = graft.queries.Registry.queries("ns_pack_sequences")(spark, sfDir)
       .select("lang", "doc_id", "n_tok", "pack_id")

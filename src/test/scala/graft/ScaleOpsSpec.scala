@@ -46,6 +46,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(d.count() == 1)
   }
 
+  test("Observability recorder captures action, duration, and rows") {
+    val rec = Observability.attach(spark)
+    try {
+      Catalog.table(spark, sfDir, "region").collect()
+      // listener delivery is async on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rec.records.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val rs = rec.records
+      assert(rs.nonEmpty, "expected at least one recorded execution")
+      assert(rs.exists(r => r.action == "collect" && !r.failed
+        && r.durationNs > 0))
+    } finally Observability.detach(spark, rec)
+  }
+
   test("Engine: catalog SQL surface end-to-end") {
     Engine.open(spark, sfDir)
     val n = Engine.sql(spark,

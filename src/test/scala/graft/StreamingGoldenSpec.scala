@@ -239,6 +239,42 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J3 declarative with roundCol: close rounds both match, values accepted once") {
+    // ADVICE r2: device-only dedup collapses two legitimate confirms
+    // from rounds < windowSeconds apart. With the round id in the
+    // dedup key both rounds survive — and a value whose window
+    // overlaps BOTH rounds' confirms must still be accepted once.
+    implicit val sqlCtx = spark.sqlContext
+    val confirms = MemoryStream[(String, Timestamp, Long)]
+    val values = MemoryStream[(String, Timestamp, Double)]
+    val out = TelemetryPipeline.confirmValueJoin(
+      confirms.toDF().toDF("device_code", "ts", "round_id"),
+      values.toDF().toDF("device_code", "ts", "value"),
+      roundCol = Some("round_id"))
+    val q = out.writeStream.format("memory").queryName("ssj_round_out")
+      .outputMode("append").start()
+    try {
+      confirms.addData(
+        ("H0001", ts("2024-01-01 00:00:00"), 1L),
+        ("H0001", ts("2024-01-01 00:00:00"), 1L), // retried confirm
+        ("H0001", ts("2024-01-01 00:00:30"), 2L)) // next round, 30 s later
+      values.addData(
+        ("H0001", ts("2024-01-01 00:00:40"), 32.1), // in BOTH windows
+        ("H0001", ts("2024-01-01 00:01:20"), 47.7)) // round-2 window only
+      q.processAllAvailable()
+      // advance watermark so the dedup state closes
+      confirms.addData(("H0009", ts("2024-01-01 01:00:00"), 9L))
+      values.addData(("H0009", ts("2024-01-01 01:00:01"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_round_out")
+        .filter($"device_code" === "H0001")
+        .select("value").as[Double].collect().sorted
+      // the device-only dedup would have dropped round 2's confirm and
+      // missed 47.7; naive per-round join would emit 32.1 twice
+      assert(rows.toSeq == Seq(32.1, 47.7), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: dedup state survives a query stop/start cycle") {
     // durable-state guarantee: a NEW query object resuming from the
     // same checkpoint must still see round 1 as already-delivered —
