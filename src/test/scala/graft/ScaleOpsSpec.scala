@@ -235,6 +235,56 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows(1L).isEmpty && rows(2L).contains(9.5))
   }
 
+  test("ignoreCorruptFiles: one bad file does not take down the scan") {
+    // at 100 TB a handful of truncated/corrupt files is a certainty;
+    // the scan must degrade (skip + log), not abort the job
+    val out = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    Catalog.table(spark, sfDir, "region").write.mode("overwrite").parquet(out)
+    val good = spark.read.parquet(out).count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-zz-garbage.parquet"),
+      "this is not a parquet file")
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(out).count() == good)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
+  test("sorted write enables parquet row-group skipping on range scans") {
+    // clustering the sort key at write time is what makes pushed range
+    // predicates skip whole row groups — on a 100 TB fact table the
+    // difference between reading one row group and reading everything
+    val base = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    // synthetic rows: enough volume to span many 64 KiB row groups
+    // regardless of the test scale factor
+    val ev = spark.range(200000).select(
+      $"id".as("event_id"), ($"id" % 100).as("user_id"),
+      ($"id" * 7 % 1000).cast("double").as("value"))
+    val total = ev.count()
+    // small row groups so sf-scale data spans many groups
+    ev.repartition(1).sortWithinPartitions("user_id")
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(s"$base/sorted")
+    ev.repartition(1)
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(s"$base/unsorted")
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter($"user_id" === 7)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val sorted = scannedRows(s"$base/sorted")
+    val unsorted = scannedRows(s"$base/unsorted")
+    assert(unsorted == total,
+      s"unsorted layout cannot skip groups: read $unsorted of $total")
+    assert(sorted < total / 4,
+      s"sorted layout should skip most row groups: read $sorted of $total")
+  }
+
   test("writeDatePartitioned lays facts out one directory per day") {
     val out = java.nio.file.Files.createTempDirectory("graft_datepart").toString
     graft.operators.Layout.writeDatePartitioned(
