@@ -240,6 +240,49 @@ object Round3Queries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // F13 extension — semi-structured VARIANT path: parse_json into
+    // Spark's binary variant encoding and extract a TYPED field
+    // (vs q23's string-out get_json_object). At scale variant columns
+    // are the schema-on-read lane: parse once at ingest, typed
+    // extraction pushes into codegen.
+    QueryDef(
+      "q62_variant_json",
+      Some("""SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+              FROM events ORDER BY event_id LIMIT 500"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+          .orderBy("event_id")
+          .limit(500)),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE) — a date spine unrolled
+    // by recursion joined against the fact: the canonical
+    // calendar-dimension construction where no table provides the
+    // spine. Bounded recursion (30 days), deterministic.
+    QueryDef(
+      "q63_recursive_cte",
+      Some("""WITH RECURSIVE days(d) AS (
+                SELECT DATE '2024-01-01'
+                UNION ALL SELECT d + 1 FROM days WHERE d < DATE '2024-01-30')
+              SELECT CAST(dy.d AS VARCHAR) AS day,
+                COUNT(e.event_id)::BIGINT AS cnt
+              FROM days dy LEFT JOIN events e
+                ON CAST(e.ts::TIMESTAMP AS DATE) = dy.d
+              GROUP BY dy.d ORDER BY day"""),
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("graft_rcte_events")
+        s.sql("""WITH RECURSIVE days(d) AS (
+                   SELECT DATE'2024-01-01'
+                   UNION ALL SELECT date_add(d, 1) FROM days
+                   WHERE d < DATE'2024-01-30')
+                 SELECT CAST(dy.d AS STRING) AS day,
+                   CAST(COUNT(e.event_id) AS BIGINT) AS cnt
+                 FROM days dy LEFT JOIN graft_rcte_events e
+                   ON CAST(e.ts AS DATE) = dy.d
+                 GROUP BY dy.d ORDER BY day""")
+      }),
+
     // ── Curation: stratified content-hash sampling — per-stratum keep
     // rates (en 50%, fr 25%, else 10%), deterministic by id hash,
     // never rand(). Narrow filter: linear at any scale.
