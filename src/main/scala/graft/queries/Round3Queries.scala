@@ -283,6 +283,69 @@ object Round3Queries {
                  GROUP BY dy.d ORDER BY day""")
       }),
 
+    // ── Similarity tier 7: TF-IDF-weighted cosine over the df-capped
+    // inverted shingle index — weighted lexical similarity without
+    // embeddings (rare shingles dominate, boilerplate fades). Every
+    // accumulated quantity is an exact BIGINT sum of per-term
+    // fixed-point weights (floor(idf²·1e6); ratio idf N/df, never
+    // log() — libm ulp differences break cross-engine parity), so
+    // aggregation order cannot change the score; the final
+    // sqrt/divide runs on identical doubles on both engines. Same
+    // inverted-index shuffle shape as the ngram tier: linear in
+    // postings, never O(n²).
+    QueryDef(
+      "ns_text_tfidf_sim",
+      Some(PipelineQueries.shingleCtePublic + """,
+        inv0 AS (SELECT doc_id, UNNEST(hh) AS s FROM sh),
+        hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 256),
+        inv AS (SELECT i.doc_id, i.s FROM inv0 i
+                ANTI JOIN hot h ON i.s = h.s),
+        nn AS (SELECT COUNT(DISTINCT doc_id) n FROM inv),
+        dfx AS (SELECT s, COUNT(*) df FROM inv GROUP BY s),
+        w AS (SELECT i.doc_id, i.s,
+                CAST(FLOOR((nn.n::DOUBLE / d.df) * (nn.n::DOUBLE / d.df)
+                  * 1000000) AS BIGINT) wq
+              FROM inv i JOIN dfx d ON i.s = d.s, nn),
+        nrm AS (SELECT doc_id, SUM(wq) s2 FROM w GROUP BY doc_id),
+        sab AS (SELECT a.doc_id da, b.doc_id db, SUM(a.wq) sab
+                FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        simt AS (SELECT sab.da, sab.db,
+                  sab.sab::DOUBLE /
+                    (sqrt(na.s2::DOUBLE) * sqrt(nb.s2::DOUBLE)) sim
+                FROM sab JOIN nrm na ON na.doc_id = sab.da
+                         JOIN nrm nb ON nb.doc_id = sab.db)
+        SELECT da AS doc_a, db AS doc_b, ROUND(sim, 3) AS sim FROM simt
+        WHERE sim >= 0.5 ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val inv = PipelineQueries.cappedInvertedIndex(s, dir)
+        // corpus size over the capped index — a driver-side scalar of
+        // the cached artifact (model-sized, not a data-path collect);
+        // identical to the oracle's nn CTE by construction
+        val n = inv.select("doc_id").distinct().count()
+        val dfx = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        val w = inv.join(dfx, "s")
+          .select(col("doc_id"), col("s"),
+            floor((lit(n).cast("double") / col("df")) *
+              (lit(n).cast("double") / col("df")) * 1e6)
+              .cast("long").as("wq"))
+        val nrm = w.groupBy("doc_id").agg(sum("wq").as("s2"))
+        val sab = w.as("a")
+          .join(w.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(sum(col("a.wq")).as("sab"))
+        sab
+          .join(nrm.select(col("doc_id").as("da"), col("s2").as("na")), "da")
+          .join(nrm.select(col("doc_id").as("db"), col("s2").as("nb")), "db")
+          .withColumn("sim", col("sab").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .filter(col("sim") >= 0.5)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("sim"), 3).as("sim"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // ── Curation: stratified content-hash sampling — per-stratum keep
     // rates (en 50%, fr 25%, else 10%), deterministic by id hash,
     // never rand(). Narrow filter: linear at any scale.
