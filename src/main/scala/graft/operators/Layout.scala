@@ -24,6 +24,49 @@ object Layout {
       .repartition(col("part_date"))
       .write.mode("overwrite").partitionBy("part_date").parquet(path)
 
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integral columns — rows close in BOTH dimensions
+    * land close in the sort order, so parquet min/max row-group stats
+    * prune range scans on EITHER column (a single-column sort prunes
+    * only its own column). Pure bitwise column expression: codegen,
+    * no UDF.
+    */
+  def mortonKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int = 16)
+      : org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.cast("long").bitwiseAND(1L << i), i))
+        .bitwiseOR(shiftleft(b.cast("long").bitwiseAND(1L << i), i + 1))
+    }
+
+  /** Write clustered on the Z-order of (colA, colB): range-partition
+    * and sort by the morton key so each file covers a compact 2-D
+    * tile — the multi-dimension clustering that makes range filters
+    * on either column skip most row groups at 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 16): Unit =
+    df.withColumn("__graft_z", mortonKey(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.option("parquet.block.size", rowGroupBytes.toString)
+      .mode("overwrite").parquet(path)
+
+  /** Dynamic partition overwrite — the backfill primitive: replace
+    * ONLY the partitions present in `df`, leaving every other
+    * partition untouched (plain overwrite mode would truncate the
+    * whole table; at 100 TB a one-day backfill must not rewrite the
+    * year).
+    */
+  def overwritePartitions(df: DataFrame, partCol: String,
+      path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+
   private def fileSystem(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)

@@ -285,6 +285,53 @@ class ScaleOpsSpec extends SparkSpec {
       s"sorted layout should skip most row groups: read $sorted of $total")
   }
 
+  test("mortonKey interleaves bits; z-ordered layout prunes BOTH dimensions") {
+    // unit: bit interleave (a bits at even positions, b at odd)
+    val z = Seq((3L, 1L), (0L, 0L), (1L, 0L), (0L, 1L)).toDF("a", "b")
+      .select(graft.operators.Layout.mortonKey($"a", $"b").as("z"))
+      .as[Long].collect()
+    assert(z.toSeq == Seq(7L, 0L, 1L, 2L), z.mkString(","))
+
+    // layout: a range filter on EITHER column must skip most row
+    // groups of a z-ordered table; the single-column sort only prunes
+    // its own column
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rows = spark.range(200000).select(
+      ($"id" % 500).as("x"), (($"id" * 7919) % 500).as("y"))
+    val total = rows.count()
+    graft.operators.Layout.writeZOrdered(rows, "x", "y",
+      s"$base/z", nFiles = 4, rowGroupBytes = 64 * 1024)
+    rows.repartition(4).sortWithinPartitions("x")
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(s"$base/xsorted")
+    def scanned(path: String, filterCol: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col(filterCol) >= 10 && col(filterCol) <= 20)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    assert(scanned(s"$base/z", "x") < total / 3, "z-order must prune x")
+    assert(scanned(s"$base/z", "y") < total / 3, "z-order must prune y")
+    assert(scanned(s"$base/xsorted", "y") > total * 2 / 3,
+      "x-sorted layout cannot prune y — that asymmetry is the point")
+  }
+
+  test("dynamic partition overwrite backfills one day without touching the rest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    val mk = (day: Int, n: Int) => (1 to n)
+      .map(i => (f"2024-01-$day%02d", day * 1000L + i))
+      .toDF("d", "v")
+    graft.operators.Layout.overwritePartitions(
+      mk(1, 10).unionAll(mk(2, 10)).unionAll(mk(3, 10)), "d", out)
+    // backfill day 2 only, with a different row count
+    graft.operators.Layout.overwritePartitions(mk(2, 4), "d", out)
+    val counts = spark.read.parquet(out).groupBy("d").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("2024-01-01" -> 10L, "2024-01-02" -> 4L,
+      "2024-01-03" -> 10L), counts.toString)
+  }
+
   test("writeDatePartitioned lays facts out one directory per day") {
     val out = java.nio.file.Files.createTempDirectory("graft_datepart").toString
     graft.operators.Layout.writeDatePartitioned(
