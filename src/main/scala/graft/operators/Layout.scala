@@ -30,15 +30,24 @@ object Layout {
     * prune range scans on EITHER column (a single-column sort prunes
     * only its own column). Pure bitwise column expression: codegen,
     * no UDF.
+    *
+    * Domain: inputs must be non-negative and fit in `bits` bits —
+    * values >= 2^bits collide on their low bits and the clustering
+    * silently degrades to nothing (rank/dense-bucket wide columns
+    * into the budget first). `bits` is capped at 31 so the top
+    * interleaved bit (2·bits+1) stays clear of the long sign bit,
+    * which would invert the sort order.
     */
   def mortonKey(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int = 16)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in 1..31, got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(a.cast("long").bitwiseAND(1L << i), i))
         .bitwiseOR(shiftleft(b.cast("long").bitwiseAND(1L << i), i + 1))
     }
+  }
 
   /** Write clustered on the Z-order of (colA, colB): range-partition
     * and sort by the morton key so each file covers a compact 2-D

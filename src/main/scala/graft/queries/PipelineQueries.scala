@@ -23,19 +23,47 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  /** Hashed-shingle table (doc_id, hh: array<long>): distinct hex60
-    * hashes of word 3-shingles, built natively from tokens
-    * (graft.plans.ShingleHash60) — shingle strings never materialize.
-    * ~800 B/doc regardless of text size; persisted because it feeds
-    * both sides of the candidate self-joins (at 100 TB this is the
-    * signature table you write to parquet once).
+  /** Session-memoized write-once artifacts (signatures, labels,
+    * inverted index, IVF lists): built, persisted, and materialized
+    * once per (session, sf dir), then reused by every query in the
+    * session — the local stand-in for "write the artifact to parquet
+    * once" at 100 TB. One helper so the synchronization, persist, and
+    * materialize logic exists in exactly one place.
+    *
+    * Lifecycle note: the DataFrame values reference their
+    * SparkSession, so the weak keying alone cannot reclaim entries
+    * while frames are cached — the library's sessions are long-lived
+    * singletons, and `clearArtifacts` releases a session's artifacts
+    * explicitly when needed.
     */
-  private val shingleCache = java.util.Collections.synchronizedMap(
+  private val artifactCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  /** Warm the shared shingle-signature cache outside a timed region
-    * (bench warm path; all four dedup tiers build on it).
+  private def memoArtifact(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame =
+    artifactCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$kind:$dir", { _ =>
+        val df = build
+        // some builders (componentLabels) hand back an
+        // already-persisted plan — don't double-persist
+        val cached =
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else df
+        cached.count()
+        cached
+      })
+
+  /** Release every artifact memoized for `s` (unpersist + forget). */
+  def clearArtifacts(s: SparkSession): Unit =
+    Option(artifactCache.remove(s)).foreach { m =>
+      m.values.forEach(df => { df.unpersist(); () })
+    }
+
+  /** Warm the shared artifacts outside a timed region (bench warm
+    * path; the dedup/ANN tiers build on them).
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     hashedShingled(s, dir)
@@ -48,30 +76,20 @@ object PipelineQueries {
   /** Document-frequency-capped inverted shingle index (doc_id, s):
     * one row per (doc, shingle-hash) with stop-shingles (df > 256)
     * removed — the candidate-discovery artifact behind the n-gram
-    * Jaccard tier. Memoized + persisted like the signature table: at
-    * 100 TB the inverted index is written once (it IS the index);
-    * queries probe it. The ngram query otherwise rebuilds the 5M-row
-    * explode + df-groupBy several times within one plan (both
-    * self-join sides + the sizes aggregate).
+    * Jaccard tier. At 100 TB the inverted index is written once (it
+    * IS the index); queries probe it. The ngram query otherwise
+    * rebuilds the 5M-row explode + df-groupBy several times within
+    * one plan (both self-join sides + the sizes aggregate).
     */
-  private val invCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
   private[queries] def cappedInvertedIndex(s: SparkSession,
       dir: String): DataFrame =
-    invCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, { _ =>
-        val inv0 = hashedShingled(s, dir)
-          .select(col("doc_id"), explode(col("hh")).as("s"))
-        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > 256).select("s")
-        val cached = inv0.join(hot, Seq("s"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached.count()
-        cached
-      })
+    memoArtifact(s, dir, "inv") {
+      val inv0 = hashedShingled(s, dir)
+        .select(col("doc_id"), explode(col("hh")).as("s"))
+      val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 256).select("s")
+      inv0.join(hot, Seq("s"), "left_anti")
+    }
 
   /** Trained IVF index: 2 Lloyd iterations of k-means (k=8, init =
     * lowest vec_ids) over the embeddings, then every vector's list
@@ -83,14 +101,8 @@ object PipelineQueries {
     * before summing, so aggregation order can't change the model
     * (mirrors the oracle CTEs exactly).
     */
-  private val ivfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
   private def ivfKmeansAssignments(s: SparkSession, dir: String): DataFrame =
-    ivfCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, { _ =>
+    memoArtifact(s, dir, "ivf") {
         import org.apache.spark.sql.expressions.Window
         val Q = 1000000000000.0 // fixed-point scale: 1e-12 resolution
         def fx(c: org.apache.spark.sql.Column) = floor(c * Q).cast("long")
@@ -126,24 +138,23 @@ object PipelineQueries {
             .as("cx"))
           .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
           .toSeq.toDF("cid", "d", "cx")
-        val a2 = assign(c1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        a2.count() // materialize the index once per (session, sf dir)
-        a2
-      })
+        assign(c1)
+      }
 
+  /** Hashed-shingle table (doc_id, hh: array<long>): distinct hex60
+    * hashes of word 3-shingles, built natively from tokens
+    * (graft.plans.ShingleHash60) — shingle strings never materialize.
+    * ~800 B/doc regardless of text size; it feeds both sides of the
+    * candidate self-joins (at 100 TB this is the signature table you
+    * write to parquet once).
+    */
   private def hashedShingled(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, { _ =>
-        val cached = t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
-          .filter(size(col("hh")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached.count() // materialize once per (session, sf dir)
-        cached
-      })
+    memoArtifact(s, dir, "shingles") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
+        .filter(size(col("hh")) > 0)
+    }
 
   /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
     * hex60-hashed word 3-shingles per doc (mirrors ShingleHash60).
@@ -234,22 +245,24 @@ object PipelineQueries {
     * table — both component queries (labels, apply) share one
     * propagation; at 100 TB this is the write-labels-once job.
     */
-  private val labelCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
   private def componentLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, { _ =>
-        // exactly 3 rounds — the oracle SQL unrolls 3 label CTEs, and
-        // the differential gate needs identical (possibly unconverged)
-        // labels; the public API defaults to fixpoint instead
-        graft.operators.Dedup.componentLabels(
-          t(s, dir, "documents").select(col("doc_id").as("id")),
-          minhashVerified(s, dir), iterations = Some(3))
-          .select(col("id").as("doc_id"), col("component").as("lbl"))
-      })
+    memoArtifact(s, dir, "labels") {
+      // exactly 3 rounds — the oracle SQL unrolls 3 label CTEs, and
+      // the differential gate needs identical (possibly unconverged)
+      // labels; the public API defaults to fixpoint instead
+      val labels = graft.operators.Dedup.componentLabels(
+        t(s, dir, "documents").select(col("doc_id").as("id")),
+        minhashVerified(s, dir), iterations = Some(3))
+      // re-home the cache onto the renamed projection we actually
+      // memoize, then release the operator's own persisted handle —
+      // otherwise it would linger uncollectable behind the memo entry
+      val out = labels
+        .select(col("id").as("doc_id"), col("component").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      labels.unpersist()
+      out
+    }
 
   /** Shared oracle CTEs / shingle cache, exposed for sibling query
     * families (Round3Queries' containment tier reuses the exact same
