@@ -240,6 +240,42 @@ object Round3Queries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // TPC-H Q18 shape — large-volume orders: a HAVING-gated aggregate
+    // subquery driving a 3-way join + top-k. The big-orders filter
+    // reduces before joining (aggregate pushdown by construction);
+    // final TakeOrderedAndProject caps the result driver-side.
+    QueryDef(
+      "q64_tpch_big_orders",
+      Some("""WITH big AS (SELECT l_orderkey,
+                SUM(CAST(l_quantity AS DECIMAL(18,6))) sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150)
+              SELECT c.c_custkey, o.o_orderkey,
+                ROUND(o.o_totalprice, 2) AS price,
+                CAST(ROUND(b.sq, 2) AS DOUBLE) AS sum_qty
+              FROM big b
+              JOIN orders o ON o.o_orderkey = b.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20"""),
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sq"))
+          .filter(col("sq") > 150)
+        big
+          .join(t(s, dir, "orders"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"),
+            col("c_custkey") === col("o_custkey"))
+          // order on the RAW price (the oracle does too): rounding
+          // first could reorder ties at the limit boundary
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            round(col("sq"), 2).cast("double").as("sum_qty"))
+      }),
+
     // F13 extension — semi-structured VARIANT path: parse_json into
     // Spark's binary variant encoding and extract a TYPED field
     // (vs q23's string-out get_json_object). At scale variant columns
