@@ -275,6 +275,56 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T2 metric: rows behind the watermark are dropped AND counted") {
+    // operational truth for late data: the engine doesn't just drop
+    // late rows silently — numRowsDroppedByWatermark in the progress
+    // metrics is the signal an operator alarms on at 100 TB
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Reading]
+    val q = TelemetryPipeline.hourlyRounds(input.toDF())
+      .writeStream.format("memory").queryName("wm_metric_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Reading("H0001", 1, ts("2024-01-01 00:10:00"), 100.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark...
+      input.addData(Reading("H0001", 2, ts("2024-01-01 03:00:00"), 200.0))
+      q.processAllAvailable()
+      // ...then a row from the long-closed hour 0: dropped + counted
+      input.addData(Reading("H0001", 3, ts("2024-01-01 00:20:00"), 300.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"expected a counted watermark drop, got $dropped")
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger throttles a backlog into bounded micro-batches") {
+    // ingestion rate control: a 100 TB backfill must not land in the
+    // first micro-batch — the file source option bounds batch size so
+    // state stores and sinks see a steady stream
+    val base = java.nio.file.Files.createTempDirectory("graft_throttle").toString
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/f$i.txt"), s"row$i")
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", "1").load(inDir)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) => {
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.forall(_ == 1L) && batchSizes.sum == 3,
+      s"3 files at 1 file/trigger must be 3 unit batches: $batchSizes")
+  }
+
   test("checkpoint restart: dedup state survives a query stop/start cycle") {
     // durable-state guarantee: a NEW query object resuming from the
     // same checkpoint must still see round 1 as already-delivered —
