@@ -48,6 +48,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Inverted-index candidate pairs (ida < idb) from a signature
+    * frame (id, hh): pairs sharing at least one shingle whose
+    * document frequency is <= dfCap. The df cap is the standard
+    * stop-shingle guard — a shingle shared by 10^6 docs would emit
+    * 10^12 pairs; capped shingles carry no dedup signal. Shuffles on
+    * the shingle key only (linear in postings, never O(n²) pairs);
+    * the alternative to MinHash-LSH when exact candidate recall over
+    * rare shingles matters more than sketch compactness.
+    */
+  def invertedIndexCandidates(sh: DataFrame, dfCap: Int = 256): DataFrame = {
+    val inv0 = sh.select(col("id"), explode(col("hh")).as("s"))
+    val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    val inv = inv0.join(hot, Seq("s"), "left_anti")
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+  }
+
   /** Shared verify scaffolding: probe the candidate-pair set against
     * the signature table via plain shuffle joins (NEVER broadcast —
     * signatures are O(corpus)), score each pair's shingle sets, keep

@@ -66,6 +66,17 @@ class DedupApiSpec extends SparkSpec {
     assert(kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("invertedIndexCandidates finds shingle-sharing pairs; df cap mutes hot shingles") {
+    val sh = Dedup.shingleSignatures(docs, "my_id", "body")
+    val cand = Dedup.invertedIndexCandidates(sh)
+      .as[(Long, Long)].collect().sorted
+    assert(cand.contains((10L, 11L)) && cand.contains((11L, 13L)),
+      cand.toSeq.toString)
+    assert(cand.forall { case (a, b) => a < b })
+    // a df cap of 1 removes every shared shingle -> no candidates
+    assert(Dedup.invertedIndexCandidates(sh, dfCap = 1).count() == 0)
+  }
+
   test("componentLabels groups a transitive chain under the min id") {
     val sh = Dedup.shingleSignatures(docs, "my_id", "body")
     val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
