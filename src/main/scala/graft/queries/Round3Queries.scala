@@ -276,6 +276,44 @@ object Round3Queries {
             round(col("sq"), 2).cast("double").as("sum_qty"))
       }),
 
+    // TPC-H Q10 shape — returned-item revenue: which customers sent
+    // the most revenue back. Fact filter → 3-way join → decimal
+    // revenue aggregate → top-k. The returnflag filter pushes to the
+    // lineitem scan; customer/nation join after the aggregate keeps
+    // the shuffle narrow.
+    QueryDef(
+      "q65_tpch_returned_revenue",
+      Some("""WITH rev AS (SELECT o.o_custkey,
+                SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) r
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey)
+              SELECT c.c_custkey, n.n_name,
+                CAST(ROUND(rev.r, 2) AS DOUBLE) AS revenue
+              FROM rev
+              JOIN customer c ON c.c_custkey = rev.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              ORDER BY rev.r DESC, c.c_custkey LIMIT 20"""),
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(t(s, dir, "orders"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("r"))
+        rev
+          .join(t(s, dir, "customer"),
+            col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("n_nationkey") === col("c_nationkey"))
+          .orderBy(col("r").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("n_name"),
+            round(col("r"), 2).cast("double").as("revenue"))
+      }),
+
     // F13 extension — semi-structured VARIANT path: parse_json into
     // Spark's binary variant encoding and extract a TYPED field
     // (vs q23's string-out get_json_object). At scale variant columns
