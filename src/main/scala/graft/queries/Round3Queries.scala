@@ -6,10 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-3 extensions: the generalized as-of join operator (J6 as a
-  * public API over arbitrary tables), document chunking for training
+/** Round-3 extensions: the generalized as-of join (J6 as a public
+  * API over arbitrary tables), two more TPC-H shapes (Q18 big
+  * orders, Q10 returned revenue), document chunking for training
   * sequences, batch ANN (many probes at once — the real serving
-  * shape), and stratified content-hash sampling.
+  * shape), hourly gap-fill + forward-fill, hopping windows,
+  * containment and TF-IDF-cosine similarity tiers, typed VARIANT
+  * extraction, a recursive-CTE date spine, and stratified
+  * content-hash sampling.
   */
 object Round3Queries {
 

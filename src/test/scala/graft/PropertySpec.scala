@@ -106,6 +106,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NS chunk: chunks cover every token, overlap exactly, none contained") {
+    // randomized invariants of the training-sequence splitter: full
+    // coverage, exact overlap between neighbors, and no chunk that is
+    // a pure subset of its predecessor (duplicate training data)
+    val gen = Gen.choose(1, 200)
+    samples(gen, 30).foreach { n =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.operators.Curate.chunkDocuments(
+          Seq((1L, text)).toDF("id", "body"), "id", "body",
+          maxTokens = 64, overlap = 16)
+        .select("chunk_id", "chunk_text").as[(Int, String)]
+        .collect().sortBy(_._1).map(_._2.split(" ").toSeq)
+      val step = 48
+      // coverage: the union of chunks is exactly tokens 1..n in order
+      val covered = chunks.zipWithIndex.flatMap { case (c, i) =>
+        if (i == 0) c else c.drop(16)
+      }
+      assert(covered.toSeq == (1 to n).map(i => s"t$i"),
+        s"n=$n: coverage broken")
+      // neighbors share exactly `overlap` tokens (when the successor
+      // is long enough to reach past the overlap)
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.takeRight(16) == b.take(16), s"n=$n: overlap broken")
+          assert(b.length > 16, s"n=$n: contained tail chunk emitted")
+        case _ => ()
+      }
+    }
+  }
+
   test("NS pack: pack_id is non-decreasing in doc order and respects the budget") {
     val rows = graft.queries.Registry.queries("ns_pack_sequences")(spark, sfDir)
       .select("lang", "doc_id", "n_tok", "pack_id")
