@@ -162,6 +162,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // the other half of adaptive execution (skew-split is proven
+    // above): a 32-partition shuffle over tiny data collapses to a
+    // handful of post-shuffle partitions, so task count tracks DATA
+    // size, not the static shuffle.partitions guess — at 100 TB the
+    // same mechanism stops a mis-sized config from drowning the
+    // scheduler in empty tasks
+    val prev = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      val agg = spark.range(1000).select(($"id" % 10).as("k"))
+        .groupBy("k").count()
+      agg.collect()
+      val n = agg.rdd.getNumPartitions
+      assert(n < 32, s"AQE should coalesce the 32 shuffle partitions, got $n")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   test("compaction rewrites a small-file directory to the target count, rows intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val df = Catalog.table(spark, sfDir, "orders").limit(400)
