@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.plans.{TopKPerKey, TopKStrategy}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Public grouped-top-k operator backed by the custom physical plan
+  * (graft.plans.TopKPerKeyExec): per key, the first `k` rows in
+  * `orderBy` order, computed with a bounded per-key heap instead of
+  * the full per-key sort the window rank-filter form pays. At 100 TB
+  * one hot key stops being a straggler: memory is O(k) per key and
+  * work is O(rows·log k).
+  */
+object TopK {
+
+  /** Ensure the planner knows the custom node — idempotent, live
+    * session (extraStrategies is the public extension point; the
+    * GraftExtensions config path registers it at build time too).
+    */
+  private def ensureStrategy(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies
+          .exists(_.isInstanceOf[TopKStrategy]))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ new TopKStrategy
+    }
+
+  /** Top `k` rows per `keyCols` group, ordered by `orderBy` (give a
+    * total order — ties beyond it are broken arbitrarily). Output
+    * carries all input columns; rows within a key come back in
+    * `orderBy` order.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    // route the order columns through a real Sort plan so the
+    // ANALYZER resolves them into catalyst SortOrders (a raw
+    // Column→Expression conversion yields lazy ColumnNode wrappers
+    // that never bind to the child's attributes)
+    val (sortOrders, plan) = df.sort(orderBy: _*)
+      .queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(so, _, child, _) =>
+        (so, child)
+      case other => throw new IllegalStateException(
+        s"expected a Sort plan from df.sort, got ${other.nodeName}")
+    }
+    val out = plan.output
+    val keyExprs: Seq[Expression] = keyCols.map(n =>
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $n not in ${out.map(_.name).mkString(", ")}")))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      TopKPerKey(keyExprs, sortOrders, k, plan))
+  }
+}

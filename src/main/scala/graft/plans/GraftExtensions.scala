@@ -54,10 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(args(0), MinHashSig.seedsA(k), MinHashSig.seedsB(k))
       }))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       register(ext, name, usage, builder)
     }
+    // whole-operator extension: the grouped-bounded-top-k planner rule
+    ext.injectPlannerStrategy(_ => new TopKStrategy)
+  }
 }
 
 object GraftExtensions {

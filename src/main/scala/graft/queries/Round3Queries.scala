@@ -244,6 +244,26 @@ object Round3Queries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // O3 extension — grouped top-k via the CUSTOM physical operator
+    // (graft.plans.TopKPerKeyExec): bounded k-row heap per key
+    // instead of the window form's full per-key sort. The oracle IS
+    // the declarative window form — the custom plan must reproduce it
+    // exactly (ties broken by the total (value DESC, event_id) order).
+    QueryDef(
+      "q66_topk_per_key",
+      Some("""SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id
+                  ORDER BY value DESC, event_id) rn
+                FROM events WHERE user_id IS NOT NULL) t
+              WHERE rn <= 3 ORDER BY user_id, event_id"""),
+      (s, dir) =>
+        graft.operators.TopK.perKey(
+            t(s, dir, "events").filter(col("user_id").isNotNull)
+              .select("user_id", "event_id", "value"),
+            Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
+          .orderBy("user_id", "event_id")),
+
     // TPC-H Q18 shape — large-volume orders: a HAVING-gated aggregate
     // subquery driving a 3-way join + top-k. The big-orders filter
     // reduces before joining (aggregate pushdown by construction);
