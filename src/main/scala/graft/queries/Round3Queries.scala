@@ -131,16 +131,21 @@ object Round3Queries {
           .distinct()
         // exact-cosine rerank: plain shuffle joins on vec_id — the
         // embedding table is O(corpus), never broadcast it
-        cand
+        val scored = cand
           .join(e.select(col("vec_id").as("pid"), col("v").as("xv"),
             col("nrm").as("xn")), "pid")
           .join(e.select(col("vec_id").as("cid"), col("v").as("yv"),
             col("nrm").as("yn")), "cid")
           .withColumn("cos",
             SF.dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+        // per-probe top-5 through the custom bounded-heap operator
+        // (graft.operators.TopK) — no full per-probe sort of the
+        // candidate scores; the rank column is then a window over the
+        // ≤5 surviving rows per probe, not the full candidate set
+        graft.operators.TopK.perKey(scored.select("pid", "cid", "cos"),
+            Seq("pid"), Seq(col("cos").desc, col("cid")), 5)
           .withColumn("rnk", row_number().over(
             Window.partitionBy("pid").orderBy(col("cos").desc, col("cid"))))
-          .filter(col("rnk") <= 5)
           .select(col("pid").as("probe_id"), col("rnk"),
             col("cid").as("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy("probe_id", "rnk")
