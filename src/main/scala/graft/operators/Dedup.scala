@@ -58,15 +58,25 @@ object Dedup {
     * rare shingles matters more than sketch compactness.
     */
   def invertedIndexCandidates(sh: DataFrame, dfCap: Int = 256): DataFrame = {
-    val inv0 = sh.select(col("id"), explode(col("hh")).as("s"))
-    val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("s")
-    val inv = inv0.join(hot, Seq("s"), "left_anti")
+    val inv = cappedInvertedIndex(sh, dfCap)
     inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+  }
+
+  /** The df-capped inverted index itself, (id, s) one row per (doc,
+    * surviving shingle) — the build both `invertedIndexCandidates`
+    * and the query layer's memoized artifact share. Callers that
+    * reference the result more than once in a plan should persist it
+    * (each reference otherwise re-pays the explode + df-groupBy).
+    */
+  def cappedInvertedIndex(sh: DataFrame, dfCap: Int = 256): DataFrame = {
+    val inv0 = sh.select(col("id"), explode(col("hh")).as("s"))
+    val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    inv0.join(hot, Seq("s"), "left_anti")
   }
 
   /** Shared verify scaffolding: probe the candidate-pair set against

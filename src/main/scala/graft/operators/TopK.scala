@@ -15,12 +15,15 @@ object TopK {
 
   /** Ensure the planner knows the custom node — idempotent, live
     * session (extraStrategies is the public extension point; the
-    * GraftExtensions config path registers it at build time too).
+    * GraftExtensions config path registers it at build time too, so
+    * check the planner's FULL strategy list, not just experimental,
+    * before appending — a session built withExtensions must not get
+    * a second copy).
     */
   private def ensureStrategy(
       spark: org.apache.spark.sql.SparkSession): Unit =
     spark.experimental.synchronized {
-      if (!spark.experimental.extraStrategies
+      if (!org.apache.spark.sql.graft.Bridge.plannerStrategies(spark)
           .exists(_.isInstanceOf[TopKStrategy]))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ new TopKStrategy
@@ -47,10 +50,21 @@ object TopK {
         s"expected a Sort plan from df.sort, got ${other.nodeName}")
     }
     val out = plan.output
-    val keyExprs: Seq[Expression] = keyCols.map(n =>
-      out.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"key column $n not in ${out.map(_.name).mkString(", ")}")))
+    // resolve like the analyzer would: case-insensitive unless
+    // spark.sql.caseSensitive, ambiguity is an error not a silent pick
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val keyExprs: Seq[Expression] = keyCols.map { n =>
+      val hits = out.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"key column $n not in ${out.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"key column $n is ambiguous: matches ${many.mkString(", ")}")
+      }
+    }
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       TopKPerKey(keyExprs, sortOrders, k, plan))
   }

@@ -47,6 +47,14 @@ class TopKStrategy extends SparkStrategy {
   * inserts the hash exchange), then one pass per partition holding a
   * bounded k-row max-heap per key — the row that would sort LAST is
   * evicted first. Emits each key's survivors in sort order.
+  *
+  * Memory envelope (the honest tradeoff vs the window form): heap
+  * state is O(distinctKeysPerPartition × k) rows on the JVM heap with
+  * NO spill path — the window rank-filter buffers whole key groups
+  * but spills via UnsafeExternalSorter. Use this operator when k is
+  * small and keys-per-partition is bounded (size shuffle partitions
+  * so that holds); use the window form when distinct-key cardinality
+  * per partition is unbounded.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {

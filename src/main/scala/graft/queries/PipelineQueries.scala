@@ -84,11 +84,11 @@ object PipelineQueries {
   private[queries] def cappedInvertedIndex(s: SparkSession,
       dir: String): DataFrame =
     memoArtifact(s, dir, "inv") {
-      val inv0 = hashedShingled(s, dir)
-        .select(col("doc_id"), explode(col("hh")).as("s"))
-      val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 256).select("s")
-      inv0.join(hot, Seq("s"), "left_anti")
+      // one shared build with the public operator (Dedup owns the
+      // dataflow; this layer owns the memoization)
+      graft.operators.Dedup.cappedInvertedIndex(
+          hashedShingled(s, dir).withColumnRenamed("doc_id", "id"))
+        .withColumnRenamed("id", "doc_id")
     }
 
   /** Trained IVF index: 2 Lloyd iterations of k-means (k=8, init =

@@ -24,6 +24,25 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The session planner's full strategy list (sessionState is
+    * private[sql]) — lets callers check whether a custom strategy is
+    * already wired in (via extensions OR experimental) before
+    * appending another copy.
+    */
+  def plannerStrategies(
+      spark: org.apache.spark.sql.SparkSession): Seq[Any] =
+    spark.sessionState.planner.strategies
+
+  /** Strategies a SparkSessionExtensions instance would inject at
+    * session build (buildPlannerStrategies is private[sql]) — lets a
+    * test assert the extension wiring without constructing a session.
+    */
+  def extensionStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[Any] =
+    ext.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   /** Register a SQL function on a LIVE session (sessionState is
     * private[sql]; extensions otherwise bind only at session build).
     */

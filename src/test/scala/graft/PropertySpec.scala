@@ -118,7 +118,6 @@ class PropertySpec extends SparkSpec {
           maxTokens = 64, overlap = 16)
         .select("chunk_id", "chunk_text").as[(Int, String)]
         .collect().sortBy(_._1).map(_._2.split(" ").toSeq)
-      val step = 48
       // coverage: the union of chunks is exactly tokens 1..n in order
       val covered = chunks.zipWithIndex.flatMap { case (c, i) =>
         if (i == 0) c else c.drop(16)

@@ -169,17 +169,21 @@ class ScaleOpsSpec extends SparkSpec {
     // size, not the static shuffle.partitions guess — at 100 TB the
     // same mechanism stops a mis-sized config from drowning the
     // scheduler in empty tasks
-    val prev = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // the shared test session runs shuffle.partitions=4 — raise it
+      // so the assertion can actually fail when coalescing breaks
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val agg = spark.range(1000).select(($"id" % 10).as("k"))
         .groupBy("k").count()
-      agg.collect()
       val n = agg.rdd.getNumPartitions
       assert(n < 32, s"AQE should coalesce the 32 shuffle partitions, got $n")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -65,13 +65,28 @@ class TopKOperatorSpec extends SparkSpec {
     assert(top == expected, s"$top != $expected")
   }
 
-  test("SQL-surface sessions built withExtensions plan the operator too") {
-    // the config path: spark.sql.extensions=graft.plans.GraftExtensions
-    // injects the same strategy at session build (install() covers the
-    // live-session path used everywhere else)
+  test("GraftExtensions injects the planner strategy at session build") {
+    // the config path (spark.sql.extensions=graft.plans.GraftExtensions)
+    // wires TopKStrategy through injectPlannerStrategy — assert the
+    // extension's built strategy list actually carries it, so deleting
+    // the injection can't pass silently
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val strategies =
+      org.apache.spark.sql.graft.Bridge.extensionStrategies(ext, spark)
+    assert(strategies.exists(_.isInstanceOf[graft.plans.TopKStrategy]),
+      s"TopKStrategy missing from extension strategies: $strategies")
+  }
+
+  test("ensureStrategy does not stack duplicate strategies on repeat calls") {
     val keyed = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
-    val viaApi = TopK.perKey(keyed, Seq("k"), Seq($"v".desc), 1)
-      .select("k", "v").as[(Int, Int)].collect().sorted
-    assert(viaApi.toSeq == Seq((1, 20), (2, 30)))
+    (1 to 3).foreach { _ =>
+      val out = TopK.perKey(keyed, Seq("k"), Seq($"v".desc), 1)
+        .select("k", "v").as[(Int, Int)].collect().sorted
+      assert(out.toSeq == Seq((1, 20), (2, 30)))
+    }
+    val copies = spark.experimental.extraStrategies
+      .count(_.isInstanceOf[graft.plans.TopKStrategy])
+    assert(copies <= 1, s"duplicate TopKStrategy registrations: $copies")
   }
 }
