@@ -44,6 +44,10 @@ object Engine {
       try b.enableHiveSupport()
       catch { case _: IllegalArgumentException => () }
     }
+    // graft SQL functions + the custom top-k planner strategy bind at
+    // session build (the same wiring spark.sql.extensions=
+    // graft.plans.GraftExtensions gives a spark-submit user)
+    b.withExtensions(new graft.plans.GraftExtensions)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
