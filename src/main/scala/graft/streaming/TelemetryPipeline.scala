@@ -72,6 +72,22 @@ object TelemetryPipeline {
         col("device_code"))
       .agg(count(lit(1)).as("n_cmds"))
 
+  /** Session windows with a DYNAMIC per-row gap: setup-phase rows
+    * (the slow LoRa join phase, master_lora/master_lora.ino boot
+    * sequence) tolerate a longer silence than steady-state rounds —
+    * the gap is an expression of the row, not a constant. Same
+    * engine-managed session state, watermark-bounded.
+    */
+  def sessionsDynamicGap(commands: DataFrame,
+      steadyGap: String = "60 seconds",
+      setupGap: String = "180 seconds"): DataFrame =
+    commands
+      .withWatermark("device_ts", "180 seconds")
+      .groupBy(session_window(col("device_ts"),
+        when(col("phase") === "setup", setupGap).otherwise(steadyGap)),
+        col("device_code"))
+      .agg(count(lit(1)).as("n_cmds"))
+
   /** foreachBatch router: complete rounds → data sink; partial rounds
     * (any device missing in the window) → error-report DLQ
     * (master/master.ino:137-145,552-599). `expectedDevices` plays the

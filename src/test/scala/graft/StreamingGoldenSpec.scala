@@ -275,6 +275,36 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T6 dynamic gap: setup-phase sessions tolerate longer silence than steady-state") {
+    // same 120 s silence, two outcomes: the setup phase (180 s gap)
+    // bridges it into ONE session; steady-state (60 s gap) splits in
+    // two — the per-row gap expression is the point
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val q = TelemetryPipeline.sessionsDynamicGap(
+        input.toDF().toDF("device_code", "device_ts", "phase"))
+      .select("device_code", "n_cmds")
+      .writeStream.format("memory").queryName("dyn_gap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("H0001", ts("2024-01-01 00:00:00"), "setup"),
+        ("H0001", ts("2024-01-01 00:02:00"), "setup"),  // 120 s later
+        ("H0002", ts("2024-01-01 00:00:00"), "steady"),
+        ("H0002", ts("2024-01-01 00:02:00"), "steady")) // 120 s later
+      q.processAllAvailable()
+      // push event time past every gap + watermark to close sessions
+      input.addData(("H0009", ts("2024-01-01 02:00:00"), "steady"))
+      q.processAllAvailable()
+      val sessions = spark.table("dyn_gap_out")
+        .as[(String, Long)].collect().groupBy(_._1)
+      assert(sessions("H0001").map(_._2).toSeq == Seq(2L),
+        s"setup phase bridges the silence: ${sessions("H0001").toSeq}")
+      assert(sessions("H0002").map(_._2).sorted.toSeq == Seq(1L, 1L),
+        s"steady phase splits: ${sessions("H0002").toSeq}")
+    } finally q.stop()
+  }
+
   test("T2 metric: rows behind the watermark are dropped AND counted") {
     // operational truth for late data: the engine doesn't just drop
     // late rows silently — numRowsDroppedByWatermark in the progress
