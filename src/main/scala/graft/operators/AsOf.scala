@@ -37,8 +37,24 @@ object AsOf {
       probeKey: String, buildKey: String,
       probeTime: String, buildTime: String,
       valueCols: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    joinLatest(probe, build, Seq(probeKey), Seq(buildKey),
+      probeTime, buildTime, valueCols, strict)
+
+  /** Multi-key form: the realistic as-of shape keys on a compound
+    * (entity, metric, …) — same linear plan, the keys travel as one
+    * struct. SQL equi-join null semantics hold per KEY: a probe row
+    * with ANY null key matches nothing.
+    */
+  def joinLatest(
+      probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      strict: Boolean): DataFrame = {
     val pCols = probe.columns.toSeq
+    require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
+      s"need matching non-empty key lists, got $probeKeys / $buildKeys")
     require(valueCols.nonEmpty, "valueCols must not be empty")
     require(valueCols.forall(!pCols.contains(_)),
       s"value columns ${valueCols.filter(pCols.contains)} collide with probe columns")
@@ -49,8 +65,22 @@ object AsOf {
     // at equal time the build row is visible to the probe iff the
     // match is inclusive: order build before probe for <=, after for <
     val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
+    // the key struct uses POSITIONAL field names on both sides:
+    // unionByName aligns nested struct fields by name, so differing
+    // source column names (probe user_id vs build k) would otherwise
+    // null-fill each side's fields and no row would ever match
+    def keyStruct(names: Seq[String]) =
+      struct(names.zipWithIndex.map { case (n, i) => col(n).as(s"k$i") }: _*)
+    // inside a struct, null FIELDS compare equal — which would break
+    // SQL equi-join semantics where any null key matches nothing. A
+    // probe row with a null key gets a null struct instead: it
+    // partitions with other null-key probes, where no build row ever
+    // lands (build rows with null keys are dropped below).
+    val probeKeyStruct = when(
+      probeKeys.map(col(_).isNotNull).reduce(_ && _),
+      keyStruct(probeKeys))
     val p = probe
-      .withColumn("__graft_k", col(probeKey))
+      .withColumn("__graft_k", probeKeyStruct)
       .withColumn("__graft_t", col(probeTime))
       .withColumn("__graft_side", lit(probeSide))
     // null-key or null-time build rows can never satisfy the SQL
@@ -58,9 +88,10 @@ object AsOf {
     // otherwise sort nulls-first ahead of every probe and leak into
     // matches — drop them up front
     val b = build
-      .filter(col(buildKey).isNotNull && col(buildTime).isNotNull)
+      .filter(buildKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(buildTime).isNotNull)
       .select(
-        col(buildKey).as("__graft_k"),
+        keyStruct(buildKeys).as("__graft_k"),
         col(buildTime).as("__graft_t"),
         lit(buildSide).as("__graft_side"),
         struct(valueCols.map(col): _*).as("__graft_v"))

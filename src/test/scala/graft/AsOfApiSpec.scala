@@ -70,6 +70,37 @@ class AsOfApiSpec extends SparkSpec {
     assert(out(3L).isEmpty, "null probe time matches nothing")
   }
 
+  test("multi-key as-of: compound (entity, metric) keys match independently") {
+    val p = Seq(
+      (1L, 1L, "w", 10L),  // device 1, weight stream
+      (2L, 1L, "t", 10L),  // device 1, temperature stream
+      (3L, 1L, "w", 3L),   // before any weight build row
+      (4L, 2L, "w", 10L)   // device 2: no build rows
+    ).toDF("event_id", "dev", "metric", "t")
+    val b = Seq(
+      (1L, "w", 5L, 100.0),
+      (1L, "w", 9L, 110.0),
+      (1L, "t", 7L, 36.5)
+    ).toDF("dev", "metric", "t", "reading")
+    val out = AsOf.joinLatest(p, b, Seq("dev", "metric"),
+      Seq("dev", "metric"), "t", "t", Seq("reading"), strict = false)
+      .select("event_id", "reading").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(110.0), "latest weight, not the temperature")
+    assert(out(2L).contains(36.5), "temperature stream matches its own key")
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+    // regression: probe and build key COLUMN NAMES differ — the key
+    // struct must align positionally (unionByName aligns nested
+    // fields by name and would null-fill mismatched names)
+    val p2 = Seq((1L, 1L, 10L)).toDF("event_id", "left_key", "t")
+    val b2 = Seq((1L, 5L, "x")).toDF("right_key", "t", "tag")
+    val crossNamed = AsOf.joinLatest(p2, b2, Seq("left_key"),
+      Seq("right_key"), "t", "t", Seq("tag"), strict = false)
+      .select("tag").as[Option[String]].head()
+    assert(crossNamed.contains("x"), s"cross-named keys must match: $crossNamed")
+  }
+
   test("the plan is one shuffle + window — no join operator") {
     val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
       .queryExecution.executedPlan.toString

@@ -58,6 +58,14 @@ class ScaleOpsSpec extends SparkSpec {
       assert(rs.nonEmpty, "expected at least one recorded execution")
       assert(rs.exists(r => r.action == "collect" && !r.failed
         && r.durationNs > 0))
+      // the failure path records too (what an operator alarms on)
+      intercept[Exception] {
+        spark.sql("SELECT raise_error('graft observability probe')").collect()
+      }
+      val fDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!rec.records.exists(_.failed) && System.nanoTime() < fDeadline)
+        Thread.sleep(100)
+      assert(rec.records.exists(_.failed), "failed action not recorded")
     } finally Observability.detach(spark, rec)
   }
 
