@@ -112,6 +112,17 @@ object Curate {
     docs.filter(bucket < rate)
   }
 
+  /** Stratum balancing: cap each stratum (language, source, …) at its
+    * `capPerStratum` BEST rows by `orderBy` — the corpus-balancing
+    * step that stops one dominant language/source from swamping a
+    * training mix. Served by the custom bounded-heap top-k operator
+    * (graft.operators.TopK): no full per-stratum sort.
+    */
+  def balanceStrata(docs: DataFrame, strataCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column],
+      capPerStratum: Int): DataFrame =
+    TopK.perKey(docs, Seq(strataCol), orderBy, capPerStratum)
+
   /** PII regexes, shared with the audit counters in the query layer
     * (one definition — the two copies must never drift).
     */

@@ -449,6 +449,78 @@ object Round3Queries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // A-family extension — max_by/arg_max dedup: keep each user's
+    // HIGHEST-VALUE event (latest event_id on ties) in one aggregate,
+    // no window, no self-join — the single-shuffle "best row per key"
+    // that q14's row_number form pays a sort for.
+    QueryDef(
+      "q67_argmax_dedup",
+      // DuckDB's arg_max has no composite-key form — the oracle uses
+      // the equivalent window pick (max_by over struct(value, id) ==
+      // first row under ORDER BY value DESC, id DESC)
+      Some("""SELECT user_id, event_id AS best_event FROM (
+                SELECT user_id, event_id, ROW_NUMBER() OVER (
+                  PARTITION BY user_id
+                  ORDER BY value DESC, event_id DESC) rn
+                FROM events WHERE user_id IS NOT NULL) t
+              WHERE rn = 1 ORDER BY user_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(max_by(col("event_id"),
+            struct(col("value"), col("event_id"))).as("best_event"))
+          .orderBy("user_id")),
+
+    // ── Curation: per-source column profiling — the data-quality
+    // report a curator reads before training (null rates, distinct
+    // docs, length stats). One full-scan aggregate, partial+final.
+    QueryDef(
+      "ns_profile_stats",
+      Some("""SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                CAST(SUM(CASE WHEN text IS NULL OR text = ''
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                CAST(MIN(length(text)) AS BIGINT) AS min_len,
+                CAST(MAX(length(text)) AS BIGINT) AS max_len,
+                CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM documents GROUP BY source ORDER BY source"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_distinct"),
+            sum(when(col("text").isNull || col("text") === "", 1)
+              .otherwise(0)).cast("long").as("n_empty"),
+            min(length(col("text"))).cast("long").as("min_len"),
+            max(length(col("text"))).cast("long").as("max_len"),
+            sum(length(col("text")).cast("long")).as("sum_len"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")),
+
+    // ── Curation: stratum balancing — cap each language at its 50
+    // highest-quality docs (deterministic quality proxy: length then
+    // doc_id), via Curate.balanceStrata → the custom bounded-heap
+    // top-k. The oracle is the declarative window form.
+    QueryDef(
+      "ns_balance_corpus",
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY length(text) DESC, doc_id) rn
+                FROM documents) t
+              WHERE rn <= 50 ORDER BY doc_id"""),
+      (s, dir) =>
+        graft.operators.Curate.balanceStrata(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("lang"), length(col("text")).as("len")),
+            "lang", Seq(col("len").desc, col("doc_id")), 50)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")),
+
     // ── Curation: stratified content-hash sampling — per-stratum keep
     // rates (en 50%, fr 25%, else 10%), deterministic by id hash,
     // never rand(). Narrow filter: linear at any scale.
