@@ -472,6 +472,25 @@ object Round3Queries {
             struct(col("value"), col("event_id"))).as("best_event"))
           .orderBy("user_id")),
 
+    // Profiling companion — fixed-width value histogram per event
+    // type: the distribution view an operator reads next to the
+    // ns_profile_stats summary (bucket = floor(value/width), one
+    // groupBy, linear).
+    QueryDef(
+      "q68_histogram",
+      Some("""SELECT event_type,
+                CAST(FLOOR(value / 0.1) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2 ORDER BY event_type, bucket"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            floor(col("value") / 0.1).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")),
+
     // ── Curation: per-source column profiling — the data-quality
     // report a curator reads before training (null rates, distinct
     // docs, length stats). One full-scan aggregate, partial+final.
