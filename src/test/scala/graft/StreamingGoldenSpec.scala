@@ -275,6 +275,36 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A5 streaming: approx distinct devices per window under watermark") {
+    // the sketch-in-streaming marriage: approx_count_distinct inside
+    // a watermarked window aggregate — at 100 TB the per-window
+    // distinct-device count runs on HLL state, not a distinct set
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Reading]
+    val q = input.toDF()
+      .withWatermark("device_ts", "60 seconds")
+      .groupBy(window($"device_ts", "1 hour"))
+      .agg(approx_count_distinct("device_code").as("n_dev"))
+      .select($"window.start".cast("long").as("ws"), $"n_dev")
+      .writeStream.format("memory").queryName("approx_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Reading("H0001", 1, ts("2024-01-01 00:10:00"), 1.0),
+        Reading("H0001", 1, ts("2024-01-01 00:20:00"), 2.0), // same device
+        Reading("H0002", 1, ts("2024-01-01 00:30:00"), 3.0),
+        Reading("H0003", 1, ts("2024-01-01 00:40:00"), 4.0))
+      q.processAllAvailable()
+      input.addData(Reading("H0009", 9, ts("2024-01-01 03:00:00"), 0.0))
+      q.processAllAvailable()
+      val counts = spark.table("approx_out").as[(Long, Long)]
+        .collect().toMap
+      // 3 distinct devices in hour 0 (HLL is exact at this cardinality)
+      assert(counts(Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000)
+        == 3L, counts.toString)
+    } finally q.stop()
+  }
+
   test("T6 dynamic gap: setup-phase sessions tolerate longer silence than steady-state") {
     // same 120 s silence, two outcomes: the setup phase (180 s gap)
     // bridges it into ONE session; steady-state (60 s gap) splits in

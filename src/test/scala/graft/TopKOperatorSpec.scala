@@ -65,6 +65,22 @@ class TopKOperatorSpec extends SparkSpec {
     assert(top == expected, s"$top != $expected")
   }
 
+  test("null keys group together, matching the window form's PARTITION BY") {
+    // SQL window PARTITION BY puts all null keys in ONE partition —
+    // the custom operator must do the same (ClusteredDistribution
+    // hashes null consistently; the heap map keys on the null struct)
+    val df = Seq((Some(1), 10), (None, 20), (None, 30), (None, 5))
+      .toDF("k", "v")
+    val fast = TopK.perKey(df, Seq("k"), Seq($"v".desc), 2)
+      .select("k", "v").as[(Option[Int], Int)].collect().sorted
+    val declarative = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy($"v".desc)))
+      .filter($"rn" <= 2).drop("rn")
+      .as[(Option[Int], Int)].collect().sorted
+    assert(fast.toSeq == declarative.toSeq)
+    assert(fast.count(_._1.isEmpty) == 2, "null group keeps its own top-2")
+  }
+
   test("GraftExtensions injects the planner strategy at session build") {
     // the config path (spark.sql.extensions=graft.plans.GraftExtensions)
     // wires TopKStrategy through injectPlannerStrategy — assert the
