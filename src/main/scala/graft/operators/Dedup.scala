@@ -55,15 +55,27 @@ object Dedup {
     * 10^12 pairs; capped shingles carry no dedup signal. Shuffles on
     * the shingle key only (linear in postings, never O(n²) pairs);
     * the alternative to MinHash-LSH when exact candidate recall over
-    * rare shingles matters more than sketch compactness.
+    * rare shingles matters more than sketch compactness. EAGER: runs
+    * at call time and returns a persisted, materialized pair set the
+    * caller releases with `.unpersist()`.
     */
   def invertedIndexCandidates(sh: DataFrame, dfCap: Int = 256): DataFrame = {
-    val inv = cappedInvertedIndex(sh, dfCap)
-    inv.as("a")
+    // persist the capped index for the self-join's two references —
+    // each would otherwise re-pay the explode + df-groupBy + anti-join
+    // (the re-pay cappedInvertedIndex's docstring warns about). EAGER
+    // like componentLabels: the index cache is released before
+    // returning; callers own `.unpersist()` on the returned pair set.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inv = cappedInvertedIndex(sh, dfCap).persist(lvl)
+    val cand = inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+      .persist(lvl)
+    cand.count()
+    inv.unpersist()
+    cand
   }
 
   /** The df-capped inverted index itself, (id, s) one row per (doc,

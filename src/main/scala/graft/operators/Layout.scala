@@ -124,6 +124,27 @@ object Layout {
     doomed.length
   }
 
+  /** Hive path-name unescape (%XX percent-decoding) — the inverse of
+    * the escaping partitioned writers apply to special characters in
+    * partition values (':' → %3A etc.), mirroring what Spark's
+    * partition-value parser applies when it reads the layout back.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Compact a parquet directory to approximately `targetFileBytes`
     * per file — the maintenance job that undoes streaming-sink
     * small-file accumulation (every micro-batch writes ≥1 file per
@@ -155,7 +176,26 @@ object Layout {
     val partCols = partitionCols(p)
     val tmp = new Path(path + "_compact_tmp")
     val old = new Path(path + "_compact_old")
-    val df = spark.read.parquet(path)
+    // Partition values must round-trip EXACTLY (ADVICE r3): type
+    // inference reads id=007 as int 7 and x=0.10 as double 0.1, so
+    // both the join against the directory spelling below and the
+    // rewritten directory names would silently diverge from the
+    // originals. Force partition columns to STRING via an explicit
+    // schema (data columns keep their probed types): values then
+    // carry the directory spelling verbatim (hive-unescaped), and
+    // partitionBy re-escapes the identical names on the way out.
+    val df =
+      if (partCols.isEmpty) spark.read.parquet(path)
+      else {
+        val probed = spark.read.parquet(path).schema
+        val stringParts = org.apache.spark.sql.types.StructType(
+          probed.map(f =>
+            if (partCols.contains(f.name))
+              f.copy(dataType = org.apache.spark.sql.types.StringType)
+            else f))
+        spark.read.schema(stringParts).parquet(path)
+      }
+    val inputRows = df.count()
     if (partCols.isEmpty) {
       val (bytes, _) = dataFileStats(fs, p)
       val nFiles =
@@ -175,14 +215,19 @@ object Layout {
           vals :+ st.getPath.getName.split("=", 2)(1)))
       }
       import spark.implicits._
+      // NUL separator: an unescaped partition value may itself
+      // contain '/' (hive-escaped %2F in the dir name)
+      val sep = "\u0000"
       val stats = leaves(p, Nil).map { case (vals, bytes) =>
-        (vals.mkString("/"),
+        (vals.map(unescapePathName).mkString(sep),
           math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
       }.toDF("__graft_pkey", "__graft_nf")
-      // join key = the partition values as strings, exactly as the
-      // directory names spell them (the reader parses them back to
-      // typed columns, so cast to string for the compare)
-      val pkey = concat_ws("/", partCols.map(c => col(c).cast("string")): _*)
+      // join key = the string-typed partition values (the directory
+      // spelling, hive-unescaped by the reader — matching the
+      // unescape applied to the listed dir names above); null stands
+      // in for the hive default-partition sentinel
+      val pkey = concat_ws(sep, partCols.map(c =>
+        coalesce(col(c), lit("__HIVE_DEFAULT_PARTITION__"))): _*)
       val dataCols = df.columns.filterNot(partCols.contains)
       val salt =
         if (dataCols.isEmpty) lit(0L)
@@ -193,6 +238,16 @@ object Layout {
         .drop("__graft_pkey", "__graft_nf")
         .write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(tmp.toString)
+    }
+    // hard guard BEFORE the destructive swap: any partition value the
+    // round-trip above still failed to match would have been dropped
+    // by the inner join — abort with the original data untouched
+    // rather than swap in a lossy rewrite
+    val rewrittenRows = spark.read.parquet(tmp.toString).count()
+    if (rewrittenRows != inputRows) {
+      fs.delete(tmp, true)
+      sys.error(s"compact: rewrite produced $rewrittenRows rows but the " +
+        s"input has $inputRows — aborting before the swap; $p is untouched")
     }
     // swap via rename-aside, never delete-before-rename: a crash at
     // any point leaves either the old or the new data at a recoverable

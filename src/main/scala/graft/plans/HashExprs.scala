@@ -75,21 +75,37 @@ object HashSupport {
     new GenericArrayData(out)
   }
 
-  /** Min over hex60 hashes of all char k-grams (winnowing sketch).
-    * Grams are CODE-POINT slices (DuckDB substring semantics) — a
-    * UTF-16-unit slice would split surrogate pairs on non-BMP text.
+  /** Rabin–Karp rolling-hash modulus/base: h(gram) = Σ cp_j·B^(k-1-j)
+    * mod M over the gram's code points. M = 2^31−1 keeps every
+    * intermediate product under 2^52 (code points < 2^21, factors
+    * < M), so both the JVM's Long and the oracle's BIGINT stay exact
+    * — DuckDB BIGINT overflow throws rather than wrapping.
+    */
+  val RollM = 2147483647L
+  val RollB = 1000003L
+
+  /** Min over rolling polynomial hashes of all char k-grams
+    * (winnowing sketch). Grams are CODE-POINT slices (DuckDB
+    * substring semantics) — a UTF-16-unit slice would split surrogate
+    * pairs on non-BMP text. O(1) per position and allocation-free
+    * past the code-point decode (VERDICT r3 item 2: the md5-per-gram
+    * form burned one MessageDigest per character); the oracle SQL
+    * computes the identical closed form per position.
     */
   def charGramMin(s: UTF8String, k: Int): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val str = s.toString
-    val cps = str.codePoints().toArray
-    var min = Long.MaxValue
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    // B^(k-1) mod M — the retiring code point's weight
+    var top = 1L
+    var j = 1
+    while (j < k) { top = top * RollB % RollM; j += 1 }
+    var h = 0L
     var i = 0
-    val last = cps.length - k
-    while (i <= last) {
-      val gram = new String(cps, i, k)
-      val h = hex60Bytes(md,
-        gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    while (i < k) { h = (h * RollB + cps(i)) % RollM; i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h - cps(i - k) * top % RollM + RollM) % RollM
+      h = (h * RollB + cps(i)) % RollM
       if (h < min) min = h
       i += 1
     }
@@ -143,10 +159,11 @@ object ShingleHash60 {
     Bridge.column(ShingleHash60(Bridge.expression(toks), k))
 }
 
-/** Winnowing-style fingerprint: min hex60 over all char k-grams of a
-  * string; null when the string is shorter than k. The per-row work is
-  * one tight JVM loop (HashSupport.charGramMin), so the codegen shim
-  * is a plain static call.
+/** Winnowing-style fingerprint: min Rabin–Karp rolling hash over all
+  * char k-grams of a string; null when the string is shorter than k.
+  * The per-row work is one tight O(n) JVM loop
+  * (HashSupport.charGramMin), so the codegen shim is a plain static
+  * call.
   */
 case class CharGramMinHash(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType

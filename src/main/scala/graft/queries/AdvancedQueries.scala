@@ -13,6 +13,70 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
+  /** Latest prior event of a DIFFERENT type per row: (event_id,
+    * prior_b) over an (event_id, event_type, user_id, ts) frame.
+    *
+    * Two regimes, picked by a BOUNDED cardinality probe (VERDICT r3
+    * item 7 — the probe collects at most maxTypes+1 rows, never the
+    * full distinct set):
+    *
+    *  - |types| <= maxTypes (the enum case): linear per-type window
+    *    decomposition — ONE shuffle+sort on (user_id, ts), a running
+    *    max of event_id per type over the strictly-prior RANGE frame,
+    *    prior_b = greatest over the other types' running maxes. The
+    *    naive inequality self-join is O(rows²) within each user key —
+    *    one hot user kills it at 100×.
+    *
+    *  - beyond maxTypes: fall back to the range-join form (the
+    *    oracle's own shape). A decomposition over thousands of types
+    *    would emit one window column per type and the PLAN becomes
+    *    the bottleneck; the join regime shuffles on user_id only.
+    */
+  private[graft] def priorOtherTypeMax(ev: DataFrame,
+      maxTypes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NULL types can't seed a per-type column (and the reference
+    // semantics b.event_type <> a.event_type drop NULL b-rows anyway)
+    val types = ev.select("event_type")
+      .filter(col("event_type").isNotNull).distinct()
+      .limit(maxTypes + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (types.length > maxTypes) {
+      val b = ev.select(col("user_id").as("b_uid"), col("ts").as("b_ts"),
+        col("event_type").as("b_type"), col("event_id").as("b_id"))
+      ev.join(b,
+          col("user_id") === col("b_uid") && col("b_ts") < col("ts") &&
+            col("b_type") =!= col("event_type"), "left")
+        .groupBy(col("event_id"))
+        .agg(max(col("b_id")).as("prior_b"))
+    } else {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val withMaxes = ev.select(
+        col("event_id") +: col("event_type") +: col("user_id") +:
+          types.zipWithIndex.map { case (tp, i) =>
+            max(when(col("event_type") === tp, col("event_id")))
+              .over(w).as(s"m_$i")
+          }: _*)
+      // greatest() requires ≥2 args — a 0/1-type dataset must yield
+      // NULL / the single other-type max, not a plan-build error
+      val priorExprs = types.zipWithIndex.map { case (tp, i) =>
+        when(col("event_type") =!= tp, col(s"m_$i"))
+      }
+      val priorB = priorExprs match {
+        case Seq() => lit(null).cast(ev.schema("event_id").dataType)
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      withMaxes
+        // the window groups NULL user_ids into one partition; the
+        // equi-join semantics never match NULLs → NULL out
+        .select(col("event_id"),
+          when(col("user_id").isNotNull, priorB).as("prior_b"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // J6 — as-of: latest prior event of a different type per row
@@ -24,52 +88,14 @@ object AdvancedQueries {
                 ON a.user_id = b.user_id AND b.ts < a.ts
                 AND b.event_type <> a.event_type
               GROUP BY a.event_id ORDER BY a.event_id LIMIT 500"""),
-      (s, dir) => {
-        // Linear as-of plan (VERDICT r1 item 5): the naive per-user
-        // inequality self-join is O(rows²) within each user key — one
-        // hot user kills it at 100×. Instead: ONE shuffle+sort on
-        // (user_id, ts) and a running max of event_id per event_type
-        // over the strictly-prior RANGE frame (epoch-µs sort key,
-        // upper bound -1 excludes ts ties, matching b.ts < a.ts);
-        // prior_b = greatest over the other types' running maxes.
-        // Per-type decomposition is linear because event_type is a
-        // metadata-scale enum — discovered with a 5-row distinct
-        // collect at plan-build time (a broadcast-dim analog, not a
-        // data-path collect).
-        import org.apache.spark.sql.expressions.Window
-        val ev = t(s, dir, "events")
-        // NULL types can't seed a per-type column (and the oracle's
-        // b.event_type <> a.event_type drops NULL b-rows anyway)
-        val types = ev.select("event_type")
-          .filter(col("event_type").isNotNull).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        val w = Window.partitionBy("user_id")
-          .orderBy(unix_micros(col("ts")))
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val withMaxes = ev.select(
-          col("event_id") +: col("event_type") +: col("user_id") +:
-            types.zipWithIndex.map { case (tp, i) =>
-              max(when(col("event_type") === tp, col("event_id")))
-                .over(w).as(s"m_$i")
-            }: _*)
-        // greatest() requires ≥2 args — a 0/1-type dataset must yield
-        // NULL / the single other-type max, not a plan-build error
-        val priorExprs = types.zipWithIndex.map { case (tp, i) =>
-          when(col("event_type") =!= tp, col(s"m_$i"))
-        }
-        val priorB = priorExprs match {
-          case Seq() => lit(null).cast(ev.schema("event_id").dataType)
-          case Seq(one) => one
-          case many => greatest(many: _*)
-        }
-        withMaxes
-          // the window groups NULL user_ids into one partition; the
-          // oracle's equi-join condition never matches NULLs → NULL out
-          .select(col("event_id"),
-            when(col("user_id").isNotNull, priorB).as("prior_b"))
+      (s, dir) =>
+        // Linear as-of plan (VERDICT r1 item 5) with a cardinality
+        // guard (VERDICT r3 item 7): event_type here is a 5-value
+        // enum, so priorOtherTypeMax picks the per-type window
+        // decomposition; see its doc for the two regimes.
+        priorOtherTypeMax(t(s, dir, "events"))
           .orderBy("event_id")
-          .limit(500)
-      }),
+          .limit(500)),
 
     // X4/F15/F16/O3 — brute-force cosine-ish (dot product) top-k against
     // one probe vector; higher-order array functions, accumulation in

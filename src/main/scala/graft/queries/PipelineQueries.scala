@@ -41,20 +41,33 @@ object PipelineQueries {
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private def memoArtifact(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame =
-    artifactCache.computeIfAbsent(s,
+      build: => DataFrame): DataFrame = {
+    val m = artifactCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(s"$kind:$dir", { _ =>
-        val df = build
-        // some builders (componentLabels) hand back an
-        // already-persisted plan — don't double-persist
-        val cached =
-          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else df
-        cached.count()
-        cached
-      })
+    val key = s"$kind:$dir"
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      // Build OUTSIDE any CHM bin lock: a builder may itself memoize a
+      // dependency artifact in this same map (inv/labels -> shingles),
+      // and ConcurrentHashMap.computeIfAbsent forbids the mapping
+      // function touching other keys (recursive-update
+      // IllegalStateException when the keys share a bin).
+      val df = build
+      // some builders (componentLabels) hand back an
+      // already-persisted plan — don't double-persist
+      val cached =
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      cached.count()
+      val prior = m.putIfAbsent(key, cached)
+      // On a lost race keep the winner; our copy shares the winner's
+      // CacheManager entry (same logical plan), so unpersisting it here
+      // would evict the winner's cache too.
+      if (prior == null) cached else prior
+    }
+  }
 
   /** Release every artifact memoized for `s` (unpersist + forget). */
   def clearArtifacts(s: SparkSession): Unit =
@@ -868,11 +881,21 @@ object PipelineQueries {
     // hash + winnowing-style char-5-gram min-hash).
     QueryDef(
       "ns_text_fingerprint",
+      // fp_min: min over all char-5-grams of the Rabin–Karp
+      // polynomial hash Σ cp_j·B^(5-1-j) mod M with B=1000003,
+      // M=2^31−1 (precomputed powers below) — the closed form of the
+      // Spark side's rolling hash; every product stays under 2^52 so
+      // BIGINT arithmetic is exact on both engines
       Some("""SELECT doc_id,
               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-              list_min([('0x' || substring(md5(substring(text, i, 5)), 1, 15))
-                        ::BIGINT
-                        for i in range(1, length(text) - 3)]) AS fp_min
+              list_min([(
+                  unicode(substring(text, i, 1))::BIGINT * 1604566856
+                + unicode(substring(text, i + 1, 1))::BIGINT * 1049561761
+                + unicode(substring(text, i + 2, 1))::BIGINT * 1426104154
+                + unicode(substring(text, i + 3, 1))::BIGINT * 1000003
+                + unicode(substring(text, i + 4, 1))::BIGINT)
+                % 2147483647
+                for i in range(1, length(text) - 3)]) AS fp_min
               FROM documents ORDER BY doc_id"""),
       (s, dir) =>
         t(s, dir, "documents")

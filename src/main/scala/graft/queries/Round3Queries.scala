@@ -422,15 +422,15 @@ object Round3Queries {
         WHERE sim >= 0.5 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
         val inv = PipelineQueries.cappedInvertedIndex(s, dir)
-        // corpus size over the capped index — a driver-side scalar of
-        // the cached artifact (model-sized, not a data-path collect);
-        // identical to the oracle's nn CTE by construction
-        val n = inv.select("doc_id").distinct().count()
+        // corpus size as a broadcast 1-row frame (the oracle's nn CTE
+        // shape) — no driver-side job serialized into the query path
+        val nn = inv.agg(countDistinct("doc_id").as("n"))
         val dfx = inv.groupBy("s").agg(count(lit(1)).as("df"))
         val w = inv.join(dfx, "s")
+          .crossJoin(broadcast(nn)) // single global-count row
           .select(col("doc_id"), col("s"),
-            floor((lit(n).cast("double") / col("df")) *
-              (lit(n).cast("double") / col("df")) * 1e6)
+            floor((col("n").cast("double") / col("df")) *
+              (col("n").cast("double") / col("df")) * 1e6)
               .cast("long").as("wq"))
         val nrm = w.groupBy("doc_id").agg(sum("wq").as("s2"))
         val sab = w.as("a")

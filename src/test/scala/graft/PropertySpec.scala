@@ -153,4 +153,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("J6 guard: priorOtherTypeMax falls back past the type cap and matches the naive join") {
+    // VERDICT r3 item 7: 5 types must pick the per-type window
+    // decomposition; 1000 types must pick the range-join fallback —
+    // and BOTH must agree with the naive inequality join
+    def mk(nTypes: Int) = (0 until 400).map { i =>
+      (i.toLong, s"t${i % nTypes}",
+        if (i % 13 == 0) None else Some(s"u${i % 7}"),
+        new java.sql.Timestamp(1700000000000L + (i * 977 % 3000) * 1000L))
+    }.toDF("event_id", "event_type", "user_id", "ts")
+    def naive(ev: org.apache.spark.sql.DataFrame) =
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") < col("a.ts") &&
+            col("b.event_type") =!= col("a.event_type"), "left")
+        .groupBy(col("a.event_id").as("event_id"))
+        .agg(max(col("b.event_id")).as("prior_b"))
+    for (nTypes <- Seq(5, 1000)) {
+      val ev = mk(nTypes)
+      val got = graft.queries.AdvancedQueries.priorOtherTypeMax(ev, 32)
+      val usedJoin = got.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+      assert(usedJoin == (nTypes > 32),
+        s"nTypes=$nTypes picked the wrong regime")
+      val exp = naive(ev).as[(Long, Option[Long])].collect().sortBy(_._1)
+      val act = got.as[(Long, Option[Long])].collect().sortBy(_._1)
+      assert(act.toSeq == exp.toSeq, s"nTypes=$nTypes result mismatch")
+    }
+  }
 }

@@ -106,6 +106,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(again(0).mean_byte == feats(0).mean_byte)
   }
 
+  // independent reference: the per-gram closed form the oracle SQL
+  // computes (Σ cp_j·B^(k-1-j) mod M per position, min over positions)
+  // — NOT the rolling update, so a rolling-arithmetic bug can't hide
+  private def naiveGramMin(s: String, k: Int): Long = {
+    val M = graft.plans.HashSupport.RollM
+    val B = graft.plans.HashSupport.RollB
+    val cps = s.codePoints().toArray
+    (0 to cps.length - k).map { i =>
+      (0 until k).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % M)
+    }.min
+  }
+
   test("charGramMinHash slices code points, not UTF-16 units") {
     // five non-BMP code points = ten UTF-16 units; code-point slicing
     // (DuckDB substring semantics) yields exactly one 5-gram = the
@@ -113,11 +125,22 @@ class TextPipelineSpec extends SparkSpec {
     val emoji = "😀😁😂😃😄"
     val got = Seq(emoji).toDF("text")
       .select(TF.charGramMinHash($"text", 5)).as[Long].head()
-    assert(got == SF.hex60Local(emoji))
+    assert(got == naiveGramMin(emoji, 5))
     // four code points → below k → null
     val short = Seq(emoji.substring(0, 8)).toDF("text")
       .select(TF.charGramMinHash($"text", 5)).as[Option[Long]].head()
     assert(short.isEmpty)
+  }
+
+  test("charGramMinHash rolling update matches the per-gram closed form") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaa", "ab😀cd😁ef", "hello", "0123456789" * 7)
+    val got = samples.toDF("text")
+      .select(TF.charGramMinHash($"text", 5)).as[Long].collect()
+    samples.zip(got).foreach { case (s, h) =>
+      assert(h == naiveGramMin(s, 5), s"mismatch for '$s'")
+    }
   }
 
   test("multimodal resize + frame-sample stubs: deterministic shapes") {
