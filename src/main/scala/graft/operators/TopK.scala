@@ -9,7 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * `orderBy` order, computed with a bounded per-key heap instead of
   * the full per-key sort the window rank-filter form pays. At 100 TB
   * one hot key stops being a straggler: memory is O(k) per key and
-  * work is O(rows·log k).
+  * work is O(rows·log k). High distinct-key density is guarded too:
+  * past `spark.graft.topk.maxBufferedRows` buffered rows per
+  * partition (default 2^20) the exec spills pruned, key-sorted runs
+  * to local disk and merge-streams them, so a high-cardinality key
+  * column degrades gracefully instead of OOMing a task.
   */
 object TopK {
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan (SURVEY §4.3 ladder, rung c): grouped
   * bounded top-k. The declarative form —
@@ -48,13 +49,17 @@ class TopKStrategy extends SparkStrategy {
   * bounded k-row max-heap per key — the row that would sort LAST is
   * evicted first. Emits each key's survivors in sort order.
   *
-  * Memory envelope (the honest tradeoff vs the window form): heap
-  * state is O(distinctKeysPerPartition × k) rows on the JVM heap with
-  * NO spill path — the window rank-filter buffers whole key groups
-  * but spills via UnsafeExternalSorter. Use this operator when k is
-  * small and keys-per-partition is bounded (size shuffle partitions
-  * so that holds); use the window form when distinct-key cardinality
-  * per partition is unbounded.
+  * Memory envelope: the hot path holds O(distinctKeysPerPartition × k)
+  * rows on the JVM heap. Past `spark.graft.topk.maxBufferedRows`
+  * buffered rows per partition (default 2^20; VERDICT r3 item 3) it
+  * degrades to a sort-merge spill instead of growing unbounded: the
+  * pruned heaps are drained in (key-bytes, sort-order) order into a
+  * local run file — per-run pruning is sound because a row in the
+  * global top-k of its key is in the top-k of every window that saw
+  * it — and emission k-way-merges the runs, streaming the first k
+  * rows per key. Memory is then O(budget + openRuns + k) regardless
+  * of key cardinality; `numSpills`/`spilledRows` metrics expose the
+  * degradation.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {
@@ -66,44 +71,199 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numSpills" -> SQLMetrics.createMetric(sparkContext,
+      "number of spilled runs"),
+    "spilledRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows written to spill runs"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture locals — SparkPlan itself must not enter the closure
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxBuffered = conf.getConfString(
+      "spark.graft.topk.maxBufferedRows", (1 << 20).toString).toLong
+    val numSpills = longMetric("numSpills")
+    val spilledRows = longMetric("spilledRows")
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      val heaps = new java.util.LinkedHashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          // max-heap in sort order: the head is the current WORST row
-          heap = new java.util.PriorityQueue[InternalRow](
-            limit + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) {
-          heap.add(row.copy()) // rows are reused buffers — copy
-        } else if (ord.lt(row, heap.peek())) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain = reverse order
-        rows.iterator
-      }
+      TopKPerKeyExec.processPartition(iter, childOutput, keyExprs,
+        sortOrder, limit, maxBuffered, numSpills, spilledRows)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+object TopKPerKeyExec {
+
+  /** One partition of bounded-heap grouped top-k with the sort-merge
+    * spill fallback. Pure function of its arguments so the closure
+    * serializes cleanly.
+    */
+  private[plans] def processPartition(
+      iter: Iterator[InternalRow],
+      childOutput: Seq[Attribute],
+      keyExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder],
+      limit: Int,
+      maxBuffered: Long,
+      numSpills: SQLMetric,
+      spilledRows: SQLMetric): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    // identity projection: serializes arbitrary InternalRows (the
+    // child may emit non-Unsafe rows) into spillable bytes
+    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+    val ord = RowOrdering.create(sortOrder, childOutput)
+    val nFields = childOutput.length
+    val heaps = new java.util.LinkedHashMap[UnsafeRow,
+      java.util.PriorityQueue[InternalRow]]()
+    var buffered = 0L
+    val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    // run files die with the task, success or failure
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        spillFiles.foreach(f => { f.delete(); () })))
+
+    // drain the pruned heaps in (key-bytes, sort-order) order — the
+    // invariant that makes every spill batch a sorted run. Key order
+    // only needs to be SOME total order shared by all runs; raw byte
+    // comparison of the key projection is exact (equal keys have
+    // equal UnsafeRow bytes for a fixed schema).
+    def drainSorted(): Iterator[(Array[Byte], InternalRow)] = {
+      import scala.jdk.CollectionConverters._
+      val keyArr = heaps.keySet().iterator().asScala.toArray
+      java.util.Arrays.sort(keyArr, (a: UnsafeRow, b: UnsafeRow) =>
+        java.util.Arrays.compare(a.getBytes, b.getBytes))
+      keyArr.iterator.flatMap { key =>
+        val heap = heaps.get(key)
+        val rows = new Array[InternalRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain = reverse
+        val kb = key.getBytes
+        rows.iterator.map(r => (kb, r))
+      }
+    }
+
+    def spill(): Unit = {
+      // partition-local run file under java.io.tmpdir; a cluster
+      // deployment would route this through the executor spill dirs
+      val f = java.io.File.createTempFile("graft-topk-spill-", ".run")
+      spillFiles += f
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16))
+      var n = 0L
+      drainSorted().foreach { case (kb, row) =>
+        val rb = toUnsafe(row).getBytes
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(rb.length); out.write(rb)
+        n += 1
+      }
+      out.close()
+      heaps.clear()
+      buffered = 0L
+      numSpills += 1
+      spilledRows += n
+    }
+
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        // max-heap in sort order: the head is the current WORST row
+        heap = new java.util.PriorityQueue[InternalRow](
+          limit + 1, ord.reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < limit) {
+        heap.add(row.copy()) // rows are reused buffers — copy
+        buffered += 1
+        if (buffered >= maxBuffered) spill()
+      } else if (ord.lt(row, heap.peek())) {
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+
+    if (spillFiles.isEmpty) {
+      // hot path: everything fit — emit straight from the heaps
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val rows = new Array[InternalRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+        rows.iterator
+      }
+    } else {
+      // k-way merge of the sorted runs (the files + the final
+      // in-memory map as one more run). Each key's rows arrive
+      // contiguously and ascending, so the first `limit` rows per key
+      // ARE its top-k — stream and count.
+      abstract class Run {
+        var key: Array[Byte] = _
+        var row: InternalRow = _
+        def advance(): Boolean
+      }
+      final class FileRun(f: java.io.File) extends Run {
+        private val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f), 1 << 16))
+        def advance(): Boolean =
+          try {
+            val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+            val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+            val u = new UnsafeRow(nFields)
+            u.pointTo(rb, rb.length)
+            key = kb; row = u
+            true
+          } catch { case _: java.io.EOFException => in.close(); false }
+      }
+      final class MemRun(it: Iterator[(Array[Byte], InternalRow)])
+          extends Run {
+        def advance(): Boolean =
+          if (it.hasNext) { val (kb, r) = it.next(); key = kb; row = r; true }
+          else false
+      }
+      val cmp = new java.util.Comparator[Run] {
+        def compare(a: Run, b: Run): Int = {
+          val c = java.util.Arrays.compare(a.key, b.key)
+          if (c != 0) c else ord.compare(a.row, b.row)
+        }
+      }
+      val pq = new java.util.PriorityQueue[Run](cmp)
+      (spillFiles.map(new FileRun(_)) :+ new MemRun(drainSorted()))
+        .foreach(r => if (r.advance()) pq.add(r))
+      new Iterator[InternalRow] {
+        private var curKey: Array[Byte] = null
+        private var emitted = 0
+        private var nextRow: InternalRow = null
+        private def computeNext(): Unit = {
+          while (nextRow == null && !pq.isEmpty) {
+            val r = pq.poll()
+            val kb = r.key
+            val row = r.row
+            if (r.advance()) pq.add(r) // advance allocates fresh buffers
+            if (curKey == null || !java.util.Arrays.equals(curKey, kb)) {
+              curKey = kb
+              emitted = 0
+            }
+            if (emitted < limit) { emitted += 1; nextRow = row }
+          }
+        }
+        def hasNext: Boolean = {
+          if (nextRow == null) computeNext()
+          nextRow != null
+        }
+        def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty merge")
+          val r = nextRow
+          nextRow = null
+          r
+        }
+      }
+    }
+  }
 }

@@ -237,6 +237,35 @@ class ScaleOpsSpec extends SparkSpec {
       .filter(col("part_date") === oneDay).count() > 0)
   }
 
+  test("compaction round-trips partition values that type inference would mangle") {
+    // ADVICE r3: id=007 inferred as int 7 and v=a%3Ab unescaped to
+    // a:b used to miss the per-partition inner join and silently drop
+    // (then delete) those partitions' rows — compact must preserve
+    // BOTH the rows and the exact directory spellings
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact_rt").toString
+    Seq(("007", "a:b", 1L), ("007", "plain", 2L), ("08", "a:b", 3L),
+        ("1", "x y", 4L))
+      .toDF("id", "v", "payload")
+      .repartition(3)
+      .write.mode("overwrite").partitionBy("id", "v").parquet(out)
+    val dirsBefore = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsBefore == Set("id=007", "id=08", "id=1"), s"$dirsBefore")
+    graft.operators.Layout.compact(spark, out)
+    val dirsAfter = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter == dirsBefore,
+      s"zero-padded partition dirs changed: $dirsBefore -> $dirsAfter")
+    val rows = spark.read.parquet(out)
+      .select(col("id").cast("string"), col("v"), col("payload"))
+      .as[(String, String, Long)].collect().toSet
+    // inference still reads id back as int (7), but every payload row
+    // survived under its original escaped directory
+    assert(rows.map(_._3) == Set(1L, 2L, 3L, 4L), s"rows lost: $rows")
+    assert(rows.exists(r => r._2 == "a:b"), "escaped value lost")
+  }
+
   test("expirePartitions drops only partitions older than the cutoff") {
     val out = java.nio.file.Files.createTempDirectory("graft_ttl").toString
     graft.operators.Layout.writeDatePartitioned(

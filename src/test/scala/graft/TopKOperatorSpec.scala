@@ -81,6 +81,61 @@ class TopKOperatorSpec extends SparkSpec {
     assert(fast.count(_._1.isEmpty) == 2, "null group keeps its own top-2")
   }
 
+  test("spill path: randomized differential under a tiny row budget") {
+    // budget 64 forces many sorted runs on every sample — the merge
+    // must still agree with the window rank-filter exactly, including
+    // keys whose rows straddle spill boundaries
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "64")
+    try {
+      val gen = Gen.listOfN(300,
+        Gen.zip(Gen.choose(1, 8), Gen.choose(0, 50), Gen.choose(0L, 1000000L)))
+      samples(gen, 4).zipWithIndex.foreach { case (rows, i) =>
+        val df = rows.zipWithIndex
+          .map { case ((k, v, s), id) => (k, v, s + id) }
+          .toDF("k", "v", "uid")
+        val fast = TopK.perKey(df, Seq("k"), Seq($"v".desc, $"uid"), 3)
+          .select("k", "v", "uid").as[(Int, Int, Long)].collect().sorted
+        val declarative = df.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy($"v".desc, $"uid")))
+          .filter($"rn" <= 3).drop("rn")
+          .as[(Int, Int, Long)].collect().sorted
+        assert(fast.toSeq == declarative.toSeq, s"spill sample $i diverged")
+      }
+    } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
+  }
+
+  test("spill guard: a million distinct keys per partition stays bounded") {
+    // VERDICT r3 item 3: high distinct-key density must degrade to
+    // sorted runs instead of growing the heap map unbounded. Budget
+    // 5000 rows caps live heap state at ~5000 entries while 1M keys
+    // stream through; the numSpills metric proves the guard engaged
+    // (AQE off so the exec node's metrics are reachable in the plan).
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "5000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 2M rows, 1M keys, 2 rows per key: top-1 by v desc is always
+      // the second occurrence (v = k + 1M)
+      val df = spark.range(2000000)
+        .select(($"id" % 1000000).as("k"), $"id".as("v"))
+      val out = TopK.perKey(df, Seq("k"), Seq($"v".desc), 1)
+      // run THIS QueryExecution (count()/filter() build new ones whose
+      // metrics we can't reach) — toRdd.count() executes the plan the
+      // metric assertion below inspects
+      assert(out.queryExecution.toRdd.count() == 1000000L)
+      val exec = out.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.TopKPerKeyExec => e
+      }.getOrElse(fail("custom exec missing from plan"))
+      val bad = out.filter($"v" =!= $"k" + 1000000L).count()
+      assert(bad == 0, s"$bad keys lost their true top-1 across spills")
+      assert(exec.metrics("numSpills").value > 0,
+        "the run never spilled — the guard was not exercised")
+      assert(exec.metrics("spilledRows").value > 0)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxBufferedRows")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("GraftExtensions injects the planner strategy at session build") {
     // the config path (spark.sql.extensions=graft.plans.GraftExtensions)
     // wires TopKStrategy through injectPlannerStrategy — assert the
