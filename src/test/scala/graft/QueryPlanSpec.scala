@@ -121,7 +121,7 @@ class QueryPlanSpec extends SparkSpec {
     val bnljAllowed = Set(
       "q30_embedding_topk", "ns_ann_cosine_topk", "ns_ann_ivf_topk",
       "ns_ann_ivf_kmeans_topk", "ns_ann_lsh_topk", "ns_text_tfidf",
-      "q34_theta_join")
+      "ns_text_tfidf_sim", "q34_theta_join")
     for ((name, fn) <- Registry.queries) {
       val e = explainStr(fn(spark, sfDir))
       assert(!e.contains("CartesianProduct"),
