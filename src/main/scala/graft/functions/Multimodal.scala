@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * prompt): image/audio/video travel as opaque `binary` columns with a
   * typed metadata struct. The Spark-side machinery — schema,
   * partition-friendly batch iteration, deterministic outputs — is
-  * real and tested; the codec calls themselves are STUBS (no
-  * image/audio libraries ship in this environment) that produce a
-  * deterministic fake so pipelines exercise end-to-end.
+  * real and tested. IMAGE decode is REAL (`javax.imageio`, in the
+  * JDK: PNG/BMP/GIF/JPEG → width/height/exact fixed-point luma sum,
+  * see [[decodeImageFeatures]]); only the audio/video codec calls
+  * remain STUBS (no audio/video libraries ship in this environment)
+  * producing a deterministic fake so pipelines exercise end-to-end.
   *
   * At 100 TB: media rows are large — keep them in their own column
   * family (parquet binary column), repartition by byte-size budget
@@ -85,10 +87,92 @@ object Multimodal {
     }
   }
 
-  /** STUB decode + feature extraction. A real deployment swaps the
-    * body for an image/audio codec; the iterator shape (mapPartitions,
-    * streaming over rows, no materialization) is the production
-    * pattern and is what the spec tests.
+  /** Real image decode + feature extraction over opaque binary
+    * payloads: `javax.imageio.ImageIO` (ships in the JDK — PNG, BMP,
+    * GIF, JPEG) decodes each payload to pixels; features are the
+    * decoded dimensions plus an EXACT fixed-point luminance sum
+    * `Σ_pixels (299·R + 587·G + 114·B)` (Rec.601 weights ×1000, pure
+    * BIGINT — order-independent and cross-engine hashable, per the
+    * repo's no-float-aggregation parity rule). Undecodable payloads
+    * (corrupt bytes, audio/video kinds) yield `decode_ok = false`
+    * with -1 dims rather than failing the task — at 100 TB a corrupt
+    * row must never kill a 10⁶-row partition.
+    *
+    * Scale shape: mapPartitions (one iterator pass, no
+    * materialization); decode is CPU-bound per row, so parallelism =
+    * input partitions — repartition by byte budget upstream
+    * (maxPartitionBytes) for even work.
+    */
+  def decodeImageFeatures(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          ImageFeatures(rec.media_id, rec.kind, -1, -1, 0L, 0L, decode_ok = false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // one bulk getRGB: converts any source model (palette, gray,
+          // 24-bit BGR) to packed sRGB ints — exact for lossless formats
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var luma = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            luma += 299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            i += 1
+          }
+          ImageFeatures(rec.media_id, rec.kind, w, h, px.length.toLong,
+            luma, decode_ok = true)
+        }
+      }
+    }
+  }
+
+  case class ImageFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      luma_fp: Long,
+      decode_ok: Boolean)
+
+  /** Deterministic image encoder for fixtures/tests: pixel (x,y) gets
+    * the RGB triple `rgb(x, y)`; `format` is an ImageIO writer name
+    * ("png", "bmp", "gif", "jpg"). Lossless formats round-trip the
+    * exact pixels through [[decodeImageFeatures]].
+    */
+  def encodeImage(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** STUB decode + feature extraction for AUDIO/VIDEO payloads (no
+    * codec libraries in this environment): deterministic byte
+    * statistics stand in for RMS/frame features. The iterator shape
+    * (mapPartitions, streaming over rows, no materialization) is the
+    * production pattern and is what the spec tests. For images use
+    * [[decodeImageFeatures]], which is real.
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._

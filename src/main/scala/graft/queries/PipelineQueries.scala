@@ -1117,5 +1117,34 @@ object PipelineQueries {
             octet_length(col("text")).cast("long").as("n_bytes"),
             sha2(col("text").cast("binary"), 256).as("sha"))
           .orderBy("doc_id")),
+
+    // ── Multimodal REAL image decode (javax.imageio): the checked-in
+    // fixture table carries binary PNG/BMP payloads plus truth columns
+    // computed ARITHMETICALLY from the pixel formula at generation
+    // time (tools/MakeMediaFixture) — the oracle reads the truth, the
+    // Spark side must DECODE the bytes to match. luma_fp is the exact
+    // Rec.601×1000 fixed-point luminance sum (BIGINT, parity-safe).
+    QueryDef(
+      "ns_multimodal_decode",
+      Some("""SELECT media_id, kind, true_width AS width,
+              true_height AS height, true_n_px AS n_px,
+              true_luma_fp AS luma_fp
+              FROM read_parquet('/root/repo/fixtures/media/*.parquet')
+              ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val recs = s.read.parquet(mediaFixtureDir)
+          .select("media_id", "kind", "payload")
+          .as[graft.functions.Multimodal.MediaRecord]
+        graft.functions.Multimodal.decodeImageFeatures(recs)
+          .select(col("media_id"), col("kind"), col("width"),
+            col("height"), col("n_px"), col("luma_fp"))
+          .orderBy("media_id")
+      }),
   )
+
+  /** The media fixture is repo-local (binary payloads can't live in
+    * the read-only testdata dirs); overridable for dev checkouts. */
+  private def mediaFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/media"
 }

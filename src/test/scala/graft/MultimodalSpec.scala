@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.tools.MakeMediaFixture
+
+/** Goldens for the REAL javax.imageio image decode path (round-5
+  * upgrade of the multimodal tier; the audio/video codecs remain
+  * disclosed stubs tested in TextPipelineSpec).
+  *
+  * The decode-vs-truth golden replays exactly what the
+  * ns_multimodal_decode oracle row checks: truth columns computed
+  * arithmetically from the pixel formula, never from a decoder.
+  */
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("decode recovers exact dims + fixed-point luma for all 48 fixture images") {
+    import spark.implicits._
+    val rows = MakeMediaFixture.rows
+    val recs = rows.map(r => MediaRecord(r.media_id, r.kind, r.payload)).toDS()
+    val got = decodeImageFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.length == 48)
+    got.zip(rows).foreach { case (f, truth) =>
+      assert(f.decode_ok, s"media ${truth.media_id} failed to decode")
+      assert(f.width == truth.true_width && f.height == truth.true_height,
+        s"media ${truth.media_id}: dims ${f.width}x${f.height}")
+      assert(f.n_px == truth.true_n_px)
+      assert(f.luma_fp == truth.true_luma_fp,
+        s"media ${truth.media_id}: luma ${f.luma_fp} != ${truth.true_luma_fp}")
+    }
+  }
+
+  test("committed fixture parquet matches in-memory generation (no drift)") {
+    // ns_multimodal_decode reads the COMMITTED fixture; regenerate and
+    // compare so an edited formula can't silently diverge from it.
+    val fixDir = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/media"
+    val onDisk = spark.read.parquet(fixDir)
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("payload")),
+        r.getAs[Long]("true_luma_fp"))).sortBy(_._1)
+    val fresh = MakeMediaFixture.rows
+      .map(r => (r.media_id, java.util.Arrays.hashCode(r.payload),
+        r.true_luma_fp)).sortBy(_._1)
+    assert(onDisk.toSeq == fresh,
+      "committed fixtures/media diverges from MakeMediaFixture — rerun the generator")
+  }
+
+  test("jpeg decodes with dims exact and luma near truth (lossy tolerance)") {
+    import spark.implicits._
+    // solid mid-gray: JPEG's DC coefficient preserves flat fields well
+    val bytes = encodeImage(32, 24, (_, _) => (100, 100, 100), "jpg")
+    val f = decodeImageFeatures(
+      Seq(MediaRecord(1L, "image/jpeg", bytes)).toDS()).head()
+    assert(f.decode_ok && f.width == 32 && f.height == 24 && f.n_px == 768)
+    val truth = 768L * (299L * 100 + 587L * 100 + 114L * 100)
+    val tol = truth / 50 // 2%
+    assert(math.abs(f.luma_fp - truth) <= tol,
+      s"jpeg luma ${f.luma_fp} vs $truth")
+  }
+
+  test("gif (palette model) round-trips grayscale exactly via getRGB") {
+    import spark.implicits._
+    val px = MakeMediaFixture.grayPx(3) _
+    val bytes = encodeImage(16, 11, px, "gif")
+    val f = decodeImageFeatures(
+      Seq(MediaRecord(2L, "image/gif", bytes)).toDS()).head()
+    var truth = 0L
+    for (y <- 0 until 11; x <- 0 until 16) {
+      val (r, g, b) = px(x, y)
+      truth += 299L * r + 587L * g + 114L * b
+    }
+    assert(f.decode_ok && f.width == 16 && f.height == 11 && f.luma_fp == truth)
+  }
+
+  test("corrupt / non-image payloads yield decode_ok=false, never a task failure") {
+    import spark.implicits._
+    val png = encodeImage(8, 8, (_, _) => (1, 2, 3), "png")
+    val recs = Seq(
+      MediaRecord(1L, "image/png", png),
+      MediaRecord(2L, "image/png", png.take(10)), // truncated header
+      MediaRecord(3L, "audio/wav", Array.tabulate[Byte](64)(_.toByte)),
+      MediaRecord(4L, "image/png", Array[Byte]())).toDS()
+    val got = decodeImageFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.map(_.decode_ok).toSeq == Seq(true, false, false, false))
+    assert(got.filter(!_.decode_ok).forall(f => f.width == -1 && f.luma_fp == 0L))
+  }
+}
