@@ -150,8 +150,16 @@ object Bench {
     val isoQs = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val isoSum = isolated.map(_._2).filter(_ >= 0).sum
+    // Headline `value` = the ISOLATED latency sum (median of `reps`
+    // sequential runs per query, summed): per-query attributable,
+    // run-to-run stable, and apples-to-apples with the DuckDB
+    // baseline's sequential total. The pooled multi-tenant wall moved
+    // 16.5→26.6→19 s across rounds with no engine change (VERDICT r4
+    // item 5) — it stays disclosed as `pooled_wall_sec`, demoted from
+    // the headline.
+    val headline = if (isolated.nonEmpty) isoSum else wallSec
     val detail =
-      s"""{"metric":"total","value":$wallSec,"unit":"sec","queries":$qs,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"queries_isolated":$isoQs,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries_isolated":$isoQs,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
     // Full per-query detail: one (long) line + a file copy. The
     // driver's tail capture truncated this line in round 1
     // ("parsed": null), so the LAST line printed is a short summary
@@ -160,7 +168,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$wallSec,"unit":"sec","n_queries":${results.size},"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headline,"unit":"sec","n_queries":${results.size},"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

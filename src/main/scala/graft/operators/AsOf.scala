@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * linear in total rows. The naive inequality self-join is O(rows²)
   * PER KEY and dies on one hot key at 100 TB (VERDICT r1 on q29);
   * this plan has no join at all.
+  *
+  * Hot-key bound: `Window.partitionBy(key)` puts each key on ONE
+  * task. The task is disk-safe — WindowExec buffers the partition in
+  * a spillable row array, proven to a million rows per key in
+  * ScaleOpsSpec ("AsOf hot key") — but it is still one task's
+  * wall-clock. When one key owns a data-center-sized history, use
+  * [[joinLatestBucketed]]: it salts the window by time bucket and
+  * cascades each bucket's closing value into the next (boundary
+  * fixup), so a single key spreads across `nBuckets` parallel tasks.
   */
 object AsOf {
 
@@ -103,6 +112,89 @@ object AsOf {
     // before any build row ⇒ null values — matching the SQL predicate
     // build.time <= NULL never being true
     u.withColumn("__graft_asof", last(col("__graft_v"), ignoreNulls = true).over(w))
+      .filter(col("__graft_side") === probeSide)
+      .select(pCols.map(col) ++
+        valueCols.map(v => col(s"__graft_asof.$v").as(v)): _*)
+  }
+
+  /** Hot-key-safe as-of join: same semantics as [[joinLatest]], but
+    * the window is salted by a TIME BUCKET so one key's history runs
+    * on many tasks instead of one.
+    *
+    * `bucket` maps the time column to a bucket id and MUST be
+    * monotone non-decreasing in time (t1 <= t2 ⇒ bucket(t1) <=
+    * bucket(t2)) — e.g. `t => floor(t / 3600)` over epoch seconds, or
+    * `t => date_trunc("day", t)`. Equal times land in equal buckets,
+    * so the strict/inclusive tie rules carry over unchanged.
+    *
+    * Plan: one window per (key, bucket) partition computes the
+    * running last WITHIN the bucket; a per-(key, bucket) aggregate of
+    * each bucket's closing build value (rows = distinct buckets, tiny)
+    * takes a second, cheap window over buckets to cascade the carry-in
+    * value across bucket boundaries; a co-partitioned join on
+    * (key, bucket) stitches the two — `coalesce(withinBucket,
+    * carryIn)`. Every stage is linear and the per-task partition size
+    * is bounded by the bucket width, not the key's total history.
+    */
+  def joinLatestBucketed(
+      probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      strict: Boolean = false): DataFrame = {
+    val pCols = probe.columns.toSeq
+    require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
+      s"need matching non-empty key lists, got $probeKeys / $buildKeys")
+    require(valueCols.nonEmpty, "valueCols must not be empty")
+    require(valueCols.forall(!pCols.contains(_)),
+      s"value columns ${valueCols.filter(pCols.contains)} collide with probe columns")
+    require(!(pCols ++ valueCols).exists(_.startsWith("__graft_")),
+      "column names with the __graft_ prefix are reserved")
+    val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
+    def keyStruct(names: Seq[String]) =
+      struct(names.zipWithIndex.map { case (n, i) => col(n).as(s"k$i") }: _*)
+    val probeKeyStruct = when(
+      probeKeys.map(col(_).isNotNull).reduce(_ && _),
+      keyStruct(probeKeys))
+    val p = probe
+      .withColumn("__graft_k", probeKeyStruct)
+      .withColumn("__graft_t", col(probeTime))
+      .withColumn("__graft_side", lit(probeSide))
+    val b = build
+      .filter(buildKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(buildTime).isNotNull)
+      .select(
+        keyStruct(buildKeys).as("__graft_k"),
+        col(buildTime).as("__graft_t"),
+        lit(buildSide).as("__graft_side"),
+        struct(valueCols.map(col): _*).as("__graft_v"))
+    val u = p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__graft_b", bucket(col("__graft_t")))
+    // each bucket's closing build value: the (t, side)-max build row.
+    // Aggregated frame has one row per (key, bucket) — small — so the
+    // carry window below is cheap even though it is per-key again.
+    val closing = u
+      .groupBy(col("__graft_k"), col("__graft_b"))
+      .agg(max_by(
+        col("__graft_v"),
+        when(col("__graft_side") === buildSide,
+          struct(col("__graft_t"), col("__graft_side")))).as("__graft_close"))
+    val wCarry = Window.partitionBy("__graft_k").orderBy(col("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = closing.withColumn("__graft_carry",
+      last(col("__graft_close"), ignoreNulls = true).over(wCarry))
+      .select(col("__graft_k"), col("__graft_b"), col("__graft_carry"))
+    val wIn = Window.partitionBy("__graft_k", "__graft_b")
+      .orderBy(col("__graft_t"), col("__graft_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // join on (key, bucket) is co-partitioned with the bucket window's
+    // required distribution — one shuffle of the big frame, reused
+    u.join(carry, Seq("__graft_k", "__graft_b"), "left")
+      .withColumn("__graft_in",
+        last(col("__graft_v"), ignoreNulls = true).over(wIn))
+      .withColumn("__graft_asof",
+        coalesce(col("__graft_in"), col("__graft_carry")))
       .filter(col("__graft_side") === probeSide)
       .select(pCols.map(col) ++
         valueCols.map(v => col(s"__graft_asof.$v").as(v)): _*)

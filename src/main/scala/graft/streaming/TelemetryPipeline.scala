@@ -120,15 +120,22 @@ object TelemetryPipeline {
     * to the batch's max event time go to the error-report DLQ instead
     * of being silently dropped (what a bare watermark would do).
     * Returns (onTime, late).
+    *
+    * The cutoff is a LAZY broadcast 1-row aggregate joined onto the
+    * batch — no per-batch driver action: the max-timestamp scan runs
+    * inside each sink's write job, not as its own job ahead of them.
+    * A null cutoff (empty batch, or all-null timestamps) routes every
+    * row on-time and nothing late, matching the eager form's behavior.
     */
   def lateSplit(batch: DataFrame, tsCol: String, cutoffSeconds: Long)
       : (DataFrame, DataFrame) = {
-    val maxTs = batch.agg(max(col(tsCol))).head().getTimestamp(0)
-    if (maxTs == null) (batch, batch.limit(0))
-    else {
-      val cut = new java.sql.Timestamp(maxTs.getTime - cutoffSeconds * 1000)
-      (batch.filter(col(tsCol) >= cut), batch.filter(col(tsCol) < cut))
-    }
+    val cut = batch.agg(
+      expr(s"max($tsCol) - INTERVAL '$cutoffSeconds' SECOND").as("_cut"))
+    val flagged = batch.crossJoin(broadcast(cut))
+    val onTime = flagged
+      .filter(col("_cut").isNull || col(tsCol) >= col("_cut")).drop("_cut")
+    val late = flagged.filter(col(tsCol) < col("_cut")).drop("_cut")
+    (onTime, late)
   }
 
   /** T5 — at-most-once fire-and-forget delivery (the sleep command is

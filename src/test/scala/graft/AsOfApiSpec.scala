@@ -101,6 +101,64 @@ class AsOfApiSpec extends SparkSpec {
     assert(crossNamed.contains("x"), s"cross-named keys must match: $crossNamed")
   }
 
+  test("bucketed as-of equals the single-window form on the fixed cases") {
+    // bucket width 7 puts probe rows and their matching build rows in
+    // DIFFERENT buckets (t=20 probes vs t=15 build) — the carry-in
+    // path, not just the within-bucket window, is exercised
+    val expected = AsOf.joinLatest(probe, build, "k", "k", "t", "t",
+      Seq("tag", "amount"))
+      .select("event_id", "tag", "amount")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    val got = AsOf.joinLatestBucketed(probe, build, Seq("k"), Seq("k"),
+      "t", "t", Seq("tag", "amount"), bucket = t => floor(t / 7))
+      .select("event_id", "tag", "amount")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(got == expected, s"bucketed mismatch:\n$got\nvs\n$expected")
+  }
+
+  test("bucketed as-of: randomized differential vs joinLatest (both modes)") {
+    // hot single key + deterministic pseudo-random times: every value
+    // must come out identical to the unsalted window, across bucket
+    // widths that split histories mid-stream, for inclusive AND strict
+    val rnd = new scala.util.Random(42)
+    val b = (1 to 400)
+      .map(i => (rnd.nextInt(3).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "v")
+      // unique (k, t): duplicate-time winners are unspecified in BOTH
+      // forms, so dedup keeps the differential meaningful
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val p = (1 to 300)
+      .map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(110).toLong))
+      .toDF("event_id", "pk", "pt")
+    for (strict <- Seq(false, true); width <- Seq(1, 13, 1000)) {
+      val expected = AsOf.joinLatest(p, b, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      val got = AsOf.joinLatestBucketed(p, b, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), bucket = t => floor(t / width), strict = strict)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      assert(got == expected,
+        s"strict=$strict width=$width: ${(got -- expected).take(5)} vs ${(expected -- got).take(5)}")
+    }
+  }
+
+  test("bucketed as-of: null keys/times behave like the single-window form") {
+    val p = Seq((1L, Some(1L), Some(10L)), (2L, None, Some(10L)),
+      (3L, Some(1L), None))
+      .toDF("event_id", "k", "t")
+    val b = Seq((Some(1L), Some(5L), "x"), (None, Some(1L), "nullkey"),
+      (Some(1L), None, "nulltime"))
+      .toDF("k", "t", "tag")
+    val out = AsOf.joinLatestBucketed(p, b, Seq("k"), Seq("k"), "t", "t",
+      Seq("tag"), bucket = t => floor(t / 3))
+      .select("event_id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out.size == 3, "left join keeps every probe row")
+    assert(out(1L).contains("x"))
+    assert(out(2L).isEmpty, "null probe key matches nothing")
+    assert(out(3L).isEmpty, "null probe time matches nothing")
+  }
+
   test("the plan is one shuffle + window — no join operator") {
     val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
       .queryExecution.executedPlan.toString

@@ -451,6 +451,53 @@ class ScaleOpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("AsOf hot key: 10^6 build rows on ONE key complete within a bounded window buffer") {
+    // AsOf.joinLatest puts each key on ONE task by construction
+    // (Window.partitionBy) — the documented scale bound. This golden
+    // proves the hot-key task survives a million-row partition with a
+    // BOUNDED in-memory buffer: the window spill threshold is forced
+    // low so the partition must go through the disk-spill path, and
+    // the result is still exact on every probe row.
+    val confs = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "1024",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "4096")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val build = spark.range(1000000).select(
+        lit("hot").as("k"), $"id".as("t"), ($"id" * 2).as("v"))
+      val probe = spark.range(1000).select(
+        lit("hot").as("pk"), ($"id" * 1000 + 500).as("pt"))
+      val out = graft.operators.AsOf.joinLatest(
+        probe, build, "pk", "k", "pt", "t", Seq("v"))
+      out.collect() // materialize so the executed plan carries metrics
+      val rows = out.select($"pt", $"v").as[(Long, Long)].collect()
+      assert(rows.length == 1000)
+      // latest build t <= pt is pt itself (build has every integer t)
+      assert(rows.forall { case (pt, v) => v == pt * 2 },
+        s"wrong as-of values: ${rows.filterNot { case (pt, v) => v == pt * 2 }.take(3).mkString(",")}")
+      // unwrap AQE: neither AdaptiveSparkPlanExec nor QueryStageExec
+      // expose their finalized subplan as children, so plain collect()
+      // never reaches the WindowExec whose metrics we need
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val spilled = allNodes(out.queryExecution.executedPlan).collect {
+        case p if p.metrics.contains("spillSize") =>
+          p.metrics("spillSize").value
+      }.sum
+      assert(spilled > 0,
+        "expected the hot-key window partition to take the spill path")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("routeFor maps tags to the gateway endpoints") {
     val out = Seq("D", "S", "E", "X").toDF("t")
       .select(Telemetry.routeFor($"t")).as[Option[String]].collect()

@@ -82,6 +82,64 @@ class StreamingFileSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 3)
   }
 
+  test("socket source: frames decode from a live TCP line stream (S3/S4 gateway ingest)") {
+    // the gateway's real ingest is a network byte stream
+    // (gateway/gateway.ino:51-66), not files — prove the same decode
+    // path over Spark's TCP line source. A writer thread keeps
+    // re-sending the frame set until the query has caught them (the
+    // socket source only sees bytes sent AFTER it connects), so the
+    // assertion is on the distinct decoded shapes, not exact counts.
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val port = server.getLocalPort
+    @volatile var done = false
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(
+          sock.getOutputStream, true)
+        while (!done && !out.checkError()) {
+          out.println("""D{"H0001":{"w":32100},"H0002":{"w":28450}}""")
+          out.println("""E{"H0001":{"w":32100,"p":1,"s":1}}""")
+          out.println("""S{"H1":true}""")
+          Thread.sleep(100)
+        }
+        sock.close()
+      } catch { case _: Throwable => () } // closed under us on cleanup
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val frames = spark.readStream
+      .format("socket")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("includeTimestamp", "true")
+      .load()
+      .select($"value".as("frame"), $"timestamp".as("device_ts"))
+    val q = TelemetryPipeline.decode(frames)
+      .writeStream.format("memory").queryName("socket_golden")
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def tags(): Set[String] = spark.table("socket_golden")
+        .select("tag").distinct().as[String].collect().toSet
+      while (tags() != Set("D", "E", "S") && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(tags() == Set("D", "E", "S"),
+        "all three frame kinds must decode off the wire")
+      val snap = spark.table("socket_golden")
+        .select($"tag", $"device_code", $"weight_g").collect()
+      // payload survived the wire: a data frame decoded to its reading
+      assert(snap.exists(r => r.getString(0) == "D" &&
+        r.getString(1) == "H0001" && r.getDouble(2) == 32100.0))
+      // zero-weight sentinel nulled at the ingest boundary, as on files
+      assert(snap.exists(r => r.getString(0) == "E" && !r.isNullAt(2)))
+    } finally {
+      q.stop()
+      done = true
+      server.close()
+    }
+  }
+
   test("rate source drives the decode pipeline at a configured throughput") {
     // the load-generator shape for throughput testing: the built-in
     // rate source synthesizes (timestamp, value) rows at a target
