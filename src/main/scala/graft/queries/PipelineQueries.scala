@@ -114,7 +114,7 @@ object PipelineQueries {
     * before summing, so aggregation order can't change the model
     * (mirrors the oracle CTEs exactly).
     */
-  private def ivfKmeansAssignments(s: SparkSession, dir: String): DataFrame =
+  private[queries] def ivfKmeansAssignments(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "ivf") {
         import org.apache.spark.sql.expressions.Window
         val Q = 1000000000000.0 // fixed-point scale: 1e-12 resolution
@@ -276,6 +276,52 @@ object PipelineQueries {
       labels.unpersist()
       out
     }
+
+  /** DuckDB CTE for the trained IVF k-means lists (`e` … `a2`) —
+    * mirrors `ivfKmeansAssignments` exactly (2 Lloyd iterations,
+    * fixed-point BIGINT sums, ties on cid). Shared by the ANN-serving
+    * and semantic-dedup oracles.
+    */
+  private[queries] val kmeansCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) nrm
+                FROM embeddings),
+              ev AS (SELECT vec_id, nrm, d, v[d+1] x
+                     FROM e, range(0, 64) r(d)),
+              c0 AS (SELECT vec_id cid, d, x cx FROM ev WHERE vec_id < 8),
+              cn0 AS (SELECT cid,
+                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
+                             ::DOUBLE / 1000000000000.0) cnrm
+                      FROM c0 GROUP BY cid),
+              s1 AS (SELECT ev.vec_id, c0.cid,
+                       SUM(CAST(FLOOR(ev.x*c0.cx*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 dt,
+                       MAX(ev.nrm) nrm
+                     FROM ev JOIN c0 ON ev.d = c0.d GROUP BY 1, 2),
+              a1 AS (SELECT vec_id, cid FROM (
+                       SELECT s1.vec_id, s1.cid,
+                         ROW_NUMBER() OVER (PARTITION BY s1.vec_id
+                           ORDER BY -(s1.dt/(s1.nrm*cn0.cnrm)), s1.cid) rn
+                       FROM s1 JOIN cn0 ON s1.cid = cn0.cid) WHERE rn = 1),
+              c1 AS (SELECT a1.cid, ev.d,
+                       SUM(CAST(FLOOR(ev.x*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 / COUNT(*) cx
+                     FROM ev JOIN a1 ON ev.vec_id = a1.vec_id GROUP BY 1, 2),
+              cn1 AS (SELECT cid,
+                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
+                             ::DOUBLE / 1000000000000.0) cnrm
+                      FROM c1 GROUP BY cid),
+              s2 AS (SELECT ev.vec_id, c1.cid,
+                       SUM(CAST(FLOOR(ev.x*c1.cx*1000000000000.0) AS BIGINT))
+                         ::DOUBLE / 1000000000000.0 dt,
+                       MAX(ev.nrm) nrm
+                     FROM ev JOIN c1 ON ev.d = c1.d GROUP BY 1, 2),
+              a2 AS (SELECT vec_id, cid FROM (
+                       SELECT s2.vec_id, s2.cid,
+                         ROW_NUMBER() OVER (PARTITION BY s2.vec_id
+                           ORDER BY -(s2.dt/(s2.nrm*cn1.cnrm)), s2.cid) rn
+                       FROM s2 JOIN cn1 ON s2.cid = cn1.cid) WHERE rn = 1)"""
 
   /** Shared oracle CTEs / shingle cache, exposed for sibling query
     * families (Round3Queries' containment tier reuses the exact same
@@ -712,45 +758,7 @@ object PipelineQueries {
     // run more iterations of exactly this dataflow.
     QueryDef(
       "ns_ann_ivf_kmeans_topk",
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
-                sqrt(list_dot_product(embedding::DOUBLE[],
-                                      embedding::DOUBLE[])) nrm
-                FROM embeddings),
-              ev AS (SELECT vec_id, nrm, d, v[d+1] x
-                     FROM e, range(0, 64) r(d)),
-              c0 AS (SELECT vec_id cid, d, x cx FROM ev WHERE vec_id < 8),
-              cn0 AS (SELECT cid,
-                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
-                             ::DOUBLE / 1000000000000.0) cnrm
-                      FROM c0 GROUP BY cid),
-              s1 AS (SELECT ev.vec_id, c0.cid,
-                       SUM(CAST(FLOOR(ev.x*c0.cx*1000000000000.0) AS BIGINT))
-                         ::DOUBLE / 1000000000000.0 dt,
-                       MAX(ev.nrm) nrm
-                     FROM ev JOIN c0 ON ev.d = c0.d GROUP BY 1, 2),
-              a1 AS (SELECT vec_id, cid FROM (
-                       SELECT s1.vec_id, s1.cid,
-                         ROW_NUMBER() OVER (PARTITION BY s1.vec_id
-                           ORDER BY -(s1.dt/(s1.nrm*cn0.cnrm)), s1.cid) rn
-                       FROM s1 JOIN cn0 ON s1.cid = cn0.cid) WHERE rn = 1),
-              c1 AS (SELECT a1.cid, ev.d,
-                       SUM(CAST(FLOOR(ev.x*1000000000000.0) AS BIGINT))
-                         ::DOUBLE / 1000000000000.0 / COUNT(*) cx
-                     FROM ev JOIN a1 ON ev.vec_id = a1.vec_id GROUP BY 1, 2),
-              cn1 AS (SELECT cid,
-                        sqrt(SUM(CAST(FLOOR(cx*cx*1000000000000.0) AS BIGINT))
-                             ::DOUBLE / 1000000000000.0) cnrm
-                      FROM c1 GROUP BY cid),
-              s2 AS (SELECT ev.vec_id, c1.cid,
-                       SUM(CAST(FLOOR(ev.x*c1.cx*1000000000000.0) AS BIGINT))
-                         ::DOUBLE / 1000000000000.0 dt,
-                       MAX(ev.nrm) nrm
-                     FROM ev JOIN c1 ON ev.d = c1.d GROUP BY 1, 2),
-              a2 AS (SELECT vec_id, cid FROM (
-                       SELECT s2.vec_id, s2.cid,
-                         ROW_NUMBER() OVER (PARTITION BY s2.vec_id
-                           ORDER BY -(s2.dt/(s2.nrm*cn1.cnrm)), s2.cid) rn
-                       FROM s2 JOIN cn1 ON s2.cid = cn1.cid) WHERE rn = 1),
+      Some(kmeansCte + """,
               pc AS (SELECT cid FROM a2 WHERE vec_id = 0)
               SELECT e1.vec_id,
                 ROUND(list_dot_product(e1.v, e0.v) /
