@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * partition-friendly batch iteration, deterministic outputs — is
   * real and tested. IMAGE decode is REAL (`javax.imageio`, in the
   * JDK: PNG/BMP/GIF/JPEG → width/height/exact fixed-point luma sum,
-  * see [[decodeImageFeatures]]); only the audio/video codec calls
-  * remain STUBS (no audio/video libraries ship in this environment)
-  * producing a deterministic fake so pipelines exercise end-to-end.
+  * see [[decodeImageFeatures]]). AUDIO decode is REAL
+  * (`javax.sound.sampled`, also in the JDK: WAV/AIFF/AU 16-bit PCM →
+  * sample rate / frames / duration / exact energy sum, see
+  * [[decodeAudioFeatures]]). Only the VIDEO codec call remains a STUB
+  * (no video libraries ship in this environment) producing a
+  * deterministic fake so pipelines exercise end-to-end.
   *
   * At 100 TB: media rows are large — keep them in their own column
   * family (parquet binary column), repartition by byte-size budget
@@ -167,12 +170,118 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** STUB decode + feature extraction for AUDIO/VIDEO payloads (no
+  case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_us: Long,
+      sq_sum: Long,
+      peak: Int,
+      decode_ok: Boolean)
+
+  /** Real audio decode + feature extraction over opaque binary
+    * payloads: `javax.sound.sampled.AudioSystem` (ships in the JDK —
+    * WAV, AIFF, AU containers) parses the header and streams PCM
+    * frames. Features are the container-declared sample rate / channel
+    * count plus, from the decoded samples themselves: frame count,
+    * integer microsecond duration `n_frames·10⁶ / rate`, the EXACT
+    * energy sum `Σ s²` over all channel samples, and the peak
+    * amplitude `max |s|` — all pure BIGINT/INT (order-independent and
+    * cross-engine hashable, per the repo's no-float-aggregation parity
+    * rule; RMS = sqrt(sq_sum / n) is one float away for callers).
+    *
+    * Supports signed 16-bit PCM (either endianness, any channel
+    * count) — the universal interchange format WAV/AIFF default to.
+    * Other encodings (u-law, float PCM, 8/24-bit) and corrupt or
+    * non-audio payloads yield `decode_ok = false` with -1 fields
+    * rather than failing the task — at 100 TB a corrupt row must
+    * never kill a 10⁶-row partition.
+    *
+    * Scale shape: mapPartitions, one streaming pass per payload, no
+    * materialization beyond the row's own bytes.
+    */
+  def decodeAudioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val bad = AudioFeatures(rec.media_id, rec.kind, -1, -1, -1L, -1L,
+          -1L, -1, decode_ok = false)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          try {
+            val fmt = ais.getFormat
+            val is16BitPcm =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+            if (!is16BitPcm) bad
+            else {
+              val channels = fmt.getChannels
+              val rate = math.round(fmt.getSampleRate)
+              val pcm = ais.readAllBytes()
+              val nSamples = pcm.length / 2
+              val nFrames = nSamples.toLong / channels
+              var sqSum = 0L
+              var peak = 0
+              var i = 0
+              val big = fmt.isBigEndian
+              while (i + 1 < pcm.length) {
+                val s =
+                  if (big) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
+                  else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt
+                sqSum += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 2
+              }
+              AudioFeatures(rec.media_id, rec.kind, rate, channels, nFrames,
+                nFrames * 1000000L / rate, sqSum, peak, decode_ok = true)
+            }
+          } finally ais.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => bad
+          case _: java.io.IOException => bad
+        }
+      }
+    }
+  }
+
+  /** Deterministic audio encoder for fixtures/tests: signed 16-bit PCM
+    * samples (interleaved when `channels > 1`) wrapped in a WAV or
+    * AIFF container via `AudioSystem.write`. PCM is lossless, so
+    * [[decodeAudioFeatures]] must round-trip the exact samples.
+    */
+  def encodeAudio(sampleRate: Int, channels: Int, samples: Array[Short],
+      aiff: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    // WAV is little-endian by convention, AIFF big-endian
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /*signed=*/ true, /*bigEndian=*/ aiff)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (aiff) { pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte }
+      else { pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** STUB decode + feature extraction for VIDEO payloads (no video
     * codec libraries in this environment): deterministic byte
-    * statistics stand in for RMS/frame features. The iterator shape
+    * statistics stand in for frame features. The iterator shape
     * (mapPartitions, streaming over rows, no materialization) is the
     * production pattern and is what the spec tests. For images use
-    * [[decodeImageFeatures]], which is real.
+    * [[decodeImageFeatures]] and for audio [[decodeAudioFeatures]] —
+    * both real.
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._

@@ -1149,10 +1149,43 @@ object PipelineQueries {
             col("height"), col("n_px"), col("luma_fp"))
           .orderBy("media_id")
       }),
+
+    // ── Multimodal REAL audio decode (javax.sound.sampled): same
+    // truth-from-formula discipline as the image row — the committed
+    // fixture carries binary WAV/AIFF 16-bit-PCM payloads plus truth
+    // columns computed ARITHMETICALLY from the sample formula at
+    // generation time (tools/MakeMediaFixture). The oracle reads the
+    // truth; the Spark side must PARSE the container and DECODE the
+    // PCM to match. sq_sum is the exact Σ s² energy (BIGINT,
+    // parity-safe); duration_us is integer microseconds.
+    QueryDef(
+      "ns_multimodal_audio",
+      Some("""SELECT media_id, kind,
+              true_sample_rate AS sample_rate,
+              true_channels AS channels,
+              true_n_frames AS n_frames,
+              true_duration_us AS duration_us,
+              true_sq_sum AS sq_sum,
+              true_peak AS peak
+              FROM read_parquet('/root/repo/fixtures/audio/*.parquet')
+              ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val recs = s.read.parquet(audioFixtureDir)
+          .select("media_id", "kind", "payload")
+          .as[graft.functions.Multimodal.MediaRecord]
+        graft.functions.Multimodal.decodeAudioFeatures(recs)
+          .select(col("media_id"), col("kind"), col("sample_rate"),
+            col("channels"), col("n_frames"), col("duration_us"),
+            col("sq_sum"), col("peak"))
+          .orderBy("media_id")
+      }),
   )
 
-  /** The media fixture is repo-local (binary payloads can't live in
+  /** The media fixtures are repo-local (binary payloads can't live in
     * the read-only testdata dirs); overridable for dev checkouts. */
   private def mediaFixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/media"
+  private def audioFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/audio"
 }

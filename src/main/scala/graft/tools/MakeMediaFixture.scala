@@ -58,20 +58,77 @@ object MakeMediaFixture {
 
   def rows: Seq[FixtureRow] = (0 until 48).map(row)
 
-  def main(args: Array[String]): Unit = {
-    val outDir = if (args.nonEmpty) args(0) else "fixtures/media"
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    import spark.implicits._
-    rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(outDir)
-    spark.stop()
+  // ── Audio fixture family (`fixtures/audio/`), the input of the
+  // `ns_multimodal_audio` oracle query (round-8 upgrade: real
+  // javax.sound.sampled decode, same truth-from-formula discipline).
+  // 24 clips, WAV (even ids, little-endian) and AIFF (odd ids,
+  // big-endian), mono with stereo every 4th row, varying sample rates
+  // and lengths. Truth columns are computed ARITHMETICALLY from the
+  // sample formula — a decoder faking features from byte statistics
+  // cannot match the per-sample energy sum of the decoded PCM.
+  //
+  // Sample formula (shared with MultimodalSpec):
+  //   s(j, i) = ((7i² + 31i + 997j) mod 65536) − 32768   (16-bit signed)
+
+  case class AudioFixtureRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      true_sample_rate: Int,
+      true_channels: Int,
+      true_n_frames: Long,
+      true_duration_us: Long,
+      true_sq_sum: Long,
+      true_peak: Int)
+
+  def audioSample(j: Int)(i: Int): Short =
+    (((7L * i * i + 31L * i + 997L * j) % 65536L) - 32768L).toShort
+
+  def audioRow(j: Int): AudioFixtureRow = {
+    val rates = Array(8000, 11025, 16000, 22050, 44100)
+    val rate = rates(j % rates.length)
+    val channels = if (j % 4 == 3) 2 else 1
+    val nFrames = 800 + 463 * j
+    val samples = Array.tabulate(nFrames * channels)(audioSample(j))
+    var sqSum = 0L
+    var peak = 0
+    samples.foreach { s =>
+      sqSum += s.toLong * s
+      val a = math.abs(s.toInt)
+      if (a > peak) peak = a
+    }
+    val aiff = j % 2 == 1
+    AudioFixtureRow(j.toLong, if (aiff) "audio/aiff" else "audio/wav",
+      Multimodal.encodeAudio(rate, channels, samples, aiff),
+      rate, channels, nFrames.toLong, nFrames.toLong * 1000000L / rate,
+      sqSum, peak)
+  }
+
+  def audioRows: Seq[AudioFixtureRow] = (0 until 24).map(audioRow)
+
+  private def stripBookkeeping(outDir: String): Unit = {
     // strip Spark's bookkeeping files so only the .parquet is committed
     val dir = new java.io.File(outDir)
     dir.listFiles().foreach { f =>
       if (f.getName.startsWith(".") || f.getName == "_SUCCESS") f.delete()
     }
-    println(s"wrote ${rows.size} fixture rows to $outDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "fixtures"
+    val mediaDir = s"$base/media"
+    val audioDir = s"$base/audio"
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mediaDir)
+    audioRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(audioDir)
+    spark.stop()
+    stripBookkeeping(mediaDir)
+    stripBookkeeping(audioDir)
+    println(s"wrote ${rows.size} image rows to $mediaDir, " +
+      s"${audioRows.size} audio rows to $audioDir")
   }
 }

@@ -4,12 +4,14 @@ import graft.functions.Multimodal
 import graft.tools.MakeMediaFixture
 
 /** Goldens for the REAL javax.imageio image decode path (round-5
-  * upgrade of the multimodal tier; the audio/video codecs remain
-  * disclosed stubs tested in TextPipelineSpec).
+  * upgrade) and the REAL javax.sound.sampled audio decode path
+  * (round-8 upgrade); only the video codec remains a disclosed stub
+  * tested in TextPipelineSpec.
   *
-  * The decode-vs-truth golden replays exactly what the
-  * ns_multimodal_decode oracle row checks: truth columns computed
-  * arithmetically from the pixel formula, never from a decoder.
+  * The decode-vs-truth goldens replay exactly what the
+  * ns_multimodal_decode / ns_multimodal_audio oracle rows check:
+  * truth columns computed arithmetically from the pixel / sample
+  * formulas, never from a decoder.
   */
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
@@ -70,6 +72,54 @@ class MultimodalSpec extends SparkSpec {
       truth += 299L * r + 587L * g + 114L * b
     }
     assert(f.decode_ok && f.width == 16 && f.height == 11 && f.luma_fp == truth)
+  }
+
+  test("audio decode recovers exact rate/frames/energy for all 24 fixture clips") {
+    import spark.implicits._
+    val rows = MakeMediaFixture.audioRows
+    val recs = rows.map(r => MediaRecord(r.media_id, r.kind, r.payload)).toDS()
+    val got = decodeAudioFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.length == 24)
+    got.zip(rows).foreach { case (f, truth) =>
+      assert(f.decode_ok, s"audio ${truth.media_id} failed to decode")
+      assert(f.sample_rate == truth.true_sample_rate &&
+        f.channels == truth.true_channels,
+        s"audio ${truth.media_id}: fmt ${f.sample_rate}/${f.channels}")
+      assert(f.n_frames == truth.true_n_frames &&
+        f.duration_us == truth.true_duration_us,
+        s"audio ${truth.media_id}: frames ${f.n_frames} dur ${f.duration_us}")
+      assert(f.sq_sum == truth.true_sq_sum,
+        s"audio ${truth.media_id}: sq_sum ${f.sq_sum} != ${truth.true_sq_sum}")
+      assert(f.peak == truth.true_peak)
+    }
+  }
+
+  test("committed audio fixture parquet matches in-memory generation (no drift)") {
+    val fixDir = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/audio"
+    val onDisk = spark.read.parquet(fixDir)
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("payload")),
+        r.getAs[Long]("true_sq_sum"))).sortBy(_._1)
+    val fresh = MakeMediaFixture.audioRows
+      .map(r => (r.media_id, java.util.Arrays.hashCode(r.payload),
+        r.true_sq_sum)).sortBy(_._1)
+    assert(onDisk.toSeq == fresh,
+      "committed fixtures/audio diverges from MakeMediaFixture — rerun the generator")
+  }
+
+  test("corrupt / non-audio payloads yield decode_ok=false, never a task failure") {
+    import spark.implicits._
+    val wav = encodeAudio(8000, 1, Array.tabulate(100)(i => (i * 7).toShort),
+      aiff = false)
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", wav),
+      MediaRecord(2L, "audio/wav", wav.take(10)), // truncated header
+      MediaRecord(3L, "image/png", encodeImage(4, 4, (_, _) => (1, 2, 3), "png")),
+      MediaRecord(4L, "audio/wav", Array[Byte]())).toDS()
+    val got = decodeAudioFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.map(_.decode_ok).toSeq == Seq(true, false, false, false))
+    assert(got.filter(!_.decode_ok).forall(f =>
+      f.sample_rate == -1 && f.n_frames == -1L && f.sq_sum == -1L))
   }
 
   test("corrupt / non-image payloads yield decode_ok=false, never a task failure") {
