@@ -199,4 +199,99 @@ object AsOf {
       .select(pCols.map(col) ++
         valueCols.map(v => col(s"__graft_asof.$v").as(v)): _*)
   }
+
+  /** The routing decision [[joinLatestAuto]] makes, exposed so tests
+    * (and curious callers) can see WHY a plan was chosen. When
+    * `bucketed`, the bucket function is
+    * `floor((t − tMin) / width)` over `t` cast to double —
+    * monotone in t, sized so the hottest key's history spans
+    * `nBuckets` tasks of ≈`targetRowsPerTask` rows each.
+    */
+  final case class AutoPlan(
+      bucketed: Boolean,
+      maxKeyRows: Long,
+      nBuckets: Int,
+      tMin: Double,
+      width: Double)
+
+  /** Probe the key distribution with ONE aggregate and decide plain vs
+    * bucketed: per-key counts (map-side partial agg does the heavy
+    * lifting) rolled up to (hottest-key row count, hottest-key time
+    * range). Cost is one extra shuffle of (key, time) pairs — small
+    * next to the as-of window itself; callers who already know their
+    * skew should call [[joinLatest]] / [[joinLatestBucketed]] directly
+    * and skip the probe.
+    */
+  def autoPlan(
+      probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTime: String, buildTime: String,
+      targetRowsPerTask: Long = 1L << 20): AutoPlan = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    def keyStruct(names: Seq[String]) =
+      struct(names.zipWithIndex.map { case (n, i) => col(n).as(s"k$i") }: _*)
+    // both sides land in the same window partition, so skew = combined
+    // per-key row count; cast-to-double works for numeric AND
+    // timestamp time columns (epoch seconds with fraction)
+    val keyed = probe
+      .select(keyStruct(probeKeys).as("__graft_k"),
+        col(probeTime).cast("double").as("__graft_t"))
+      .unionByName(build
+        .select(keyStruct(buildKeys).as("__graft_k"),
+          col(buildTime).cast("double").as("__graft_t")))
+    val perKey = keyed.groupBy("__graft_k")
+      .agg(count(lit(1)).as("__graft_c"),
+        min("__graft_t").as("__graft_tmn"),
+        max("__graft_t").as("__graft_tmx"))
+    val top = perKey
+      .agg(max(col("__graft_c")).as("maxc"),
+        max_by(struct(col("__graft_tmn"), col("__graft_tmx")),
+          col("__graft_c")).as("hot"))
+      .collect() // 1 row — the probe aggregate, bounded by construction
+    if (top.isEmpty || top(0).isNullAt(0))
+      return AutoPlan(bucketed = false, 0L, 1, 0.0, 1.0)
+    val maxKeyRows = top(0).getLong(0)
+    if (maxKeyRows <= targetRowsPerTask)
+      return AutoPlan(bucketed = false, maxKeyRows, 1, 0.0, 1.0)
+    val hot = top(0).getStruct(1)
+    val (tMin, tMax) =
+      if (hot == null || hot.isNullAt(0)) (0.0, 0.0)
+      else (hot.getDouble(0), hot.getDouble(1))
+    val nBuckets = math.min(
+      math.ceil(maxKeyRows.toDouble / targetRowsPerTask).toLong, 1L << 20).toInt
+    // a hot key whose history all carries ONE timestamp can't be
+    // split by time — the epsilon floor collapses it to one bucket
+    // (same wall-clock as plain, still correct)
+    val width = math.max((tMax - tMin) / nBuckets, 1e-9)
+    AutoPlan(bucketed = true, maxKeyRows, nBuckets, tMin, width)
+  }
+
+  /** Skew-adaptive as-of join: same semantics as [[joinLatest]], with
+    * the plain-vs-bucketed routing made automatic (VERDICT r7 item 4 —
+    * a caller with an unknown-skew key set no longer has to guess).
+    * Runs [[autoPlan]]'s one-aggregate probe; uniform keys take the
+    * plain single-window plan, a key hotter than `targetRowsPerTask`
+    * rows takes [[joinLatestBucketed]] with the bucket width derived
+    * from the hot key's own time range. The default target (2²⁰ rows)
+    * is the per-task window size proven spill-safe in ScaleOpsSpec.
+    */
+  def joinLatestAuto(
+      probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      strict: Boolean = false,
+      targetRowsPerTask: Long = 1L << 20): DataFrame = {
+    val plan = autoPlan(probe, build, probeKeys, buildKeys,
+      probeTime, buildTime, targetRowsPerTask)
+    if (!plan.bucketed)
+      joinLatest(probe, build, probeKeys, buildKeys,
+        probeTime, buildTime, valueCols, strict)
+    else
+      joinLatestBucketed(probe, build, probeKeys, buildKeys,
+        probeTime, buildTime, valueCols,
+        t => floor((t.cast("double") - lit(plan.tMin)) / lit(plan.width))
+          .cast("long"),
+        strict)
+  }
 }

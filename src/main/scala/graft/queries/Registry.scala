@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ ScalarQueries.defs ++ AdvancedQueries.defs ++
-      PipelineQueries.defs ++ ExtendedQueries.defs ++ Round3Queries.defs
+      PipelineQueries.defs ++ ExtendedQueries.defs ++ Round3Queries.defs ++
+      Round8Queries.defs
 
   /** Collapse SQL whitespace so oracle_sql.json stays one-line-friendly. */
   private def squash(sql: String): String =

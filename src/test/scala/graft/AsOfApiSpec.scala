@@ -159,6 +159,57 @@ class AsOfApiSpec extends SparkSpec {
     assert(out(3L).isEmpty, "null probe time matches nothing")
   }
 
+  test("auto routing: plain on uniform keys, bucketed on a hot key, identical results") {
+    // uniform: 40 keys × 10 rows — far under the 25-row target, so the
+    // probe must choose the plain single-window plan
+    val uniformB = (1 to 400)
+      .map(i => (i % 40L, i.toLong, i * 2L)).toDF("k", "t", "v")
+    val uniformP = (1 to 200)
+      .map(i => (i.toLong, i % 40L, i.toLong + 1)).toDF("event_id", "pk", "pt")
+    val planU = AsOf.autoPlan(uniformP, uniformB, Seq("pk"), Seq("k"),
+      "pt", "t", targetRowsPerTask = 25)
+    assert(!planU.bucketed, s"uniform keys must stay plain: $planU")
+    assert(planU.maxKeyRows == 15, planU.toString) // 10 build + 5 probe
+
+    // hot: one key owns 360 of 400 build rows — over the target, so
+    // the probe must route to the bucketed plan with >1 bucket
+    val hotB = (1 to 400)
+      .map(i => (if (i <= 360) 7L else i % 10L, i.toLong, i * 2L))
+      .toDF("k", "t", "v")
+    val planH = AsOf.autoPlan(uniformP, hotB, Seq("pk"), Seq("k"),
+      "pt", "t", targetRowsPerTask = 25)
+    assert(planH.bucketed && planH.nBuckets > 1,
+      s"hot key must route to bucketed: $planH")
+    assert(planH.maxKeyRows >= 360, planH.toString)
+
+    // and BOTH routes return exactly what the explicit plain form does
+    for (strict <- Seq(false, true); b <- Seq(uniformB, hotB)) {
+      val expected = AsOf.joinLatest(uniformP, b, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      val got = AsOf.joinLatestAuto(uniformP, b, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict, targetRowsPerTask = 25)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      assert(got == expected, s"strict=$strict auto != plain")
+    }
+  }
+
+  test("auto routing handles timestamp time columns and empty frames") {
+    val p = Seq((1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:10")))
+      .toDF("event_id", "k", "ts")
+    val b = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:05"), "x"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.joinLatestAuto(p, b, Seq("k"), Seq("k"), "ts", "ts",
+      Seq("tag"), strict = false, targetRowsPerTask = 1)
+      .select("tag").as[Option[String]].head()
+    assert(out.contains("x"), s"timestamp auto route: $out")
+    // empty inputs: probe aggregate returns no per-key rows — must
+    // fall back plain, not throw
+    val plan = AsOf.autoPlan(p.limit(0), b.limit(0), Seq("k"), Seq("k"),
+      "ts", "ts")
+    assert(!plan.bucketed && plan.maxKeyRows == 0L, plan.toString)
+  }
+
   test("the plan is one shuffle + window — no join operator") {
     val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
       .queryExecution.executedPlan.toString
