@@ -123,18 +123,34 @@ object TelemetryPipeline {
     *
     * The cutoff is a LAZY broadcast 1-row aggregate joined onto the
     * batch — no per-batch driver action: the max-timestamp scan runs
-    * inside each sink's write job, not as its own job ahead of them.
-    * A null cutoff (empty batch, or all-null timestamps) routes every
-    * row on-time and nothing late, matching the eager form's behavior.
+    * inside the first sink's write job, not as its own job ahead of
+    * it. The 1-row cut frame is `persist()`ed, so when BOTH returned
+    * frames are materialized the scan runs ONCE and the two sides see
+    * the SAME cutoff even on a non-deterministic input (the cache, not
+    * batch pinning, is what makes the split consistent; the per-batch
+    * 1-row cache entry is reclaimed by the ContextCleaner once the
+    * frames are unreachable). A null cutoff (empty batch, or all-null
+    * timestamps) routes every row on-time and nothing late, matching
+    * the eager form's behavior.
     */
   def lateSplit(batch: DataFrame, tsCol: String, cutoffSeconds: Long)
       : (DataFrame, DataFrame) = {
-    val cut = batch.agg(
-      expr(s"max($tsCol) - INTERVAL '$cutoffSeconds' SECOND").as("_cut"))
+    // the working column would silently collide with a same-named
+    // batch column — fail fast (same reserved prefix as AsOf)
+    require(!batch.columns.exists(_.startsWith("__graft_")),
+      "column names with the __graft_ prefix are reserved")
+    // Column API keeps tsCol out of the SQL string: names needing
+    // backticks (dots, spaces) must not break the cutoff expression
+    val cut = batch
+      .agg((max(col(tsCol)) - expr(s"INTERVAL '$cutoffSeconds' SECOND"))
+        .as("__graft_cut"))
+      .persist()
     val flagged = batch.crossJoin(broadcast(cut))
     val onTime = flagged
-      .filter(col("_cut").isNull || col(tsCol) >= col("_cut")).drop("_cut")
-    val late = flagged.filter(col(tsCol) < col("_cut")).drop("_cut")
+      .filter(col("__graft_cut").isNull || col(tsCol) >= col("__graft_cut"))
+      .drop("__graft_cut")
+    val late = flagged.filter(col(tsCol) < col("__graft_cut"))
+      .drop("__graft_cut")
     (onTime, late)
   }
 

@@ -89,23 +89,31 @@ class StreamingFileSourceSpec extends SparkSpec {
     // re-sending the frame set until the query has caught them (the
     // socket source only sees bytes sent AFTER it connects), so the
     // assertion is on the distinct decoded shapes, not exact counts.
+    // The server LOOPS on accept: the socket source may drop and
+    // re-dial after a transient error, and a single-accept server
+    // would strand the reconnect and burn the whole deadline (flake
+    // vector flagged in the r7 advice).
     val server = new java.net.ServerSocket(
-      0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+      0, 4, java.net.InetAddress.getByName("127.0.0.1"))
     val port = server.getLocalPort
     @volatile var done = false
     val writer = new Thread(() => {
-      try {
-        val sock = server.accept()
-        val out = new java.io.PrintWriter(
-          sock.getOutputStream, true)
-        while (!done && !out.checkError()) {
-          out.println("""D{"H0001":{"w":32100},"H0002":{"w":28450}}""")
-          out.println("""E{"H0001":{"w":32100,"p":1,"s":1}}""")
-          out.println("""S{"H1":true}""")
-          Thread.sleep(100)
+      while (!done) {
+        try {
+          val sock = server.accept() // serve every (re)connection until done
+          val out = new java.io.PrintWriter(
+            sock.getOutputStream, true)
+          while (!done && !out.checkError()) {
+            out.println("""D{"H0001":{"w":32100},"H0002":{"w":28450}}""")
+            out.println("""E{"H0001":{"w":32100,"p":1,"s":1}}""")
+            out.println("""S{"H1":true}""")
+            Thread.sleep(100)
+          }
+          sock.close()
+        } catch { case _: Throwable => // closed under us on cleanup
+          if (!done) Thread.sleep(50) // don't spin if accept fails early
         }
-        sock.close()
-      } catch { case _: Throwable => () } // closed under us on cleanup
+      }
     })
     writer.setDaemon(true)
     writer.start()

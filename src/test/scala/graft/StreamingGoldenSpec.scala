@@ -172,6 +172,39 @@ class StreamingGoldenSpec extends SparkSpec {
     assert(o2.count() == 0 && l2.count() == 0)
   }
 
+  test("T2: lateSplit computes the cutoff once when BOTH sinks materialize") {
+    // Count row-level passes over the input with an accumulator-bumping
+    // map: the persisted 1-row cut frame must make the max-timestamp
+    // scan run ONCE (cached), then once per side's filter — 3 passes
+    // total. An unshared cutoff would re-scan per side (4 passes) and,
+    // worse, could compute DIFFERENT cutoffs on a non-deterministic
+    // input, landing rows in both or neither split.
+    val passes = spark.sparkContext.longAccumulator("lateSplit_passes")
+    val n = 64L
+    val base = ts("2024-01-01 00:00:01").getTime / 1000
+    val batch = spark.range(n).map { i =>
+      passes.add(1L)
+      ("H%04d".format(i % 7), base + i)
+    }.toDF("device_code", "epoch")
+      .select($"device_code", $"epoch".cast("timestamp").as("device_ts"))
+    val (onTime, late) = TelemetryPipeline.lateSplit(batch, "device_ts", 10)
+    onTime.write.format("noop").mode("overwrite").save()
+    late.write.format("noop").mode("overwrite").save()
+    assert(passes.value == 3 * n,
+      s"expected 3 passes over $n rows (cut once + one filter per side), " +
+        s"got ${passes.value / n.toDouble} passes")
+    // and both sides split against the SAME cutoff: exact partition
+    assert(onTime.count() + late.count() == n)
+  }
+
+  test("T2: lateSplit rejects reserved __graft_ columns") {
+    val bad = Seq(("H0001", ts("2024-01-01 00:00:01"), 1))
+      .toDF("device_code", "device_ts", "__graft_cut")
+    intercept[IllegalArgumentException] {
+      TelemetryPipeline.lateSplit(bad, "device_ts", 60)
+    }
+  }
+
   test("e2e: frames → decode → hourly rounds → routed sink (the whole reference dataflow)") {
     // One live stream exercising the full composition the reference
     // firmware implements across master+gateway: tagged-frame ingest,
