@@ -132,6 +132,35 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("golden plan fingerprints: the top expensive plans keep their shape") {
+    // VERDICT r7 item 5: a pushdown / join-order / strategy regression
+    // in a headline query must fail the suite, not hide in bench noise.
+    // Regenerate with: GRAFT_REGEN_PLANS=1 sbt "testOnly graft.QueryPlanSpec"
+    import java.nio.file.{Files, Paths}
+    // plans must not depend on what earlier specs happened to cache
+    spark.catalog.clearCache()
+    val dir = Paths.get(
+      sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo"), "docs", "plan_golden")
+    val regen = sys.env.contains("GRAFT_REGEN_PLANS")
+    if (regen) Files.createDirectories(dir)
+    val failures = graft.tools.PlanGolden.picks.flatMap { name =>
+      val fp = graft.tools.PlanGolden.fingerprint(
+        Registry.queries(name)(spark, sfDir))
+      val f = dir.resolve(s"$name.txt")
+      if (regen) { Files.writeString(f, fp); None }
+      else if (!Files.exists(f))
+        Some(s"$name: missing golden $f — regenerate with GRAFT_REGEN_PLANS=1")
+      else {
+        val want = Files.readString(f)
+        if (fp == want) None
+        else Some(s"$name: physical plan shape changed vs docs/plan_golden/" +
+          s"$name.txt (${graft.tools.PlanGolden.firstDiff(want, fp)}) — if " +
+          "intentional, regenerate with GRAFT_REGEN_PLANS=1")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("smoke: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
