@@ -136,30 +136,60 @@ object Bench {
     // query also carries a contention-free number the 2×-per-query
     // gate can actually falsify.
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISO_REPS", "3").toInt
+    val loadBefore = readLoadAvg()
     val isoWall0 = System.nanoTime()
-    val isolated: Seq[(String, Double)] =
+    // Per query keep EVERY rep (min/median/max), not just the median:
+    // the r7 snapshot's isolated numbers were captured on a contended
+    // machine and overstated cost ~3× with no way to tell from the
+    // committed JSON (VERDICT r7 item 1). Rep spread (max/min) is the
+    // in-band contention signal — a compute-bound query re-run 3×
+    // back-to-back on a quiet 32-core box repeats within ~1.2×.
+    val isolated: Seq[(String, Double, Double, Double)] =
       if (isoReps <= 0) Seq.empty
       else work.map { case (name, fn) =>
         val times = (1 to isoReps)
           .map(_ => runOne(spark, sfDir, name, fn)._2)
         val ok = times.filter(_ >= 0).sorted
         // median of the successful reps; all-failed keeps the sentinel
-        name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+        if (ok.isEmpty) (name, -1.0, -1.0, -1.0)
+        else (name, ok(ok.length / 2), ok.head, ok.last)
       }
     val isoWallSec = (System.nanoTime() - isoWall0) / 1e9
-    val isoQs = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAfter = readLoadAvg()
+    val isoQs = isolated.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val isoSum = isolated.map(_._2).filter(_ >= 0).sum
+    val isoReps3 = isolated.map { case (k, med, mn, mx) =>
+      "\"" + k + "\":[" + mn + "," + med + "," + mx + "]"
+    }.mkString("{", ",", "}")
+    val isoOk = isolated.filter(_._2 >= 0)
+    val isoSum = isoOk.map(_._2).sum
+    val isoMinSum = isoOk.map(_._3).sum
+    val isoNFailed = isolated.count(_._2 < 0)
+    // Contention detector. Per-query max/min rep spread >1.5× fires
+    // even on an IDLE box for sub-second queries (JIT/GC/OS jitter:
+    // measured 59/102 with no external load) — disclosed as
+    // n_spread_gt_1_5 but not trusted as the flag. The robust in-band
+    // signal is aggregate drift of the HEADLINE (median sum) off the
+    // best-case floor (min sum): 1.075× on a quiet capture, and it
+    // scales with exactly the inflation a contended capture reports.
+    // Sustained load that poisons all 3 reps equally is invisible to
+    // any in-band spread — that's what the loadavg fields are for.
+    val spready = isoOk.count { case (_, _, mn, mx) => mn > 0 && mx / mn > 1.5 }
+    val contended = isoMinSum > 0 && isoSum / isoMinSum > 1.25
     // Headline `value` = the ISOLATED latency sum (median of `reps`
     // sequential runs per query, summed): per-query attributable,
     // run-to-run stable, and apples-to-apples with the DuckDB
     // baseline's sequential total. The pooled multi-tenant wall moved
     // 16.5→26.6→19 s across rounds with no engine change (VERDICT r4
     // item 5) — it stays disclosed as `pooled_wall_sec`, demoted from
-    // the headline.
-    val headline = if (isolated.nonEmpty) isoSum else wallSec
+    // the headline. If ANY isolated query failed, the isoSum is a
+    // partial sum that would make a breakage look like a speedup
+    // (ADVICE r7) — fall back to the pooled wall and disclose
+    // iso_n_failed.
+    val headline =
+      if (isolated.nonEmpty && isoNFailed == 0) isoSum else wallSec
     val detail =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries_isolated":$isoQs,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_spread_gt_1_5":$spready,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
     // Full per-query detail: one (long) line + a file copy. The
     // driver's tail capture truncated this line in round 1
     // ("parsed": null), so the LAST line printed is a short summary
@@ -168,7 +198,19 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$headline,"unit":"sec","n_queries":${results.size},"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headline,"unit":"sec","n_queries":${results.size},"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_spread_gt_1_5":$spready,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** First three fields of /proc/loadavg ("1m 5m 15m"), or "" off-Linux.
+    * Captured before and after the isolated pass: external load is the
+    * usual cause of >1.5× rep spread, and having it in-band lets a
+    * flagged capture be attributed without re-running.
+    */
+  private def readLoadAvg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
 }
