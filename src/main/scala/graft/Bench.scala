@@ -29,6 +29,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Sampled before ANY bench work: the only loadavg reading that is
+    // purely EXTERNAL load. loadavg_before (pre-isolated-pass) is
+    // self-inflated by the pooled phase's own residue (ADVICE r8: 7.62
+    // before vs 2.76 after on an idle box) — attribution of a
+    // contended capture should start here.
+    val loadStart = readLoadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -168,7 +174,9 @@ object Bench {
     // Contention detector. Per-query max/min rep spread >1.5× fires
     // even on an IDLE box for sub-second queries (JIT/GC/OS jitter:
     // measured 59/102 with no external load) — disclosed as
-    // n_spread_gt_1_5 but not trusted as the flag. The robust in-band
+    // n_subsec_jitter_gt_1_5 (named for what it measures on sub-second
+    // queries, per VERDICT r8 #4 — NOT a contention flag) but not
+    // trusted as the flag. The robust in-band
     // signal is aggregate drift of the HEADLINE (median sum) off the
     // best-case floor (min sum): 1.075× on a quiet capture, and it
     // scales with exactly the inflation a contended capture reports.
@@ -189,7 +197,7 @@ object Bench {
     val headline =
       if (isolated.nonEmpty && isoNFailed == 0) isoSum else wallSec
     val detail =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_spread_gt_1_5":$spready,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}"""
     // Full per-query detail: one (long) line + a file copy. The
     // driver's tail capture truncated this line in round 1
     // ("parsed": null), so the LAST line printed is a short summary
@@ -198,13 +206,15 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$headline,"unit":"sec","n_queries":${results.size},"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_spread_gt_1_5":$spready,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headline,"unit":"sec","n_queries":${results.size},"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** First three fields of /proc/loadavg ("1m 5m 15m"), or "" off-Linux.
-    * Captured before and after the isolated pass: external load is the
-    * usual cause of >1.5× rep spread, and having it in-band lets a
+    * Captured at process start (loadavg_start: pure external load),
+    * before the isolated pass (loadavg_before: includes the pooled
+    * phase's own residue — see main), and after it. External load is
+    * the usual cause of >1.5× rep spread, and having it in-band lets a
     * flagged capture be attributed without re-running.
     */
   private def readLoadAvg(): String =

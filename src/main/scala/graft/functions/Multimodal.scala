@@ -213,9 +213,14 @@ object Multimodal {
             new java.io.ByteArrayInputStream(rec.payload))
           try {
             val fmt = ais.getFormat
+            // rate/channels > 0 guards a corrupt-yet-parseable header
+            // (sampleRate=0 or channels=0) from reaching the divisions
+            // below — such payloads must yield decode_ok=false, not an
+            // ArithmeticException that kills the task
             val is16BitPcm =
               fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                fmt.getSampleSizeInBits == 16
+                fmt.getSampleSizeInBits == 16 &&
+                fmt.getChannels > 0 && fmt.getSampleRate > 0f
             if (!is16BitPcm) bad
             else {
               val channels = fmt.getChannels
@@ -241,8 +246,12 @@ object Multimodal {
             }
           } finally ais.close()
         } catch {
+          // the expected cases are named; NonFatal backstops any other
+          // parser edge case — the contract is that a corrupt row
+          // never kills the partition
           case _: javax.sound.sampled.UnsupportedAudioFileException => bad
           case _: java.io.IOException => bad
+          case scala.util.control.NonFatal(_) => bad
         }
       }
     }

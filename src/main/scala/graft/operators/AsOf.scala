@@ -232,11 +232,19 @@ object AsOf {
       struct(names.zipWithIndex.map { case (n, i) => col(n).as(s"k$i") }: _*)
     // both sides land in the same window partition, so skew = combined
     // per-key row count; cast-to-double works for numeric AND
-    // timestamp time columns (epoch seconds with fraction)
+    // timestamp time columns (epoch seconds with fraction).
+    // Null-key rows are excluded to mirror joinLatest's match
+    // semantics (build nulls are dropped, probe nulls match nothing):
+    // inside a struct null FIELDS compare equal, so without the filter
+    // a mostly-null key column would read as one giant hot key and
+    // spuriously route to the bucketed plan (ADVICE r8). Skew is
+    // measured over keys that can actually match.
     val keyed = probe
+      .filter(probeKeys.map(col(_).isNotNull).reduce(_ && _))
       .select(keyStruct(probeKeys).as("__graft_k"),
         col(probeTime).cast("double").as("__graft_t"))
       .unionByName(build
+        .filter(buildKeys.map(col(_).isNotNull).reduce(_ && _))
         .select(keyStruct(buildKeys).as("__graft_k"),
           col(buildTime).cast("double").as("__graft_t")))
     val perKey = keyed.groupBy("__graft_k")
@@ -281,9 +289,25 @@ object AsOf {
       probeTime: String, buildTime: String,
       valueCols: Seq[String],
       strict: Boolean = false,
-      targetRowsPerTask: Long = 1L << 20): DataFrame = {
-    val plan = autoPlan(probe, build, probeKeys, buildKeys,
-      probeTime, buildTime, targetRowsPerTask)
+      targetRowsPerTask: Long = 1L << 20): DataFrame =
+    joinLatestAuto(probe, build, probeKeys, buildKeys, probeTime, buildTime,
+      valueCols, strict,
+      autoPlan(probe, build, probeKeys, buildKeys, probeTime, buildTime,
+        targetRowsPerTask))
+
+  /** Precomputed-plan form: [[autoPlan]]'s probe re-shuffles (key,
+    * time) on every call, so a caller doing SEVERAL as-of joins
+    * against the same build side should probe once and pass the
+    * resulting [[AutoPlan]] here — each join then pays only its own
+    * window, not a fresh probe (VERDICT r8 #3).
+    */
+  def joinLatestAuto(
+      probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      strict: Boolean,
+      plan: AutoPlan): DataFrame =
     if (!plan.bucketed)
       joinLatest(probe, build, probeKeys, buildKeys,
         probeTime, buildTime, valueCols, strict)
@@ -293,5 +317,4 @@ object AsOf {
         t => floor((t.cast("double") - lit(plan.tMin)) / lit(plan.width))
           .cast("long"),
         strict)
-  }
 }

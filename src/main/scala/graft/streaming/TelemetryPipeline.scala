@@ -115,11 +115,24 @@ object TelemetryPipeline {
       writeDlq(partial)
   }
 
-  /** T2: the 60 s round-budget late-data split, foreachBatch form
+  /** The two sides of a [[lateSplitFrames]] plus the shared persisted
+    * 1-row cutoff frame. The caller MUST call [[release]] after
+    * materializing both sides: `persist()` registers the cut plan in
+    * the session CacheManager, which holds a strong reference, so the
+    * entry is NOT reclaimed by GC/ContextCleaner — without an explicit
+    * unpersist a long-lived streaming query would leak one cache entry
+    * per micro-batch. [[lateSplit]] (the foreachBatch form) does this
+    * bookkeeping for you.
+    */
+  final case class LateSplit(onTime: DataFrame, late: DataFrame,
+      cutoff: DataFrame) {
+    def release(): Unit = cutoff.unpersist(blocking = false)
+  }
+
+  /** T2: the 60 s round-budget late-data split
     * (master/master.ino:33,130-145): rows older than `cutoff` relative
     * to the batch's max event time go to the error-report DLQ instead
     * of being silently dropped (what a bare watermark would do).
-    * Returns (onTime, late).
     *
     * The cutoff is a LAZY broadcast 1-row aggregate joined onto the
     * batch — no per-batch driver action: the max-timestamp scan runs
@@ -127,14 +140,17 @@ object TelemetryPipeline {
     * it. The 1-row cut frame is `persist()`ed, so when BOTH returned
     * frames are materialized the scan runs ONCE and the two sides see
     * the SAME cutoff even on a non-deterministic input (the cache, not
-    * batch pinning, is what makes the split consistent; the per-batch
-    * 1-row cache entry is reclaimed by the ContextCleaner once the
-    * frames are unreachable). A null cutoff (empty batch, or all-null
-    * timestamps) routes every row on-time and nothing late, matching
-    * the eager form's behavior.
+    * batch pinning, is what makes the split consistent). A null cutoff
+    * (empty batch, or all-null timestamps) routes every row on-time
+    * and nothing late, matching the eager form's behavior.
+    *
+    * The returned [[LateSplit]] owns the cache entry — call
+    * `release()` once both sides are written (see [[LateSplit]] for
+    * why this is not optional). Streaming callers should prefer
+    * [[lateSplit]], which releases automatically.
     */
-  def lateSplit(batch: DataFrame, tsCol: String, cutoffSeconds: Long)
-      : (DataFrame, DataFrame) = {
+  def lateSplitFrames(batch: DataFrame, tsCol: String, cutoffSeconds: Long)
+      : LateSplit = {
     // the working column would silently collide with a same-named
     // batch column — fail fast (same reserved prefix as AsOf)
     require(!batch.columns.exists(_.startsWith("__graft_")),
@@ -151,7 +167,21 @@ object TelemetryPipeline {
       .drop("__graft_cut")
     val late = flagged.filter(col(tsCol) < col("__graft_cut"))
       .drop("__graft_cut")
-    (onTime, late)
+    LateSplit(onTime, late, cut)
+  }
+
+  /** T2, foreachBatch form: split the batch, write each side through
+    * its sink, and unpersist the shared cutoff frame afterwards — the
+    * per-batch cache entry is released even when a sink throws, so a
+    * long-lived query's CacheManager stays flat.
+    */
+  def lateSplit(batch: DataFrame, tsCol: String, cutoffSeconds: Long,
+      writeOnTime: DataFrame => Unit, writeLate: DataFrame => Unit): Unit = {
+    val split = lateSplitFrames(batch, tsCol, cutoffSeconds)
+    try {
+      writeOnTime(split.onTime)
+      writeLate(split.late)
+    } finally split.release()
   }
 
   /** T5 — at-most-once fire-and-forget delivery (the sleep command is

@@ -210,6 +210,45 @@ class AsOfApiSpec extends SparkSpec {
     assert(!plan.bucketed && plan.maxKeyRows == 0L, plan.toString)
   }
 
+  test("auto probe measures skew over matchable keys only — nulls don't route") {
+    // 300 null-key probe rows + 300 null-key build rows, real keys
+    // uniform (≤4 rows each). joinLatest drops null-key build rows and
+    // null-key probe rows match nothing, so the probe must NOT read
+    // the nulls as one 600-row hot key and route to bucketed.
+    val p = (1 to 320).map(i =>
+      (i.toLong, if (i <= 300) None else Some(i % 10L), i.toLong))
+      .toDF("event_id", "pk", "pt")
+    val b = (1 to 320).map(i =>
+      (if (i <= 300) None else Some(i % 10L), i.toLong, i * 2L))
+      .toDF("k", "t", "v")
+    val plan = AsOf.autoPlan(p, b, Seq("pk"), Seq("k"), "pt", "t",
+      targetRowsPerTask = 25)
+    assert(!plan.bucketed,
+      s"null keys must not register as a hot key: $plan")
+    assert(plan.maxKeyRows <= 4, plan.toString)
+  }
+
+  test("precomputed AutoPlan overload routes as instructed, results identical") {
+    val b = (1 to 400)
+      .map(i => (if (i <= 360) 7L else i % 10L, i.toLong, i * 2L))
+      .toDF("k", "t", "v")
+    val p = (1 to 200)
+      .map(i => (i.toLong, i % 40L, i.toLong + 1)).toDF("event_id", "pk", "pt")
+    // probe once, reuse across several joins (VERDICT r8 #3 shape)
+    val plan = AsOf.autoPlan(p, b, Seq("pk"), Seq("k"), "pt", "t",
+      targetRowsPerTask = 25)
+    assert(plan.bucketed, plan.toString)
+    val expected = AsOf.joinLatest(p, b, Seq("pk"), Seq("k"),
+      "pt", "t", Seq("v"), strict = false)
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+    for (pl <- Seq(plan, AsOf.AutoPlan(bucketed = false, 0L, 1, 0.0, 1.0))) {
+      val got = AsOf.joinLatestAuto(p, b, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict = false, pl)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      assert(got == expected, s"plan=$pl: precomputed route != plain")
+    }
+  }
+
   test("the plan is one shuffle + window — no join operator") {
     val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
       .queryExecution.executedPlan.toString

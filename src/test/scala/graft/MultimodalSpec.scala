@@ -111,13 +111,21 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val wav = encodeAudio(8000, 1, Array.tabulate(100)(i => (i * 7).toShort),
       aiff = false)
+    // corrupt-yet-parseable header: a RIFF/WAVE fmt chunk declaring
+    // channels=0 and sampleRate=0 parses but must not reach the
+    // nSamples/channels and nFrames/rate divisions (ArithmeticException
+    // would kill the task — the one forbidden outcome)
+    val zeroHdr = wav.clone()
+    zeroHdr(22) = 0; zeroHdr(23) = 0 // channels (LE u16)
+    zeroHdr(24) = 0; zeroHdr(25) = 0; zeroHdr(26) = 0; zeroHdr(27) = 0 // rate
     val recs = Seq(
       MediaRecord(1L, "audio/wav", wav),
       MediaRecord(2L, "audio/wav", wav.take(10)), // truncated header
       MediaRecord(3L, "image/png", encodeImage(4, 4, (_, _) => (1, 2, 3), "png")),
-      MediaRecord(4L, "audio/wav", Array[Byte]())).toDS()
+      MediaRecord(4L, "audio/wav", Array[Byte]()),
+      MediaRecord(5L, "audio/wav", zeroHdr)).toDS()
     val got = decodeAudioFeatures(recs).collect().sortBy(_.media_id)
-    assert(got.map(_.decode_ok).toSeq == Seq(true, false, false, false))
+    assert(got.map(_.decode_ok).toSeq == Seq(true, false, false, false, false))
     assert(got.filter(!_.decode_ok).forall(f =>
       f.sample_rate == -1 && f.n_frames == -1L && f.sq_sum == -1L))
   }

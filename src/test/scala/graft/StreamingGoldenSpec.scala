@@ -161,15 +161,18 @@ class StreamingGoldenSpec extends SparkSpec {
       ("H0003", "2024-01-01 00:08:00")) // 120 s behind → late
       .toDF("device_code", "ts")
       .select($"device_code", $"ts".cast("timestamp").as("device_ts"))
-    val (onTime, late) = TelemetryPipeline.lateSplit(batch, "device_ts", 60)
-    assert(onTime.select("device_code").as[String].collect().sorted.toSeq ==
-      Seq("H0001", "H0002"))
-    assert(late.select("device_code").as[String].collect().toSeq ==
-      Seq("H0003"))
+    val split = TelemetryPipeline.lateSplitFrames(batch, "device_ts", 60)
+    try {
+      assert(split.onTime.select("device_code").as[String].collect()
+        .sorted.toSeq == Seq("H0001", "H0002"))
+      assert(split.late.select("device_code").as[String].collect().toSeq ==
+        Seq("H0003"))
+    } finally split.release()
     // empty batch: both sides empty, no NPE
     val empty = batch.limit(0)
-    val (o2, l2) = TelemetryPipeline.lateSplit(empty, "device_ts", 60)
-    assert(o2.count() == 0 && l2.count() == 0)
+    val s2 = TelemetryPipeline.lateSplitFrames(empty, "device_ts", 60)
+    try assert(s2.onTime.count() == 0 && s2.late.count() == 0)
+    finally s2.release()
   }
 
   test("T2: lateSplit computes the cutoff once when BOTH sinks materialize") {
@@ -187,21 +190,27 @@ class StreamingGoldenSpec extends SparkSpec {
       ("H%04d".format(i % 7), base + i)
     }.toDF("device_code", "epoch")
       .select($"device_code", $"epoch".cast("timestamp").as("device_ts"))
-    val (onTime, late) = TelemetryPipeline.lateSplit(batch, "device_ts", 10)
-    onTime.write.format("noop").mode("overwrite").save()
-    late.write.format("noop").mode("overwrite").save()
-    assert(passes.value == 3 * n,
-      s"expected 3 passes over $n rows (cut once + one filter per side), " +
+    TelemetryPipeline.lateSplit(batch, "device_ts", 10,
+      on => on.write.format("noop").mode("overwrite").save(),
+      lt => lt.write.format("noop").mode("overwrite").save())
+    // accumulator updates in transformations are not exactly-once: a
+    // task retry or speculative copy adds a partial extra pass. Assert
+    // the SHARING property (an unshared cutoff costs a 4th full pass)
+    // with slack below one full pass instead of exact equality.
+    assert(passes.value >= 3 * n && passes.value < 4 * n,
+      s"expected ~3 passes over $n rows (cut once + one filter per side), " +
         s"got ${passes.value / n.toDouble} passes")
     // and both sides split against the SAME cutoff: exact partition
-    assert(onTime.count() + late.count() == n)
+    val split = TelemetryPipeline.lateSplitFrames(batch, "device_ts", 10)
+    try assert(split.onTime.count() + split.late.count() == n)
+    finally split.release()
   }
 
   test("T2: lateSplit rejects reserved __graft_ columns") {
     val bad = Seq(("H0001", ts("2024-01-01 00:00:01"), 1))
       .toDF("device_code", "device_ts", "__graft_cut")
     intercept[IllegalArgumentException] {
-      TelemetryPipeline.lateSplit(bad, "device_ts", 60)
+      TelemetryPipeline.lateSplitFrames(bad, "device_ts", 60)
     }
   }
 
