@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Committed oracle-timing record (VERDICT r8 missing #2): times every
+oracle SQL in DuckDB over the same parquet tables — median of N reps,
+thread count and loadavg recorded in-band — and writes ORACLE_BENCH_r*
+.json next to BENCH_r*.json, so round-over-round Spark/oracle ratio
+attribution no longer depends on a judge re-measuring on an unknown
+machine. LOCAL DEV TOOL only (duckdb is driver-side, never a
+dependency of the engine).
+
+Usage:
+  python3 tools/oracle_bench.py <sfDir> <verifyOutDir> <dest.json> \
+      [reps=3] [bench_full.json]
+
+The verify dump supplies oracle_sql.json; bench_full.json (optional)
+supplies Spark's isolated medians so the record carries the per-query
+ratios the 2x gate judges, plus the gate verdict itself
+(data-dominated = oracle median >= 0.15 s, same floor the round
+verdicts use; machinery_proof_queries from the bench record are
+excluded from gating and listed separately).
+"""
+import json, os, statistics, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+DATA_DOMINATED_FLOOR_SEC = 0.15
+GATE = 2.0
+
+
+def loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return " ".join(f.read().split()[:3])
+    except OSError:
+        return ""
+
+
+def main():
+    sf_dir, out_dir, dest = sys.argv[1:4]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    bench_path = sys.argv[5] if len(sys.argv) > 5 else "bench_full.json"
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    spark_iso, proof = {}, []
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            bench = json.load(f)
+        spark_iso = bench.get("queries_isolated", {})
+        proof = bench.get("machinery_proof_queries", [])
+    load_start = loadavg()
+    con = duckdb.connect()
+    threads = con.sql("SELECT current_setting('threads')").fetchone()[0]
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    detail, medians = {}, {}
+    for name, sql in sorted(oracles.items()):
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+                times.append(time.time() - t0)
+            except Exception:
+                times.append(float("nan"))
+        ok = sorted(t for t in times if t == t)
+        if ok:
+            detail[name] = [round(min(ok), 6),
+                            round(statistics.median(ok), 6),
+                            round(max(ok), 6)]
+            medians[name] = round(statistics.median(ok), 6)
+        else:
+            detail[name] = [-1.0, -1.0, -1.0]
+            medians[name] = -1.0
+    load_end = loadavg()
+    ratios = {n: round(spark_iso[n] / medians[n], 3)
+              for n in medians
+              if n in spark_iso and medians[n] > 0 and spark_iso[n] >= 0}
+    data_dom = {n: r for n, r in ratios.items()
+                if medians[n] >= DATA_DOMINATED_FLOOR_SEC}
+    gate_breaches = {n: r for n, r in data_dom.items()
+                     if r > GATE and n not in proof}
+    record = {
+        "sf": sf_dir,
+        "engine": "duckdb",
+        "duckdb_version": duckdb.__version__,
+        "threads": int(threads),
+        "reps": reps,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "oracle_latency_sum_sec": round(
+            sum(v for v in medians.values() if v > 0), 3),
+        "spark_isolated_sum_sec": round(
+            sum(v for v in spark_iso.values() if v and v > 0), 3),
+        "n_queries": len(medians),
+        "data_dominated_floor_sec": DATA_DOMINATED_FLOOR_SEC,
+        "gate": GATE,
+        "machinery_proof_queries": proof,
+        "n_data_dominated": len(data_dom),
+        "gate_breaches": gate_breaches,
+        "data_dominated_ratios": dict(
+            sorted(data_dom.items(), key=lambda kv: -kv[1])),
+        "queries": medians,
+        "queries_reps_detail": detail,
+        "spark_over_oracle_ratio": ratios,
+    }
+    with open(dest, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(f"wrote {dest}: oracle sum "
+          f"{record['oracle_latency_sum_sec']}s over {len(medians)} queries, "
+          f"spark sum {record['spark_isolated_sum_sec']}s, "
+          f"{len(data_dom)} data-dominated, "
+          f"breaches={list(gate_breaches) or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
