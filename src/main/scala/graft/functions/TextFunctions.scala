@@ -29,16 +29,12 @@ object TextFunctions {
 
   /** Distinct word k-shingles (word n-grams joined by single spaces).
     * Order-sensitive — the discriminative unit for near-dup detection
-    * (word *sets* saturate on small vocabularies).
+    * (word *sets* saturate on small vocabularies). Native single-pass
+    * (graft.plans.WordNgrams) — shingling sits under every dedup
+    * sketch, so its constant factor is corpus-sized.
     */
   def shingles(toks: Column, k: Int = 3): Column =
-    // sequence(1, n) DESCENDS when n < 1, so short docs need the guard
-    when(size(toks) >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    graft.plans.WordNgrams(toks, k, distinct = true)
 
   /** 31-bit shingle hashes (hex60 mod p, p = 2^31-1) — the input to
     * the affine MinHash family; one md5 per shingle total.
@@ -72,6 +68,35 @@ object TextFunctions {
         md5(concat_ws(",",
           transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string")))
           .cast("binary")))
+
+  /** OCCURRENCE word n-grams (every position, duplicates kept) — the
+    * counting-tier unit ([[shingles]] dedupes per doc, which is right
+    * for MinHash and wrong for repetition/frequency measurement).
+    * Narrow per-row transform, no shuffle; native single-pass
+    * (graft.plans.WordNgrams — the HOF compositions pay the
+    * interpreted lambda path per element, 4-15× slower at sf0.1).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    graft.plans.WordNgrams(toks, n, distinct = false)
+
+  /** Longest run of equal adjacent elements in a SORTED string array =
+    * the highest occurrence count of any value — `aggregate`'s linear
+    * fold keeps the whole computation narrow (the explode + groupBy
+    * (doc, token) + max formulation costs a corpus-wide shuffle for a
+    * per-document statistic). Empty arrays yield 0.
+    */
+  def maxRunLength(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        // tokens are non-empty, so the "" initial prev never matches
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** 60-bit SimHash over (non-distinct) tokens: per bit, +1 when the
     * token-hash bit is set else -1; final bit = sign of the sum.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Catalog
+import graft.functions.{Quantize, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,5 +52,115 @@ object Round9Queries {
           .select("event_id", "last_order")
           .orderBy("event_id")
       }),
+
+    // ── Text quality: Gopher-style within-document repetition signals
+    // (Rae et al. 2021 §A1.1 use duplicate-line/-n-gram fractions as
+    // core quality filters; this data has no lines, so the token and
+    // bigram tiers carry the signal). All outputs are exact BIGINT
+    // counts — ratios are one division away for callers, and counts
+    // hash identically cross-engine. Scale shape: fully NARROW — all
+    // five signals come from graft.plans.RepetitionStats, ONE native
+    // single-pass loop per document (not an explode + corpus-wide
+    // (doc, token) shuffle, and not interpreted HOF folds); the only
+    // exchange in the plan is the output ORDER BY.
+    QueryDef(
+      "ns_text_repetition",
+      Some("""WITH tk AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              t AS (SELECT doc_id, UNNEST(tk) w FROM tk),
+              tc AS (SELECT doc_id, w, COUNT(*) c FROM t GROUP BY 1, 2),
+              ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tok,
+                     CAST(COUNT(*) AS BIGINT) n_distinct_tok,
+                     CAST(MAX(c) AS BIGINT) top_tok_cnt FROM tc GROUP BY 1),
+              bg AS (SELECT doc_id, UNNEST([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, len(tk))]) g
+                     FROM tk WHERE len(tk) >= 2),
+              bc AS (SELECT doc_id, g, COUNT(*) c FROM bg GROUP BY 1, 2),
+              bs AS (SELECT doc_id,
+                     CAST(SUM(c) - COUNT(*) AS BIGINT) dup_bigram_cnt,
+                     CAST(MAX(c) AS BIGINT) top_bigram_cnt FROM bc GROUP BY 1)
+              SELECT ts.doc_id, n_tok, n_distinct_tok, top_tok_cnt,
+                COALESCE(dup_bigram_cnt, 0) AS dup_bigram_cnt,
+                COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+              FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+              ORDER BY ts.doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.plans.RepetitionStats(TF.tokens(col("text"))).as("r"))
+          .select(col("doc_id"),
+            col("r.n_tok"), col("r.n_distinct_tok"), col("r.top_tok_cnt"),
+            col("r.dup_bigram_cnt"), col("r.top_bigram_cnt"))
+          .orderBy("doc_id")),
+
+    // ── Dedup support: cross-document boilerplate phrase mining — the
+    // trigram shingles shared by the most documents (the CCNet/
+    // RefinedWeb pre-pass that finds site templates and license
+    // footers before paragraph dedup). Per-doc DISTINCT shingles so
+    // df counts documents, one explode + groupBy + top-k
+    // (TakeOrderedAndProject, no global sort) — the canonical linear
+    // counting dataflow; df >= 2 prunes the long unique tail before
+    // the top-k heap.
+    QueryDef(
+      "ns_dedup_boilerplate",
+      Some("""WITH tk AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              sh AS (SELECT doc_id,
+                     UNNEST(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' ||
+                       tk[i+2] for i in range(1, len(tk)-1)])) s
+                     FROM tk WHERE len(tk) >= 3)
+              SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+              GROUP BY s HAVING COUNT(*) >= 2
+              ORDER BY df DESC, shingle LIMIT 100"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(TF.shingles(TF.tokens(col("text")), 3))
+            .as("shingle"))
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("shingle"))
+          .limit(100)),
+
+    // ── Embedding storage tier: symmetric int8 quantization
+    // (graft.functions.Quantize) — 4× column-size cut for the ANN
+    // serving path. The oracle verifies the EXACT codes (md5 over the
+    // joined code array) plus their sum: the double-precision
+    // floor(x·127/scale + 0.5) contract makes both engines produce
+    // bit-identical codes. Narrow map-only plan; the only exchange is
+    // the output ORDER BY.
+    QueryDef(
+      "ns_embed_quantize",
+      Some("""WITH m AS (SELECT vec_id, embedding,
+                COALESCE(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 0.0) mx
+                FROM embeddings),
+              c AS (SELECT vec_id, mx,
+                CASE WHEN mx > 0 THEN list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                       AS INT))
+                ELSE list_transform(embedding, x -> 0) END codes
+                FROM m)
+              SELECT vec_id, ROUND(mx, 6) AS scale_r,
+                md5(array_to_string(codes, ',')) AS code_fp,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum
+              FROM c ORDER BY vec_id"""),
+      (s, dir) =>
+        // the scale is materialized BEFORE the codes lambda: an
+        // expression referenced inside a HOF lambda is re-evaluated
+        // per ELEMENT on the interpreted path — 64× per row here
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Quantize.int8Scale(col("embedding")).as("mx"))
+          .select(col("vec_id"), col("mx"),
+            Quantize.int8Codes(col("embedding"), col("mx")).as("codes"))
+          .select(col("vec_id"),
+            round(col("mx"), 6).as("scale_r"),
+            md5(array_join(col("codes"), ",").cast("binary")).as("code_fp"),
+            aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
+              .as("code_sum"))
+          .orderBy("vec_id")),
   )
 }

@@ -1,29 +1,17 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
-import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump EXPLAIN FORMATTED for representative queries into
-  * docs/PLANS.md so plan-level properties (pushdown, pruning,
-  * broadcast, TakeOrdered, codegen spans) are reviewable without
-  * running anything. `sbt "runMain graft.tools.PlanDump"`.
+/** Dev-loop plan inspector: prints the normalized pre-AQE physical
+  * plan of each named query (all golden picks when none named) so the
+  * ".explain and iterate" loop is one sbt invocation.
+  *
+  * Usage: sbt "runMain graft.tools.PlanDump [sfDir] [query ...]"
   */
 object PlanDump {
-  val picks = Seq(
-    "q02_filter_predicates", "q06_star_join", "q09_agg_suite",
-    "q14_latest_per_key", "q18_topk", "q29_asof_prior", "q33_range_join",
-    "q52_calibration_dim_join", "ns_dedup_minhash_lsh",
-    "ns_dedup_embed_cosine", "ns_dedup_components", "ns_ann_cosine_topk",
-    "ns_pack_sequences",
-    // round 3: join-free linear as-of, batch ANN, chunking, and the
-    // custom bounded-heap top-k physical operator
-    "q59_asof_join", "q60_gapfill_ffill", "ns_ann_batch_topk",
-    "ns_chunk_documents", "q66_topk_per_key")
-
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val (dirs, names) = args.partition(_.startsWith("/"))
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -31,22 +19,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sb = new StringBuilder
-    sb.append("# Physical plans (EXPLAIN FORMATTED, sf0.001)\n\n")
-    sb.append("Generated by `graft.tools.PlanDump`. Things to check per\n")
-    sb.append("plan: `PushedFilters`/`ReadSchema` on scans (pushdown +\n")
-    sb.append("pruning), `BroadcastHashJoin` for dims,\n")
-    sb.append("`TakeOrderedAndProject` for top-k, partial+final\n")
-    sb.append("`HashAggregate`, and `WholeStageCodegen` span ids.\n")
-    picks.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    val picks = if (names.nonEmpty) names.toSeq else PlanGolden.picks
+    for (q <- picks) {
+      println(s"=== $q ===")
+      println(PlanGolden.fingerprint(
+        graft.queries.Registry.queries(q)(spark, sfDir)))
     }
-    Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
-    println(s"wrote docs/PLANS.md (${picks.size} plans)")
     spark.stop()
   }
 }

@@ -143,6 +143,94 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngrams keep every occurrence; shingles dedupe") {
+    val doc = "a b a b c"
+    val bg = Seq(doc).toDF("text")
+      .select(TF.ngrams(TF.tokens($"text"), 2).as("g")).as[Seq[String]].head()
+    assert(bg == Seq("a b", "b a", "a b", "b c"), bg)
+    val sh = Seq(doc).toDF("text")
+      .select(TF.shingles(TF.tokens($"text"), 2).as("g")).as[Seq[String]].head()
+    assert(sh == Seq("a b", "b a", "b c"), sh)
+    // below-order docs yield empty, not a descending-sequence error
+    val short = Seq("only").toDF("text")
+      .select(TF.ngrams(TF.tokens($"text"), 2).as("g")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("maxRunLength = top occurrence count over a sorted array") {
+    val cases = Seq(
+      (Seq("a", "a", "a", "b", "c"), 3L),
+      (Seq("x"), 1L),
+      (Seq.empty[String], 0L),
+      (Seq("a", "b", "c", "d"), 1L))
+    for ((arr, want) <- cases) {
+      val got = Seq(Tuple1(arr)).toDF("a")
+        .select(TF.maxRunLength(array_sort($"a"))).as[Long].head()
+      assert(got == want, s"$arr -> $got, want $want")
+    }
+    // and it matches the groupBy formulation on a random-ish doc
+    val toks = Seq.tabulate(200)(i => s"w${(i * 37) % 13}")
+    val viaAgg = Seq(Tuple1(toks)).toDF("a")
+      .select(TF.maxRunLength(array_sort($"a"))).as[Long].head()
+    val viaGroup = toks.groupBy(identity).values.map(_.size).max.toLong
+    assert(viaAgg == viaGroup)
+  }
+
+  test("RepetitionStats matches the naive groupBy formulation") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "x")
+    val docs = Seq("", "solo", "a a a a", "a b a b c") ++
+      Seq.tabulate(30)(_ =>
+        Seq.fill(rnd.nextInt(60) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    val got = docs.toDF("text")
+      .select(graft.plans.RepetitionStats(TF.tokens($"text")).as("r"))
+      .select($"r.n_tok", $"r.n_distinct_tok", $"r.top_tok_cnt",
+        $"r.dup_bigram_cnt", $"r.top_bigram_cnt")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    docs.zip(got).foreach { case (doc, g) =>
+      val tk = doc.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val bg = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val want = (tk.size.toLong, tk.distinct.size.toLong,
+        if (tk.isEmpty) 0L
+        else tk.groupBy(identity).values.map(_.size).max.toLong,
+        (bg.size - bg.distinct.size).toLong,
+        if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong)
+      assert(g == want, s"'$doc': $g vs $want")
+    }
+  }
+
+  test("int8 quantization: codes bounded, symmetric, zero-safe, 4x smaller") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),           // all-zero: scale 0, codes 0
+      (3L, Array(-0.75f)),
+      (4L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val got = vecs.select($"vec_id",
+        graft.functions.Quantize.int8Scale($"embedding").as("s"),
+        graft.functions.Quantize.int8Codes($"embedding",
+          graft.functions.Quantize.int8Scale($"embedding")).as("c"))
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1)
+    assert(got(0)._2 == 1.0 && got(0)._3 == Seq(64, -127, 32, 0), got(0))
+    assert(got(1)._2 == 0.0 && got(1)._3 == Seq(0, 0), got(1))
+    // single negative element: scale = |x|, code = floor(-127 + .5)
+    assert(got(2)._2 == 0.75 && got(2)._3 == Seq(-127), got(2))
+    assert(got(3)._2 == 0.0 && got(3)._3.isEmpty, got(3))
+    // max |code| never exceeds 127 on arbitrary floats
+    val rnd = new scala.util.Random(42)
+    val big = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val codes = big.select(graft.functions.Quantize.int8Codes($"embedding",
+        graft.functions.Quantize.int8Scale($"embedding")).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.flatten.forall(c => c >= -127 && c <= 127))
+    // the max-|x| element always maps to ±127 (scale anchor)
+    assert(codes.forall(_.exists(c => math.abs(c) == 127)))
+  }
+
   test("multimodal resize + frame-sample stubs: deterministic shapes") {
     val vid = Multimodal.MediaRecord(7, "video",
       Array.tabulate[Byte](40960)(i => (i % 127).toByte))
