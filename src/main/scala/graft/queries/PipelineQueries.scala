@@ -776,13 +776,14 @@ object PipelineQueries {
         // write-once artifact like the shingle signatures — serving a
         // probe reads the index, it doesn't retrain it
         val a2 = ivfKmeansAssignments(s, dir)
-        // the probe's list id is one cached-index lookup
-        val pcid = a2.filter(col("vec_id") === 0)
-          .collect().headOption.map(_.getLong(1))
+        // the probe's list id joins in as a broadcast 1-row frame —
+        // same pattern as ns_ann_ivf_topk; a driver-side collect()
+        // lookup costs a whole extra job per probe on the serving
+        // path (and an empty probe still yields empty, not a crash)
+        val probeCid = a2.filter(col("vec_id") === 0)
+          .select(col("cid").as("pcid"))
         val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-        // no probe vector ⇒ empty result (not a crash), like the
-        // join-based form would produce
-        pcid.fold(a2.filter(lit(false)))(id => a2.filter(col("cid") === id))
+        a2.join(broadcast(probeCid), col("cid") === col("pcid"))
           .filter(col("vec_id") =!= 0)
           .join(e, Seq("vec_id"))
           .crossJoin(broadcast(probeVec))
