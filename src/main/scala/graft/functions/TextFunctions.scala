@@ -170,4 +170,12 @@ object TextFunctions {
     */
   def charGramMinHash(text: Column, k: Int = 5): Column =
     graft.plans.CharGramMinHash(text, k)
+
+  /** Full winnowing fingerprint SET (distinct sliding-window minima of
+    * the char-k-gram rolling hashes): the substring-level near-dup
+    * unit — any shared run of >= w + k - 1 chars shares a fingerprint
+    * (Schleimer et al. 2003). Null below k chars.
+    */
+  def charGramWinnow(text: Column, k: Int = 5, w: Int = 16): Column =
+    graft.plans.CharGramWinnow(text, k, w)
 }

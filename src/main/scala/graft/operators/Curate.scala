@@ -123,6 +123,51 @@ object Curate {
       capPerStratum: Int): DataFrame =
     TopK.perKey(docs, Seq(strataCol), orderBy, capPerStratum)
 
+  /** Temperature-based mixture resampling (the multilingual-corpus
+    * rebalancing move: raise each stratum's share to 1/T, renormalize,
+    * so rare strata are upsampled and the head is downsampled). T =
+    * 2^sqrtTimes — the exponent is applied as repeated sqrt because
+    * sqrt is IEEE-correctly-rounded on every engine while pow(x, 1/T)
+    * is not, and the fractional repeat threshold sits on a float
+    * boundary. Per-stratum weights go fixed-point (floor(q·10¹²))
+    * BEFORE the normalizing sum so the sum is exact long arithmetic,
+    * order-independent across partial aggregation.
+    *
+    * Each row gets `n_repeats` = floor(r_s) plus one more when the
+    * row's content hash (deterministic, never rand()) falls under the
+    * fractional part — E[corpus size] is preserved. Shape at scale:
+    * two tiny stratum aggregates broadcast-joined back onto the
+    * corpus; the corpus itself is touched once, narrowly.
+    */
+  def temperatureResample(docs: DataFrame, textCol: String,
+      stratumCol: String, sqrtTimes: Int = 1): DataFrame = {
+    require(sqrtTimes >= 1, s"sqrtTimes must be >= 1, got $sqrtTimes")
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__graft_ns"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val share = col("__graft_ns").cast("double") /
+      sum("__graft_ns").over(w).cast("double")
+    val q = (1 to sqrtTimes).foldLeft(share)((c, _) => sqrt(c))
+    val strata = counts
+      .withColumn("__graft_qfp", floor(q * 1e12).cast("long"))
+      .withColumn("__graft_n", sum("__graft_ns").over(w))
+      .withColumn("__graft_rep",
+        col("__graft_qfp").cast("double") /
+          sum("__graft_qfp").over(w).cast("double") *
+          col("__graft_n").cast("double") / col("__graft_ns").cast("double"))
+      .select(col(stratumCol),
+        col("__graft_rep").as("__graft_rep"),
+        floor((col("__graft_rep") - floor(col("__graft_rep"))) * 1000000)
+          .cast("long").as("__graft_thresh"))
+    docs
+      .join(broadcast(strata), Seq(stratumCol))
+      .withColumn("n_repeats",
+        (floor(col("__graft_rep")) +
+          when(TF.hex60(col(textCol)) % 1000000 < col("__graft_thresh"), 1L)
+            .otherwise(0L)).cast("long"))
+      .drop("__graft_rep", "__graft_thresh")
+  }
+
   /** PII regexes, shared with the audit counters in the query layer
     * (one definition — the two copies must never drift).
     */

@@ -111,6 +111,57 @@ object HashSupport {
     }
     min
   }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003): the DISTINCT
+    * minima of every `w`-hash sliding window over the k-gram rolling
+    * hashes — any substring match of length >= w + k - 1 chars shares
+    * at least one fingerprint. One O(m) pass (monotone deque for the
+    * window minima) after the same rolling hash as [[charGramMin]];
+    * distinct keeps first-emission order (consumers are set ops).
+    * Shorter-than-w hash lists collapse to one whole-list window.
+    */
+  def charGramWinnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var top = 1L
+    var j = 1
+    while (j < k) { top = top * RollB % RollM; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * RollB + cps(i)) % RollM; i += 1 }
+    hs(0) = h
+    while (i < n) {
+      h = (h - cps(i - k) * top % RollM + RollM) % RollM
+      h = (h * RollB + cps(i)) % RollM
+      hs(i - k + 1) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (m <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      seen.add(mn)
+    } else {
+      // deque of indices with increasing hash value; head = window min
+      val dq = new java.util.ArrayDeque[Integer]
+      i = 0
+      while (i < m) {
+        while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst <= i - w) dq.pollFirst()
+        if (i >= w - 1) seen.add(hs(dq.peekFirst))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** hex60 of every element of an array<string>, optionally mod `m`
@@ -192,4 +243,42 @@ case class CharGramMinHash(child: Expression, k: Int) extends UnaryExpression {
 object CharGramMinHash {
   def apply(text: Column, k: Int): Column =
     Bridge.column(CharGramMinHash(Bridge.expression(text), k))
+}
+
+/** Winnowing fingerprint SET of a string (distinct sliding-window
+  * minima of the char-k-gram rolling hashes — HashSupport
+  * .charGramWinnow); null when shorter than k chars. The
+  * substring-level dedup unit: docs sharing any >= (w + k - 1)-char
+  * run share a fingerprint.
+  */
+case class CharGramWinnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_chargram_winnow"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    if (s.numChars() < k) null else HashSupport.charGramWinnow(s, k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numChars() < $k) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.HashSupport.charGramWinnow($c, $k, $w);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): CharGramWinnow =
+    copy(child = c)
+}
+
+object CharGramWinnow {
+  def apply(text: Column, k: Int, w: Int): Column =
+    Bridge.column(CharGramWinnow(Bridge.expression(text), k, w))
 }

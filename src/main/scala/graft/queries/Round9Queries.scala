@@ -162,5 +162,184 @@ object Round9Queries {
             aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
               .as("code_sum"))
           .orderBy("vec_id")),
+
+    // ── ANN serving over QUANTIZED codes: top-k by int8-code dot
+    // product — the standard memory-bound serving path (4× less data
+    // per probe than float32; SIMD int8 on real hardware). Scores are
+    // exact integers (|code| ≤ 127, dim 64 ⇒ |score| ≤ 64·127² <
+    // 2^20, exactly representable in double), so the codegen
+    // DotProduct verifies bit-identical against DuckDB
+    // list_dot_product. Shape: narrow quantize pass + broadcast 1-row
+    // probe + TakeOrderedAndProject.
+    QueryDef(
+      "ns_ann_int8_topk",
+      Some("""WITH m AS (SELECT vec_id, embedding,
+                COALESCE(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 0.0) mx FROM embeddings),
+              c AS (SELECT vec_id,
+                CASE WHEN mx > 0 THEN list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                       AS INT))
+                ELSE list_transform(embedding, x -> 0) END codes FROM m),
+              p AS (SELECT codes pc FROM c WHERE vec_id = 0)
+              SELECT c.vec_id,
+                CAST(list_dot_product(c.codes, p.pc) AS BIGINT) AS score
+              FROM c, p WHERE c.vec_id <> 0
+              ORDER BY score DESC, c.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val c = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Quantize.int8Scale(col("embedding")).as("mx"))
+          .select(col("vec_id"),
+            Quantize.int8Codes(col("embedding"), col("mx"))
+              .cast("array<double>").as("cd"))
+        val probe = c.filter(col("vec_id") === 0).select(col("cd").as("pc"))
+        c.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            graft.functions.SimilarityFunctions.dot(col("cd"), col("pc"))
+              .cast("long").as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // ── Substring-level near-dup pairs via winnowing fingerprints
+    // (Schleimer et al. 2003; the character-level tier Lee et al.'s
+    // exact-substring dedup motivates — shingle Jaccard misses long
+    // verbatim runs inside otherwise-different docs). Any shared
+    // >= w+k-1 = 20-char run shares a fingerprint; pairs sharing >= 4
+    // capped fingerprints are emitted. Shape at scale: narrow O(doc)
+    // fingerprint pass (plans/CharGramWinnow, monotone-deque window
+    // minima), then the SAME df-capped inverted-index dataflow as the
+    // n-gram Jaccard tier — postings join only, no all-pairs.
+    QueryDef(
+      "ns_dedup_substring",
+      // oracle formulation note: the window-function MIN OVER (ROWS 15
+      // PRECEDING) form is ~5× faster in DuckDB than the equivalent
+      // per-list [list_min(hs[i:i+15]) ...] comprehension — the oracle
+      // gets the fair (fast) formulation, differentially verified
+      // equal. The df-cap scales with the corpus (greatest(16, N/31))
+      // so the candidate space stays proportional at every sf.
+      Some("""WITH n AS (SELECT CAST(GREATEST(16, COUNT(*) / 31) AS BIGINT)
+                cap FROM documents),
+              h AS (SELECT doc_id, [(
+                  unicode(substring(text, i, 1))::BIGINT * 1604566856
+                + unicode(substring(text, i + 1, 1))::BIGINT * 1049561761
+                + unicode(substring(text, i + 2, 1))::BIGINT * 1426104154
+                + unicode(substring(text, i + 3, 1))::BIGINT * 1000003
+                + unicode(substring(text, i + 4, 1))::BIGINT)
+                % 2147483647
+                for i in range(1, length(text) - 3)] hs FROM documents),
+              u AS (SELECT doc_id, UNNEST(hs) h,
+                    generate_subscripts(hs, 1) pos
+                    FROM h WHERE len(hs) >= 1),
+              wm AS (SELECT doc_id, pos, len,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) wmin
+                     FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id) len
+                           FROM u)),
+              p AS (SELECT DISTINCT doc_id, wmin fp FROM wm
+                    WHERE pos >= LEAST(16, len)),
+              keep AS (SELECT fp FROM p CROSS JOIN n GROUP BY fp, n.cap
+                       HAVING COUNT(*) <= n.cap),
+              pp AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
+              pairs AS (SELECT a.doc_id a, b.doc_id b,
+                        CAST(COUNT(*) AS BIGINT) n_shared
+                        FROM pp a JOIN pp b
+                          ON a.fp = b.fp AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+              SELECT a, b, n_shared FROM pairs ORDER BY a, b"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // corpus-scaled df-cap as a broadcast 1-row aggregate (integer
+        // division on both engines: 500/31=16, 5000/31=161)
+        val cap = docs.agg(
+          greatest(lit(16L), (count(lit(1)) / 31).cast("long")).as("cap"))
+        val p = docs
+          .select(col("doc_id"),
+            explode(TF.charGramWinnow(col("text"), 5, 16)).as("fp"))
+        // df-cap: a fingerprint shared by everyone is boilerplate, not
+        // a near-dup signal — and it is the pair-blowup guard
+        val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(cap))
+          .filter(col("df") <= col("cap")).select("fp")
+        val pp = p.join(keep, Seq("fp"))
+        pp.join(pp.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+          .filter(col("doc_id") < col("b"))
+          .groupBy(col("doc_id").as("a"), col("b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 4)
+          .select(col("a"), col("b"), col("n_shared"))
+          .orderBy("a", "b")
+      }),
+
+    // ── Train/eval contamination check (the benchmark-decontamination
+    // pass every training pipeline runs): eval split = deterministic
+    // content-hash bucket (never rand()); a train doc is contaminated
+    // when it shares any distinct word 4-gram with any eval doc.
+    // Shape: per-doc distinct shingles (native WordNgrams), inverted-
+    // index join on the shingle against the SMALL eval side — the
+    // optimizer may broadcast it; nothing forces O(corpus) either way.
+    QueryDef(
+      "ns_decontaminate",
+      Some("""WITH tk AS (SELECT doc_id,
+                ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              sh AS (SELECT doc_id, bucket,
+                     UNNEST(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' ||
+                       tk[i+2] || ' ' || tk[i+3]
+                       for i in range(1, len(tk)-2)])) s
+                     FROM tk WHERE len(tk) >= 4),
+              e AS (SELECT DISTINCT s FROM sh WHERE bucket < 5)
+              SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM sh JOIN e USING (s) WHERE sh.bucket >= 5
+              GROUP BY 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            (TF.hex60(col("text")) % 100).as("bucket"),
+            explode(TF.shingles(TF.tokens(col("text")), 4)).as("s"))
+        val eval = sh.filter(col("bucket") < 5).select("s").distinct()
+        sh.filter(col("bucket") >= 5)
+          .join(eval, Seq("s"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Temperature-based mixture resampling (multilingual corpus
+    // rebalancing, T = 2): per-language share^(1/2), renormalized,
+    // converted to deterministic per-doc repeat counts (floor +
+    // content-hash fractional part — E[corpus size] preserved, rare
+    // languages upsampled, the head downsampled). Weights go
+    // fixed-point before the normalizing sum so both engines sum
+    // exact longs; sqrt (not pow) because sqrt is IEEE
+    // correctly-rounded everywhere. operators/Curate
+    // .temperatureResample.
+    QueryDef(
+      "ns_sample_temperature",
+      Some("""WITH src AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_s
+                FROM documents GROUP BY 1),
+              q AS (SELECT lang, n_s,
+                CAST(floor(sqrt(n_s * 1.0 / (SUM(n_s) OVER ()))
+                  * 1000000000000) AS BIGINT) q_fp,
+                SUM(n_s) OVER () AS n FROM src),
+              r AS (SELECT lang, n_s,
+                CAST(q_fp AS DOUBLE) / CAST(SUM(q_fp) OVER () AS DOUBLE)
+                  * CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE) AS rep FROM q),
+              d AS (SELECT doc_id, lang,
+                ('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000 AS u
+                FROM documents)
+              SELECT d.doc_id, d.lang,
+                CAST(floor(r.rep) + CASE WHEN d.u <
+                  CAST(floor((r.rep - floor(r.rep)) * 1000000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+              FROM d JOIN r USING (lang) ORDER BY d.doc_id"""),
+      (s, dir) =>
+        graft.operators.Curate.temperatureResample(
+            t(s, dir, "documents"), "text", "lang")
+          .select(col("doc_id"), col("lang"), col("n_repeats"))
+          .orderBy("doc_id")),
   )
 }

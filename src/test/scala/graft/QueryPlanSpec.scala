@@ -121,7 +121,10 @@ class QueryPlanSpec extends SparkSpec {
     val bnljAllowed = Set(
       "q30_embedding_topk", "ns_ann_cosine_topk", "ns_ann_ivf_topk",
       "ns_ann_ivf_kmeans_topk", "ns_ann_lsh_topk", "ns_text_tfidf",
-      "ns_text_tfidf_sim", "q34_theta_join")
+      "ns_text_tfidf_sim", "q34_theta_join",
+      // 1-row-by-construction broadcasts: the int8 probe vector and
+      // the corpus-scaled df-cap aggregate
+      "ns_ann_int8_topk", "ns_dedup_substring")
     for ((name, fn) <- Registry.queries) {
       val e = explainStr(fn(spark, sfDir))
       assert(!e.contains("CartesianProduct"),

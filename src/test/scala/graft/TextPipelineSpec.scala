@@ -231,6 +231,54 @@ class TextPipelineSpec extends SparkSpec {
     assert(codes.forall(_.exists(c => math.abs(c) == 127)))
   }
 
+  test("charGramWinnow: window minima, substring-match guarantee, short-doc edges") {
+    // naive reference: all k-gram rolling hashes, then every w-window min
+    def naive(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) return Set.empty
+      val hs = cps.sliding(k).map(_.foldLeft(0L)((h, c) =>
+        (h * 1000003L + c) % 2147483647L)).toArray
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "short", "ab", "hello world hello world hello")
+    val got = samples.toDF("text")
+      .select(TF.charGramWinnow($"text", 5, 4).as("f"))
+      .as[Option[Seq[Long]]].collect()
+    samples.zip(got).foreach { case (s, f) =>
+      if (s.length < 5) assert(f.isEmpty, s"'$s' must be null")
+      else assert(f.get.toSet == naive(s, 5, 4), s"mismatch for '$s'")
+    }
+    // the winnowing guarantee: two docs sharing a >= w+k-1 char run
+    // share at least one fingerprint
+    val shared = "XYZQW-shared-substring-PQRST"
+    val a = ("prefix one " + shared + " tail a").toUpperCase
+    val b = ("completely different opening " + shared + " endb").toUpperCase
+    val fps = Seq(a, b).toDF("text")
+      .select(TF.charGramWinnow($"text", 5, 16).as("f"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty,
+      "docs sharing a 28-char run must share a fingerprint")
+  }
+
+  test("temperatureResample: repeats preserve E[corpus], tilt toward rare strata") {
+    val docs = (1 to 360).map(i =>
+      (i.toLong, if (i <= 300) "en" else "de", s"doc number $i body"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Curate
+      .temperatureResample(docs, "text", "lang")
+      .select($"lang", $"n_repeats").as[(String, Long)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // sqrt tilt: en share 300/360 -> weight .91/1.57, de .41/1.57
+    // => en expected ~209, de expected ~151 of 360 total
+    assert(bySrc("de") > 100 && bySrc("de") < 200, bySrc.toString)
+    assert(bySrc("en") > 150 && bySrc("en") < 260, bySrc.toString)
+    val total = out.map(_._2).sum
+    assert(math.abs(total - 360L) < 40, s"E[corpus] drift: $total vs 360")
+  }
+
   test("multimodal resize + frame-sample stubs: deterministic shapes") {
     val vid = Multimodal.MediaRecord(7, "video",
       Array.tabulate[Byte](40960)(i => (i % 127).toByte))
