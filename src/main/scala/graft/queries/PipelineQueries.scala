@@ -627,6 +627,48 @@ object PipelineQueries {
           .orderBy("vec_a", "vec_b")
       }),
 
+    // ── Semantic dedup, SemDeDup-style (Abbas et al. 2023): candidate
+    // pairs come from the TRAINED k-means clusters (the same memoized
+    // IVF artifact the ANN tier serves from), exact within-cluster
+    // cosine >= 0.45 marks the higher vec_id a duplicate; output is
+    // the per-vector keep/prune decision. Scale shape: pair blowup is
+    // bounded PER CLUSTER — k must scale with the corpus so cluster
+    // size stays ~constant (same contract the IVF tier documents);
+    // joins shuffle on vec_id/cid, nothing O(corpus) broadcasts.
+    QueryDef(
+      "ns_dedup_semantic",
+      Some(kmeansCte + """,
+              pe AS (SELECT a2.vec_id, a2.cid, e.v, e.nrm
+                     FROM a2 JOIN e USING (vec_id)),
+              pr AS (SELECT x.vec_id a, y.vec_id b,
+                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) cos
+                     FROM pe x JOIN pe y
+                       ON x.cid = y.cid AND x.vec_id < y.vec_id),
+              d AS (SELECT DISTINCT b FROM pr WHERE cos >= 0.45)
+              SELECT pe.vec_id, pe.cid,
+                CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS keep
+              FROM pe LEFT JOIN d ON pe.vec_id = d.b
+              ORDER BY pe.vec_id"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", SF.l2Norm(col("v")))
+        val m = ivfKmeansAssignments(s, dir).join(e, Seq("vec_id"))
+        val dups = m.select(col("cid"), col("vec_id").as("a"),
+            col("v").as("xv"), col("nrm").as("xn"))
+          .join(m.select(col("cid"), col("vec_id").as("b"),
+            col("v").as("yv"), col("nrm").as("yn")), Seq("cid"))
+          .filter(col("a") < col("b"))
+          .filter(SF.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))
+            >= 0.45)
+          .select(col("b").as("vec_id")).distinct()
+        m.join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy("vec_id")
+      }),
+
     // ── Similarity search baseline: brute-force cosine top-k against
     // probe vec 0 (the exact-rerank primitive).
     QueryDef(
