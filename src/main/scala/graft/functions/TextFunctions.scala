@@ -31,10 +31,13 @@ object TextFunctions {
     * Order-sensitive — the discriminative unit for near-dup detection
     * (word *sets* saturate on small vocabularies). Native single-pass
     * (graft.plans.WordNgrams) — shingling sits under every dedup
-    * sketch, so its constant factor is corpus-sized.
+    * sketch, so its constant factor is corpus-sized. Null tokens
+    * yield empty, matching the original when/otherwise contract (see
+    * [[ngrams]]).
     */
   def shingles(toks: Column, k: Int = 3): Column =
-    graft.plans.WordNgrams(toks, k, distinct = true)
+    coalesce(graft.plans.WordNgrams(toks, k, distinct = true),
+      array().cast("array<string>"))
 
   /** 31-bit shingle hashes (hex60 mod p, p = 2^31-1) — the input to
     * the affine MinHash family; one md5 per shingle total.
@@ -75,28 +78,14 @@ object TextFunctions {
     * Narrow per-row transform, no shuffle; native single-pass
     * (graft.plans.WordNgrams — the HOF compositions pay the
     * interpreted lambda path per element, 4-15× slower at sf0.1).
+    * A null token array yields empty, not null — the contract every
+    * pre-round-9 call site was built on (the when/otherwise form
+    * returned [] for null input; bare UnaryExpression null
+    * propagation would silently drop null-text docs from joins).
     */
   def ngrams(toks: Column, n: Int): Column =
-    graft.plans.WordNgrams(toks, n, distinct = false)
-
-  /** Longest run of equal adjacent elements in a SORTED string array =
-    * the highest occurrence count of any value — `aggregate`'s linear
-    * fold keeps the whole computation narrow (the explode + groupBy
-    * (doc, token) + max formulation costs a corpus-wide shuffle for a
-    * per-document statistic). Empty arrays yield 0.
-    */
-  def maxRunLength(sortedArr: Column): Column =
-    aggregate(
-      sortedArr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        // tokens are non-empty, so the "" initial prev never matches
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    coalesce(graft.plans.WordNgrams(toks, n, distinct = false),
+      array().cast("array<string>"))
 
   /** 60-bit SimHash over (non-distinct) tokens: per bit, +1 when the
     * token-hash bit is set else -1; final bit = sign of the sum.

@@ -159,13 +159,18 @@ object Curate {
         col("__graft_rep").as("__graft_rep"),
         floor((col("__graft_rep") - floor(col("__graft_rep"))) * 1000000)
           .cast("long").as("__graft_thresh"))
+    // null-safe equality so a NULL stratum behaves as its own stratum
+    // (a plain equi-join would drop those docs while their weight
+    // still inflated the normalizing sum — silently shrinking the
+    // resampled corpus)
     docs
-      .join(broadcast(strata), Seq(stratumCol))
+      .join(broadcast(strata.withColumnRenamed(stratumCol, "__graft_stratum")),
+        col(stratumCol) <=> col("__graft_stratum"))
       .withColumn("n_repeats",
         (floor(col("__graft_rep")) +
           when(TF.hex60(col(textCol)) % 1000000 < col("__graft_thresh"), 1L)
             .otherwise(0L)).cast("long"))
-      .drop("__graft_rep", "__graft_thresh")
+      .drop("__graft_stratum", "__graft_rep", "__graft_thresh")
   }
 
   /** PII regexes, shared with the audit counters in the query layer

@@ -80,18 +80,27 @@ object Round9Queries {
               bs AS (SELECT doc_id,
                      CAST(SUM(c) - COUNT(*) AS BIGINT) dup_bigram_cnt,
                      CAST(MAX(c) AS BIGINT) top_bigram_cnt FROM bc GROUP BY 1)
-              SELECT ts.doc_id, n_tok, n_distinct_tok, top_tok_cnt,
+              SELECT d.doc_id,
+                COALESCE(n_tok, 0) AS n_tok,
+                COALESCE(n_distinct_tok, 0) AS n_distinct_tok,
+                COALESCE(top_tok_cnt, 0) AS top_tok_cnt,
                 COALESCE(dup_bigram_cnt, 0) AS dup_bigram_cnt,
                 COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
-              FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
-              ORDER BY ts.doc_id"""),
+              FROM documents d
+              LEFT JOIN ts ON d.doc_id = ts.doc_id
+              LEFT JOIN bs ON d.doc_id = bs.doc_id
+              ORDER BY d.doc_id"""),
       (s, dir) =>
+        // coalesce keeps zero-token and null-text docs (the oracle's
+        // unnest-based CTEs drop them, so it LEFT JOINs back onto the
+        // base table and zero-fills — both sides emit one row per doc)
         t(s, dir, "documents")
           .select(col("doc_id"),
             graft.plans.RepetitionStats(TF.tokens(col("text"))).as("r"))
-          .select(col("doc_id"),
-            col("r.n_tok"), col("r.n_distinct_tok"), col("r.top_tok_cnt"),
-            col("r.dup_bigram_cnt"), col("r.top_bigram_cnt"))
+          .select(col("doc_id") +:
+            Seq("n_tok", "n_distinct_tok", "top_tok_cnt",
+              "dup_bigram_cnt", "top_bigram_cnt")
+              .map(f => coalesce(col(s"r.$f"), lit(0L)).as(f)): _*)
           .orderBy("doc_id")),
 
     // ── Dedup support: cross-document boilerplate phrase mining — the
@@ -145,7 +154,7 @@ object Round9Queries {
                 FROM m)
               SELECT vec_id, ROUND(mx, 6) AS scale_r,
                 md5(array_to_string(codes, ',')) AS code_fp,
-                CAST(list_sum(codes) AS BIGINT) AS code_sum
+                CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS code_sum
               FROM c ORDER BY vec_id"""),
       (s, dir) =>
         // the scale is materialized BEFORE the codes lambda: an
@@ -159,6 +168,8 @@ object Round9Queries {
           .select(col("vec_id"),
             round(col("mx"), 6).as("scale_r"),
             md5(array_join(col("codes"), ",").cast("binary")).as("code_fp"),
+            // the fold's 0 seed matches the oracle's COALESCE(.., 0):
+            // DuckDB list_sum([]) is NULL, Spark's aggregate is 0
             aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
               .as("code_sum"))
           .orderBy("vec_id")),
@@ -220,8 +231,8 @@ object Round9Queries {
       // gets the fair (fast) formulation, differentially verified
       // equal. The df-cap scales with the corpus (greatest(16, N/31))
       // so the candidate space stays proportional at every sf.
-      Some("""WITH n AS (SELECT CAST(GREATEST(16, COUNT(*) / 31) AS BIGINT)
-                cap FROM documents),
+      Some("""WITH n AS (SELECT GREATEST(16, COUNT(*) // 31) cap
+                FROM documents),
               h AS (SELECT doc_id, [(
                   unicode(substring(text, i, 1))::BIGINT * 1604566856
                 + unicode(substring(text, i + 1, 1))::BIGINT * 1049561761
@@ -251,10 +262,12 @@ object Round9Queries {
               SELECT a, b, n_shared FROM pairs ORDER BY a, b"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // corpus-scaled df-cap as a broadcast 1-row aggregate (integer
-        // division on both engines: 500/31=16, 5000/31=161)
+        // corpus-scaled df-cap as a broadcast 1-row aggregate — FLOOR
+        // of the division on BOTH engines (DuckDB `//`, Spark floor;
+        // a bare cast would round-vs-truncate differently): 500/31=16,
+        // 5000/31=161
         val cap = docs.agg(
-          greatest(lit(16L), (count(lit(1)) / 31).cast("long")).as("cap"))
+          greatest(lit(16L), floor(count(lit(1)) / 31).cast("long")).as("cap"))
         val p = docs
           .select(col("doc_id"),
             explode(TF.charGramWinnow(col("text"), 5, 16)).as("fp"))

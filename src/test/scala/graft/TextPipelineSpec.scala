@@ -157,23 +157,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
-  test("maxRunLength = top occurrence count over a sorted array") {
-    val cases = Seq(
-      (Seq("a", "a", "a", "b", "c"), 3L),
-      (Seq("x"), 1L),
-      (Seq.empty[String], 0L),
-      (Seq("a", "b", "c", "d"), 1L))
-    for ((arr, want) <- cases) {
-      val got = Seq(Tuple1(arr)).toDF("a")
-        .select(TF.maxRunLength(array_sort($"a"))).as[Long].head()
-      assert(got == want, s"$arr -> $got, want $want")
-    }
-    // and it matches the groupBy formulation on a random-ish doc
-    val toks = Seq.tabulate(200)(i => s"w${(i * 37) % 13}")
-    val viaAgg = Seq(Tuple1(toks)).toDF("a")
-      .select(TF.maxRunLength(array_sort($"a"))).as[Long].head()
-    val viaGroup = toks.groupBy(identity).values.map(_.size).max.toLong
-    assert(viaAgg == viaGroup)
+  test("shingles/ngrams: null tokens yield empty, not null (pre-r9 contract)") {
+    val got = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(TF.shingles(TF.tokens($"text")).as("sh"),
+        TF.ngrams(TF.tokens($"text"), 2).as("ng"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(got._1.isEmpty && got._2.isEmpty,
+      s"null text must shingle to [], got $got")
+  }
+
+  test("temperatureResample: NULL stratum is its own stratum, no silent drops") {
+    val docs = (1 to 90).map(i =>
+      (i.toLong, if (i <= 60) "en" else null, s"body $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Curate
+      .temperatureResample(docs, "text", "lang")
+    assert(out.count() == 90, "every doc keeps a row, NULL stratum included")
+    val nullRepeats = out.filter($"lang".isNull)
+      .agg(sum($"n_repeats")).as[Long].head()
+    assert(nullRepeats > 0, "NULL-stratum docs must be resampled, not dropped")
   }
 
   test("RepetitionStats matches the naive groupBy formulation") {
