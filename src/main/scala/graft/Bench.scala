@@ -99,7 +99,7 @@ object Bench {
     val only = args.toSet
     val work = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-    // The suite is 68 independent queries, most of which can't fill 32
+    // The suite is 100+ independent queries, most of which can't fill 32
     // cores on their own at this sf — a sequential run measures mostly
     // per-job scheduling floor. Submit from a small client pool (the
     // multi-tenant shape a real engine serves) so tiny jobs overlap;
