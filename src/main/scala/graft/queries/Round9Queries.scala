@@ -5,7 +5,16 @@ import graft.functions.{Quantize, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-9 extensions.
+/** Round-9 extensions: the as-of routing proof (q70) plus six new
+  * LLM-pipeline operators — Gopher-style repetition signals
+  * (ns_text_repetition), boilerplate phrase mining
+  * (ns_dedup_boilerplate), int8 embedding quantization
+  * (ns_embed_quantize) and quantized ANN serving (ns_ann_int8_topk),
+  * winnowing substring-level dedup (ns_dedup_substring), train/eval
+  * contamination checking (ns_decontaminate), and temperature-based
+  * mixture resampling (ns_sample_temperature). SemDeDup-style
+  * semantic dedup (ns_dedup_semantic) lives in PipelineQueries beside
+  * the k-means artifact it reuses.
   *
   * q70 closes VERDICT r8 "what's wrong #1": q69 deliberately forces
   * the skew probe to the BUCKETED as-of plan (targetRowsPerTask=16) to

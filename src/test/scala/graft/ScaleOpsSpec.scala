@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{TextFunctions => TF}
 import graft.operators.{Skew, Telemetry}
 import graft.streaming.TelemetryPipeline
 import org.apache.spark.sql.functions._
@@ -496,6 +497,38 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("native text expressions stay linear on degenerate mega-documents") {
+    // The round-9 single-pass expressions claim O(doc) work/memory per
+    // row; this golden drives each through one pathological document —
+    // a million tokens (RepetitionStats, WordNgrams) and a multi-MB
+    // string (CharGramWinnow) — on one task, where a quadratic or
+    // subarray-per-element implementation would blow past the test
+    // timeout (the interpreted slice form measured ~8 µs/element:
+    // ~hours at 10^6) or OOM the partition.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+    val megaToks = Seq.tabulate(1000000)(i => vocab(i % 5))
+    val t0 = System.nanoTime()
+    val rep = Seq(Tuple1(megaToks)).toDF("tk")
+      .select(graft.plans.RepetitionStats($"tk").as("r"))
+      .select($"r.n_tok", $"r.n_distinct_tok", $"r.top_tok_cnt",
+        $"r.dup_bigram_cnt", $"r.top_bigram_cnt")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rep == ((1000000L, 5L, 200000L, 999994L, 200000L)), rep.toString)
+    val sh = Seq(Tuple1(megaToks)).toDF("tk")
+      .select(org.apache.spark.sql.functions.size(
+        graft.plans.WordNgrams($"tk", 3, distinct = true)).as("n"))
+      .as[Int].head()
+    assert(sh == 5, s"periodic vocab has 5 distinct trigrams, got $sh")
+    val mega = ("abcdefghij" * 500000) + "zzzzz" // 5 MB, 5-periodic + tail
+    val fps = Seq(mega).toDF("text")
+      .select(TF.charGramWinnow($"text", 5, 16).as("f"))
+      .as[Seq[Long]].head()
+    // periodic text has ≤10 distinct 5-gram hashes + a few tail grams
+    assert(fps.nonEmpty && fps.size <= 32, s"${fps.size} fingerprints")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60, f"linear pass took $sec%.1f s — not linear")
   }
 
   test("routeFor maps tags to the gateway endpoints") {

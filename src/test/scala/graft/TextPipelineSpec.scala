@@ -245,12 +245,15 @@ class TextPipelineSpec extends SparkSpec {
     }
     val samples = Seq(
       "the quick brown fox jumps over the lazy dog",
-      "aaaaaaaaaaaaaaaa", "short", "ab", "hello world hello world hello")
+      "aaaaaaaaaaaaaaaa", "short", "ab", "hello world hello world hello",
+      // non-BMP: gram windows must count CODE POINTS (a UTF-16-unit
+      // slice would split the surrogate pairs)
+      "café 😀😁😂 naïve 😀😁😂 end")
     val got = samples.toDF("text")
       .select(TF.charGramWinnow($"text", 5, 4).as("f"))
       .as[Option[Seq[Long]]].collect()
     samples.zip(got).foreach { case (s, f) =>
-      if (s.length < 5) assert(f.isEmpty, s"'$s' must be null")
+      if (s.codePointCount(0, s.length) < 5) assert(f.isEmpty, s"'$s' must be null")
       else assert(f.get.toSet == naive(s, 5, 4), s"mismatch for '$s'")
     }
     // the winnowing guarantee: two docs sharing a >= w+k-1 char run
