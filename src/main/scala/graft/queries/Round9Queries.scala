@@ -177,10 +177,11 @@ object Round9Queries {
           .select(col("vec_id"),
             round(col("mx"), 6).as("scale_r"),
             md5(array_join(col("codes"), ",").cast("binary")).as("code_fp"),
-            // the fold's 0 seed matches the oracle's COALESCE(.., 0):
-            // DuckDB list_sum([]) is NULL, Spark's aggregate is 0
-            aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
-              .as("code_sum"))
+            // matches the oracle's COALESCE(list_sum(codes), 0) on
+            // BOTH divergent inputs: empty array (DuckDB NULL, Spark
+            // fold seed 0) and NULL embedding (both folds NULL)
+            coalesce(aggregate(col("codes"), lit(0L), (acc, x) => acc + x),
+              lit(0L)).as("code_sum"))
           .orderBy("vec_id")),
 
     // ── ANN serving over QUANTIZED codes: top-k by int8-code dot
@@ -357,7 +358,8 @@ object Round9Queries {
                 CAST(floor(r.rep) + CASE WHEN d.u <
                   CAST(floor((r.rep - floor(r.rep)) * 1000000) AS BIGINT)
                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-              FROM d JOIN r USING (lang) ORDER BY d.doc_id"""),
+              FROM d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+              ORDER BY d.doc_id"""),
       (s, dir) =>
         graft.operators.Curate.temperatureResample(
             t(s, dir, "documents"), "text", "lang")

@@ -521,7 +521,7 @@ class ScaleOpsSpec extends SparkSpec {
         graft.plans.WordNgrams($"tk", 3, distinct = true)).as("n"))
       .as[Int].head()
     assert(sh == 5, s"periodic vocab has 5 distinct trigrams, got $sh")
-    val mega = ("abcdefghij" * 500000) + "zzzzz" // 5 MB, 5-periodic + tail
+    val mega = ("abcdefghij" * 500000) + "zzzzz" // 5 MB, 10-periodic + tail
     val fps = Seq(mega).toDF("text")
       .select(TF.charGramWinnow($"text", 5, 16).as("f"))
       .as[Seq[Long]].head()
