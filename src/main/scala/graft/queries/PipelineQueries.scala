@@ -884,13 +884,25 @@ object PipelineQueries {
                   AS score
               FROM c ORDER BY doc_id"""),
       (s, dir) => {
-        val tk = TF.tokens(col("text"))
+        // ONE native pass (plans.QualityStats) produces the integer
+        // inputs; the ratio arithmetic below mirrors the oracle's op
+        // order exactly. The previous form paid a regexp_replace plus
+        // three interpreted HOF re-tokenizations per row, re-evaluated
+        // per referencing output column.
+        val alphaR = when(col("q.n_chars") === 0, 0.0)
+          .otherwise(col("q.n_alpha").cast("double") / col("q.n_chars"))
+        val stopR = when(col("q.n_tok") === 0, 0.0)
+          .otherwise(col("q.n_stop").cast("double") / col("q.n_tok"))
+        val meanLen = when(col("q.n_tok") === 0, 0.0)
+          .otherwise(col("q.tok_len_sum").cast("double") / col("q.n_tok"))
+        val lenScore = least(col("q.n_tok") / 100.0, lit(1.0))
         t(s, dir, "documents")
+          .select(col("doc_id"), graft.plans.QualityStats(col("text")).as("q"))
           .select(col("doc_id"),
-            round(TF.alphaRatio(col("text")), 4).as("alpha_r"),
-            round(TF.stopwordRatio(tk), 4).as("stop_r"),
-            round(TF.meanTokenLen(tk), 4).as("mean_len"),
-            round(TF.qualityScore(col("text")), 4).as("score"))
+            round(alphaR, 4).as("alpha_r"),
+            round(stopR, 4).as("stop_r"),
+            round(meanLen, 4).as("mean_len"),
+            round(lenScore * 0.3 + alphaR * 0.4 + stopR * 0.3, 4).as("score"))
           .orderBy("doc_id")
       }),
 

@@ -233,6 +233,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(codes.forall(_.exists(c => math.abs(c) == 127)))
   }
 
+  test("QualityStats: one-pass counts match the per-column formulations") {
+    val cases = Seq(
+      // (text, n_chars, n_alpha, n_tok, n_stop, tok_len_sum)
+      ("", 0L, 0L, 0L, 0L, 0L),
+      ("   ", 3L, 0L, 0L, 0L, 0L),
+      ("THE the The", 11L, 9L, 3L, 3L, 9L), // stopwords match lowercased
+      ("año b 😀", 7L, 3L, 3L, 0L, 5L), // code points, not UTF-16 units
+      ("the quick brown fox", 19L, 16L, 4L, 1L, 16L))
+    for ((txt, ch, al, tk, st, ls) <- cases) {
+      val got = Seq(txt).toDF("text")
+        .select(graft.plans.QualityStats($"text").as("q"))
+        .select($"q.n_chars", $"q.n_alpha", $"q.n_tok", $"q.n_stop",
+          $"q.tok_len_sum")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == ((ch, al, tk, st, ls)), s"'$txt': $got")
+    }
+  }
+
   test("charGramWinnow: window minima, substring-match guarantee, short-doc edges") {
     // naive reference: all k-gram rolling hashes, then every w-window min
     def naive(s: String, k: Int, w: Int): Set[Long] = {
