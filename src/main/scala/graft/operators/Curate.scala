@@ -123,6 +123,27 @@ object Curate {
       capPerStratum: Int): DataFrame =
     TopK.perKey(docs, Seq(strataCol), orderBy, capPerStratum)
 
+  /** Train/eval contamination check — the benchmark-decontamination
+    * pass every training pipeline runs before shipping a corpus: a
+    * non-eval doc is contaminated when it shares any distinct word
+    * n-gram with any eval doc. Returns (id, n_shared) for the
+    * contaminated docs only. Shape at scale: per-doc distinct
+    * shingles (native WordNgrams), then an inverted-index join on the
+    * shingle against the eval side — benchmarks are small, so the
+    * optimizer may broadcast the eval set, but nothing forces an
+    * O(corpus) broadcast.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      isEval: org.apache.spark.sql.Column, n: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isEval.as("__graft_eval"),
+      explode(TF.shingles(TF.tokens(col(textCol)), n)).as("s"))
+    val evalSh = sh.filter(col("__graft_eval")).select("s").distinct()
+    sh.filter(!col("__graft_eval"))
+      .join(evalSh, Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,
     * so rare strata are upsampled and the head is downsampled). T =

@@ -78,6 +78,42 @@ object Dedup {
     cand
   }
 
+  /** Substring-level near-dup pairs via winnowing fingerprints
+    * (Schleimer et al. 2003): any two docs sharing a run of at least
+    * `w + k - 1` characters share a fingerprint, so pairs with
+    * `minShared`+ capped fingerprints are character-level near-dups —
+    * the tier that catches long verbatim runs inside otherwise-
+    * different documents, which word-shingle Jaccard dilutes away.
+    * Returns (a, b, n_shared) with a < b.
+    *
+    * Shape at scale: the fingerprint set is a narrow O(doc) native
+    * pass per row (plans.CharGramWinnow, ~1 fingerprint per w chars),
+    * then the SAME df-capped inverted-index dataflow as the shingle
+    * tiers — shuffles on the fingerprint key only, pair fanout
+    * bounded by cap² per fingerprint, never O(n²). The cap scales
+    * with the corpus — `greatest(minDfCap, floor(N / capDenominator))`
+    * as a broadcast 1-row aggregate — so the candidate space stays
+    * proportional at every corpus size instead of silently emptying
+    * (absolute cap) or exploding (no cap).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 16, minDfCap: Int = 16,
+      capDenominator: Int = 31, minShared: Int = 4): DataFrame = {
+    val cap = docs.agg(greatest(lit(minDfCap.toLong),
+      floor(count(lit(1)) / capDenominator).cast("long")).as("cap"))
+    val p = docs.select(col(idCol).as("id"),
+      explode(TF.charGramWinnow(col(textCol), k, w)).as("fp"))
+    val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("cap")).select("fp")
+    val pp = p.join(keep, Seq("fp"))
+    pp.join(pp.select(col("id").as("b"), col("fp")), Seq("fp"))
+      .filter(col("id") < col("b"))
+      .groupBy(col("id").as("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The df-capped inverted index itself, (id, s) one row per (doc,
     * surviving shingle) — the build both `invertedIndexCandidates`
     * and the query layer's memoized artifact share. Callers that

@@ -270,31 +270,15 @@ object Round9Queries {
                           ON a.fp = b.fp AND a.doc_id < b.doc_id
                         GROUP BY 1, 2 HAVING COUNT(*) >= 4)
               SELECT a, b, n_shared FROM pairs ORDER BY a, b"""),
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        // corpus-scaled df-cap as a broadcast 1-row aggregate — FLOOR
-        // of the division on BOTH engines (DuckDB `//`, Spark floor;
-        // a bare cast would round-vs-truncate differently): 500/31=16,
-        // 5000/31=161
-        val cap = docs.agg(
-          greatest(lit(16L), floor(count(lit(1)) / 31).cast("long")).as("cap"))
-        val p = docs
-          .select(col("doc_id"),
-            explode(TF.charGramWinnow(col("text"), 5, 16)).as("fp"))
-        // df-cap: a fingerprint shared by everyone is boilerplate, not
-        // a near-dup signal — and it is the pair-blowup guard
-        val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(cap))
-          .filter(col("df") <= col("cap")).select("fp")
-        val pp = p.join(keep, Seq("fp"))
-        pp.join(pp.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
-          .filter(col("doc_id") < col("b"))
-          .groupBy(col("doc_id").as("a"), col("b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 4)
+      (s, dir) =>
+        // operators/Dedup.winnowPairs owns the whole dataflow incl.
+        // the corpus-scaled df-cap (FLOOR of the division on BOTH
+        // engines — DuckDB `//`, Spark floor; a bare cast would
+        // round-vs-truncate differently: 500/31=16, 5000/31=161)
+        graft.operators.Dedup.winnowPairs(
+            t(s, dir, "documents"), "doc_id", "text")
           .select(col("a"), col("b"), col("n_shared"))
-          .orderBy("a", "b")
-      }),
+          .orderBy("a", "b")),
 
     // ── Train/eval contamination check (the benchmark-decontamination
     // pass every training pipeline runs): eval split = deterministic
@@ -318,18 +302,12 @@ object Round9Queries {
               SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
               FROM sh JOIN e USING (s) WHERE sh.bucket >= 5
               GROUP BY 1 ORDER BY doc_id"""),
-      (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"),
-            (TF.hex60(col("text")) % 100).as("bucket"),
-            explode(TF.shingles(TF.tokens(col("text")), 4)).as("s"))
-        val eval = sh.filter(col("bucket") < 5).select("s").distinct()
-        sh.filter(col("bucket") >= 5)
-          .join(eval, Seq("s"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        graft.operators.Curate.decontaminate(
+            t(s, dir, "documents"), "doc_id", "text",
+            isEval = TF.hex60(col("text")) % 100 < 5)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy("doc_id")),
 
     // ── Temperature-based mixture resampling (multilingual corpus
     // rebalancing, T = 2): per-language share^(1/2), renormalized,

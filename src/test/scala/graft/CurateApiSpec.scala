@@ -82,6 +82,20 @@ class CurateApiSpec extends SparkSpec {
     assert(kept == again, "must be deterministic")
   }
 
+  test("decontaminate flags train docs sharing an n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true), // eval
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false))
+      .toDF("id0", "body", "ev")
+    val out = Curate.decontaminate(corpus, "id0", "body", col("ev"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(2L) && out(2L) >= 1,
+      s"doc 2 shares 'the quick brown fox' 4-gram: $out")
+    assert(!out.contains(3L), s"clean doc flagged: $out")
+    assert(!out.contains(1L), "eval docs are never in the output")
+  }
+
   test("sampleSplit is deterministic and covers all three splits") {
     val many = (1 to 300).map(i => (i.toLong, s"document number $i body"))
       .toDF("id", "body")

@@ -77,6 +77,21 @@ class DedupApiSpec extends SparkSpec {
     assert(Dedup.invertedIndexCandidates(sh, dfCap = 1).count() == 0)
   }
 
+  test("winnowPairs: long shared runs pair, unrelated docs don't") {
+    val shared = "this exact forty-plus character run is copied verbatim into both docs"
+    val corpus = Seq(
+      (1L, s"alpha prologue $shared and then some trailing words here"),
+      (2L, s"a completely different opening passage $shared closing words"),
+      (3L, "nothing in common with the others at all in any respect"),
+      (4L, "likewise dissimilar content that shares no long character runs"))
+      .toDF("my_id", "body")
+    val pairs = Dedup.winnowPairs(corpus, "my_id", "body")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared-run pair missing: $pairs")
+    assert(pairs.forall { case (a, b) => a < b && Set(1L, 2L)(a) == Set(1L, 2L)(b) },
+      s"unrelated docs must not pair: $pairs")
+  }
+
   test("componentLabels groups a transitive chain under the min id") {
     val sh = Dedup.shingleSignatures(docs, "my_id", "body")
     val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
