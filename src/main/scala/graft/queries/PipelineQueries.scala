@@ -83,8 +83,30 @@ object PipelineQueries {
     componentLabels(s, dir)
     ivfKmeansAssignments(s, dir)
     cappedInvertedIndex(s, dir)
+    tfidfWeights(s, dir)
     ()
   }
+
+  /** TF-IDF weight postings (doc_id, s, wq): the df-capped inverted
+    * index joined to its document frequencies with the fixed-point
+    * squared ratio-idf weight — the write-once serving artifact of
+    * the tf-idf similarity tier. Both self-join sides of the pair
+    * join probe it; built inline each side re-pays the df groupBy +
+    * join (2× per query). At 100 TB this is the posting-list file a
+    * search index ships; queries read it.
+    */
+  private[queries] def tfidfWeights(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "tfidfw") {
+      val inv = cappedInvertedIndex(s, dir)
+      val nn = inv.agg(countDistinct("doc_id").as("n"))
+      val dfx = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      inv.join(dfx, "s")
+        .crossJoin(broadcast(nn)) // single global-count row
+        .select(col("doc_id"), col("s"),
+          floor((col("n").cast("double") / col("df")) *
+            (col("n").cast("double") / col("df")) * 1e6)
+            .cast("long").as("wq"))
+    }
 
   /** Document-frequency-capped inverted shingle index (doc_id, s):
     * one row per (doc, shingle-hash) with stop-shingles (df > 256)

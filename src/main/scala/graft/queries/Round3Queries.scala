@@ -421,17 +421,11 @@ object Round3Queries {
         SELECT da AS doc_a, db AS doc_b, ROUND(sim, 3) AS sim FROM simt
         WHERE sim >= 0.5 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val inv = PipelineQueries.cappedInvertedIndex(s, dir)
-        // corpus size as a broadcast 1-row frame (the oracle's nn CTE
-        // shape) — no driver-side job serialized into the query path
-        val nn = inv.agg(countDistinct("doc_id").as("n"))
-        val dfx = inv.groupBy("s").agg(count(lit(1)).as("df"))
-        val w = inv.join(dfx, "s")
-          .crossJoin(broadcast(nn)) // single global-count row
-          .select(col("doc_id"), col("s"),
-            floor((col("n").cast("double") / col("df")) *
-              (col("n").cast("double") / col("df")) * 1e6)
-              .cast("long").as("wq"))
+        // the weight postings are the memoized write-once artifact
+        // (PipelineQueries.tfidfWeights) — both self-join sides below
+        // probe ONE cached table instead of each re-paying the df
+        // groupBy + join + weight projection
+        val w = PipelineQueries.tfidfWeights(s, dir)
         val nrm = w.groupBy("doc_id").agg(sum("wq").as("s2"))
         val sab = w.as("a")
           .join(w.as("b"),
