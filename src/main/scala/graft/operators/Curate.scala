@@ -131,11 +131,15 @@ object Curate {
     * shingles (native WordNgrams), then an inverted-index join on the
     * shingle against the eval side — benchmarks are small, so the
     * optimizer may broadcast the eval set, but nothing forces an
-    * O(corpus) broadcast.
+    * O(corpus) broadcast. A NULL `isEval` counts as train (coalesced
+    * to false): filter(col) and filter(!col) both reject NULL, so a
+    * nullable predicate would otherwise silently exempt those docs
+    * from the contamination check.
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       isEval: org.apache.spark.sql.Column, n: Int = 4): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), isEval.as("__graft_eval"),
+    val sh = docs.select(col(idCol).as("id"),
+      coalesce(isEval, lit(false)).as("__graft_eval"),
       explode(TF.shingles(TF.tokens(col(textCol)), n)).as("s"))
     val evalSh = sh.filter(col("__graft_eval")).select("s").distinct()
     sh.filter(!col("__graft_eval"))

@@ -95,23 +95,37 @@ object Dedup {
     * as a broadcast 1-row aggregate — so the candidate space stays
     * proportional at every corpus size instead of silently emptying
     * (absolute cap) or exploding (no cap).
+    *
+    * EAGER like [[invertedIndexCandidates]]: the fingerprint postings
+    * are persisted during construction (both self-join sides plus the
+    * df-cap branch would otherwise re-pay the corpus-wide winnow
+    * explode ~4× per action) and released before returning; the
+    * caller owns `.unpersist()` on the returned (small) pair set.
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 16, minDfCap: Int = 16,
       capDenominator: Int = 31, minShared: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cap = docs.agg(greatest(lit(minDfCap.toLong),
       floor(count(lit(1)) / capDenominator).cast("long")).as("cap"))
     val p = docs.select(col(idCol).as("id"),
       explode(TF.charGramWinnow(col(textCol), k, w)).as("fp"))
+      .persist(lvl)
     val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap")).select("fp")
-    val pp = p.join(keep, Seq("fp"))
-    pp.join(pp.select(col("id").as("b"), col("fp")), Seq("fp"))
+    val pp = p.join(keep, Seq("fp")).persist(lvl)
+    val pairs = pp
+      .join(pp.select(col("id").as("b"), col("fp")), Seq("fp"))
       .filter(col("id") < col("b"))
       .groupBy(col("id").as("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .persist(lvl)
+    pairs.count()
+    p.unpersist()
+    pp.unpersist()
+    pairs
   }
 
   /** The df-capped inverted index itself, (id, s) one row per (doc,

@@ -85,11 +85,11 @@ class DedupApiSpec extends SparkSpec {
       (3L, "nothing in common with the others at all in any respect"),
       (4L, "likewise dissimilar content that shares no long character runs"))
       .toDF("my_id", "body")
-    val pairs = Dedup.winnowPairs(corpus, "my_id", "body")
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)), s"shared-run pair missing: $pairs")
-    assert(pairs.forall { case (a, b) => a < b && Set(1L, 2L)(a) == Set(1L, 2L)(b) },
-      s"unrelated docs must not pair: $pairs")
+    val cand = Dedup.winnowPairs(corpus, "my_id", "body")
+    val pairs = cand.select("a", "b").as[(Long, Long)].collect().toSet
+    cand.unpersist()
+    assert(pairs == Set((1L, 2L)),
+      s"exactly the shared-run pair must survive: $pairs")
   }
 
   test("componentLabels groups a transitive chain under the min id") {
