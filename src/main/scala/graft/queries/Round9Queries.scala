@@ -271,12 +271,14 @@ object Round9Queries {
                         GROUP BY 1, 2 HAVING COUNT(*) >= 4)
               SELECT a, b, n_shared FROM pairs ORDER BY a, b"""),
       (s, dir) =>
-        // operators/Dedup.winnowPairs owns the whole dataflow incl.
-        // the corpus-scaled df-cap (FLOOR of the division on BOTH
+        // pair join served from the memoized df-capped postings
+        // artifact (same shape as ns_text_tfidf_sim's weight
+        // postings); operators/Dedup owns the dataflow incl. the
+        // corpus-scaled df-cap (FLOOR of the division on BOTH
         // engines — DuckDB `//`, Spark floor; a bare cast would
         // round-vs-truncate differently: 500/31=16, 5000/31=161)
-        graft.operators.Dedup.winnowPairs(
-            t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Dedup.winnowPairsFromPostings(
+            PipelineQueries.winnowPostings(s, dir))
           .select(col("a"), col("b"), col("n_shared"))
           .orderBy("a", "b")),
 

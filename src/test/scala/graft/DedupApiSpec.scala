@@ -86,10 +86,22 @@ class DedupApiSpec extends SparkSpec {
       (4L, "likewise dissimilar content that shares no long character runs"))
       .toDF("my_id", "body")
     val cand = Dedup.winnowPairs(corpus, "my_id", "body")
+    // the eager pair-set contract: returned frame IS the cached plan
+    assert(cand.storageLevel.useMemory || cand.storageLevel.useDisk,
+      s"winnowPairs result not persisted: ${cand.storageLevel}")
     val pairs = cand.select("a", "b").as[(Long, Long)].collect().toSet
-    cand.unpersist()
+    cand.unpersist(blocking = true)
+    assert(cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(pairs == Set((1L, 2L)),
       s"exactly the shared-run pair must survive: $pairs")
+
+    // the lazy building blocks compose to the same pair set (the
+    // query layer serves winnowPairsFromPostings from a memoized
+    // postings artifact — the two paths must not drift)
+    val post = Dedup.winnowPostings(corpus, "my_id", "body")
+    val lazyPairs = Dedup.winnowPairsFromPostings(post)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lazyPairs == pairs, s"lazy path drifted: $lazyPairs vs $pairs")
   }
 
   test("componentLabels groups a transitive chain under the min id") {

@@ -18,7 +18,7 @@ ratios the 2x gate judges, plus the gate verdict itself
 verdicts use; machinery_proof_queries from the bench record are
 excluded from gating and listed separately).
 """
-import json, os, statistics, sys, time
+import hashlib, json, os, statistics, sys, time
 
 import duckdb
 
@@ -44,11 +44,28 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     spark_iso, proof = {}, []
+    # Provenance of the consumed Spark capture (VERDICT r9 missing #3):
+    # the record must self-identify WHICH bench_full.json its ratios
+    # came from — round 9 had a contended 282 s capture sitting on disk
+    # beside clean-capture ratios, indistinguishable without git
+    # archaeology. Stamp the capture's headline value, its contended
+    # flag, and a content hash.
+    spark_capture = {"path": bench_path, "found": False}
     if os.path.exists(bench_path):
-        with open(bench_path) as f:
-            bench = json.load(f)
+        with open(bench_path, "rb") as f:
+            raw = f.read()
+        bench = json.loads(raw)
         spark_iso = bench.get("queries_isolated", {})
         proof = bench.get("machinery_proof_queries", [])
+        spark_capture = {
+            "path": bench_path,
+            "found": True,
+            "sha256": hashlib.sha256(raw).hexdigest(),
+            "value_sec": bench.get("value"),
+            "contended": bench.get("contended"),
+            "loadavg_start": bench.get("loadavg_start"),
+            "sf": bench.get("sf"),
+        }
     load_start = loadavg()
     con = duckdb.connect()
     threads = con.sql("SELECT current_setting('threads')").fetchone()[0]
@@ -85,6 +102,7 @@ def main():
                      if r > GATE and n not in proof}
     record = {
         "sf": sf_dir,
+        "spark_capture": spark_capture,
         "engine": "duckdb",
         "duckdb_version": duckdb.__version__,
         "threads": int(threads),
@@ -105,7 +123,14 @@ def main():
             sorted(data_dom.items(), key=lambda kv: -kv[1])),
         "queries": medians,
         "queries_reps_detail": detail,
-        "spark_over_oracle_ratio": ratios,
+        # raw per-query ratios INCLUDING the ~93 sub-floor queries whose
+        # oracle time sits under the 0.15 s data-dominated floor — there
+        # a "ratio" measures Spark's fixed per-job scheduling floor
+        # against a ~5 ms DuckDB query, not the data path. Read
+        # data_dominated_ratios (above) for gate-meaningful numbers
+        # (VERDICT r9 what's-wrong #4: the old name `spark_over_oracle_
+        # ratio` invited exactly that misreading).
+        "ratios_unfiltered_incl_job_floor": ratios,
     }
     with open(dest, "w") as f:
         json.dump(record, f, indent=1, sort_keys=False)
