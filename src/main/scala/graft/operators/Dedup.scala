@@ -185,6 +185,121 @@ object Dedup {
     inv0.join(hot, Seq("s"), "left_anti")
   }
 
+  // ── Incremental dedup against a standing index ──────────────────
+  //
+  // The production shape at 100 TB is not "sign the whole corpus and
+  // self-join" (the batch tiers above) but "a new shard arrives
+  // daily; dedup it against the standing corpus WITHOUT re-signing
+  // the corpus". The standing index is two write-once frames; a probe
+  // signs only the new shard and joins it against them.
+
+  /** A standing shingle index over the corpus-so-far:
+    *
+    *  - `postings` — the df-capped inverted index (id, s), one row
+    *    per (doc, surviving shingle);
+    *  - `df` — the COMPLETE document-frequency table (s, df),
+    *    including shingles capped OUT of the postings.
+    *
+    * The complete df table is what makes increments exact: a
+    * stop-shingle (df already over the cap in the standing corpus)
+    * has no postings, and without its df a probe would see combined
+    * df = (new shard's df only) ≤ cap and wrongly re-admit it.
+    * Because corpus df only grows, capping is monotone-safe: once a
+    * shingle's df exceeds the cap it can never return, so dropping
+    * its postings loses nothing a batch rebuild would keep.
+    */
+  final case class ShingleIndex(postings: DataFrame, df: DataFrame)
+
+  /** Build a standing index from a corpus (the once-per-corpus batch
+    * job; increments then use [[probeIncremental]] +
+    * [[extendIndex]]). LAZY — production writes it straight to
+    * parquet via [[writeIndex]].
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, dfCap: Int = 256): ShingleIndex = {
+    val sh = shingleSignatures(docs, idCol, textCol, k)
+    val dfTab = sh.select(explode(col("hh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    ShingleIndex(cappedInvertedIndex(sh, dfCap), dfTab)
+  }
+
+  /** Write/load the standing index as parquet — loading severs all
+    * lineage to the original corpus text, which is the point: a probe
+    * against a loaded index cannot re-sign the corpus.
+    */
+  def writeIndex(index: ShingleIndex, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.df.write.mode("overwrite").parquet(s"$dir/df")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ShingleIndex =
+    ShingleIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/df"))
+
+  /** Cross pairs (ida from the index, idb from the new shard,
+    * n_shared) sharing at least `minShared` surviving shingles, where
+    * surviving means COMBINED document frequency (standing df + new
+    * shard's df) stays within `dfCap`. Only the NEW shard is signed.
+    *
+    * Exactness: a pair survives here iff it survives a batch rebuild
+    * over (corpus ∪ shard) restricted to cross pairs — combined df is
+    * exactly the rebuild's df, and a shingle's standing df never
+    * exceeds its combined df, so the index-build cap can't disagree
+    * with the combined cap (ns_dedup_incremental pins this
+    * equivalence against a batch-global DuckDB oracle; the spec
+    * proves it differentially on arbitrary frames). `dfCap` must
+    * match the value the index was built with.
+    *
+    * LAZY, unlike the batch pair-set operators: the only
+    * multiply-referenced intermediate is the NEW shard's postings
+    * (O(shard), recomputed within one action's plan tree), not an
+    * O(corpus) build — the corpus side arrives as the standing index,
+    * referenced once per branch and typically loaded from parquet.
+    * Shuffles on the shingle key only; never broadcasts the index.
+    */
+  def probeIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      index: ShingleIndex, k: Int = 3, dfCap: Int = 256,
+      minShared: Int = 1): DataFrame = {
+    val newPost = shingleSignatures(newDocs, idCol, textCol, k)
+      .select(col("id"), explode(col("hh")).as("s"))
+    val surviving = index.df
+      .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
+      .filter(col("df") + col("__graft_dfb") <= dfCap)
+      .select("s")
+    index.postings.select(col("id").as("ida"), col("s"))
+      .join(surviving, Seq("s"))
+      .join(newPost.select(col("id").as("idb"), col("s")), Seq("s"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The updated standing index after absorbing a new shard:
+    * provably equal to `buildIndex(corpus ∪ shard)` (the spec asserts
+    * frame equality differentially) while signing only the shard.
+    * New df = full-outer sum; new postings = (old ∪ shard's) postings
+    * whose combined df stays within the cap — postings the old index
+    * already capped out stay out (their combined df can only have
+    * grown). LAZY like [[buildIndex]]; production writes the result
+    * with [[writeIndex]] and serves the next day's probe from it.
+    */
+  def extendIndex(index: ShingleIndex, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, dfCap: Int = 256): ShingleIndex = {
+    val newPost = shingleSignatures(newDocs, idCol, textCol, k)
+      .select(col("id"), explode(col("hh")).as("s"))
+    val dfAll = index.df.withColumnRenamed("df", "__graft_dfa")
+      .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")),
+        Seq("s"), "full_outer")
+      .select(col("s"),
+        (coalesce(col("__graft_dfa"), lit(0L)) +
+          coalesce(col("__graft_dfb"), lit(0L))).as("df"))
+    val keep = dfAll.filter(col("df") <= dfCap).select("s")
+    ShingleIndex(
+      index.postings.unionByName(newPost).join(keep, Seq("s")),
+      dfAll)
+  }
+
   /** Shared verify scaffolding: probe the candidate-pair set against
     * the signature table via plain shuffle joins (NEVER broadcast —
     * signatures are O(corpus)), score each pair's shingle sets, keep

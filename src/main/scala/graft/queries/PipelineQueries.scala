@@ -210,7 +210,7 @@ object PipelineQueries {
   /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
     * hex60-hashed word 3-shingles per doc (mirrors ShingleHash60).
     */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH toks AS (SELECT doc_id,
          list_filter(string_split(lower(text), ' '), x -> x <> '') tk
          FROM documents),

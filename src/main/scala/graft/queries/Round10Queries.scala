@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 extensions: the two dedup shapes a production 100 TB
+  * pipeline still needed after round 9 —
+  *
+  *  - INCREMENTAL dedup against a standing index
+  *    (ns_dedup_incremental): a new shard probed against the
+  *    signed-once corpus index without re-signing the corpus
+  *    (operators/Dedup.{buildIndex,probeIncremental,extendIndex});
+  *  - PARAGRAPH-tier exact dedup (ns_dedup_paragraph): the CCNet-
+  *    style middle tier between whole-document hashes (q32) and
+  *    substring winnowing (ns_dedup_substring) — keep-first exact
+  *    dedup of fixed-width token blocks across the corpus
+  *    (operators/Curate.dedupParagraphs; the synthetic text has no
+  *    newlines, so "paragraph" is the no-separator generalization:
+  *    non-overlapping token blocks).
+  */
+object Round10Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Incremental dedup: split the corpus 50/50 by doc_id parity,
+    // build the standing index over the even half IN-PLAN (production
+    // loads it from parquet — the no-re-signing property is pinned
+    // structurally in DedupApiSpec), probe the odd half against it.
+    // The ORACLE is deliberately the BATCH-GLOBAL formulation
+    // restricted to cross-half pairs: df computed over the WHOLE
+    // corpus, capped at 256, pairs sharing >= 4 surviving shingles —
+    // a hash match therefore verifies the increment-equals-rebuild
+    // equivalence empirically, not just the Spark implementation.
+    QueryDef(
+      "ns_dedup_incremental",
+      Some(PipelineQueries.shingleCte + """,
+              inv AS (SELECT doc_id, UNNEST(hh) s FROM sh),
+              dfx AS (SELECT s, COUNT(*) df FROM inv GROUP BY 1),
+              pi AS (SELECT doc_id, i.s FROM inv i
+                     JOIN (SELECT s FROM dfx WHERE df <= 256) k
+                       ON i.s = k.s)
+              SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM pi a JOIN pi b
+                ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2 HAVING COUNT(*) >= 4
+              ORDER BY ida, idb"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val standing = docs.filter(col("doc_id") % 2 === 0)
+        val shard = docs.filter(col("doc_id") % 2 === 1)
+        val index = graft.operators.Dedup.buildIndex(
+          standing, "doc_id", "text")
+        graft.operators.Dedup.probeIncremental(
+            shard, "doc_id", "text", index, minShared = 4)
+          .orderBy("ida", "idb")
+      }),
+  )
+}

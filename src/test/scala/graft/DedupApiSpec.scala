@@ -104,6 +104,102 @@ class DedupApiSpec extends SparkSpec {
     assert(lazyPairs == pairs, s"lazy path drifted: $lazyPairs vs $pairs")
   }
 
+  test("probeIncremental against a LOADED index: no corpus re-signing, " +
+      "pairs equal the batch rebuild's cross pairs") {
+    // a richer corpus: near-dup pairs that cross the halves, one pair
+    // inside a half (must NOT be emitted), and a hot shingle
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "unrelated filler content with nothing shared at all here"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"), // ~0
+      (3L, "one two three four five six seven eight nine ten twelve"), // ~2
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota nu") // ~0, ~1
+    ).toDF("my_id", "body")
+    val standing = corpus.filter($"my_id" % 2 === 0)
+    val shard = corpus.filter($"my_id" % 2 === 1)
+
+    // standing index written once, then LOADED — the production shape
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-")
+      .toString
+    Dedup.writeIndex(Dedup.buildIndex(standing, "my_id", "body"), dir)
+    val index = Dedup.loadIndex(spark, dir)
+    val probe = Dedup.probeIncremental(shard, "my_id", "body", index)
+
+    // structural no-re-signing proof: every file scanned by the probe
+    // plan is under the index dir — the standing corpus' source never
+    // appears (its lineage was severed by the parquet round-trip)
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val leaves = probe.queryExecution.optimizedPlan.collectLeaves()
+    val scannedFiles = leaves.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains(dir)),
+      s"probe must scan only the index parquet, got: $scannedFiles")
+    // and every non-file leaf is the in-memory shard relation
+    assert(leaves.forall {
+      case _: LogicalRelation => true
+      case l => l.getClass.getSimpleName.contains("LocalRelation")
+    }, leaves.map(_.getClass.getSimpleName).toString)
+
+    // differential: equals the batch-global rebuild restricted to
+    // cross-half pairs (the increment-equals-rebuild theorem)
+    val shAll = Dedup.shingleSignatures(corpus, "my_id", "body")
+    val batch = Dedup.cappedInvertedIndex(shAll)
+    val batchCross = batch.select(col("id").as("ida"), col("s"))
+      .join(batch.select(col("id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") % 2 === 0 && col("idb") % 2 === 1)
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = probe.as[(Long, Long, Long)].collect().toSet
+    assert(got == batchCross, s"incremental $got vs batch $batchCross")
+    assert(got.exists { case (a, b, _) => a == 0L && b == 1L }, got.toString)
+    assert(got.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
+  }
+
+  test("probeIncremental: stop-shingles stay capped across increments") {
+    // a shingle over the cap in the STANDING corpus has no postings;
+    // the complete df table must keep it suppressed even though the
+    // new shard alone would be under the cap
+    val hot = "common shared trigram here"
+    val standing = (0L to 5L).map(i => (i * 2, s"$hot filler$i words$i"))
+      .toDF("my_id", "body")
+    val shard = Seq((1L, s"$hot other content")).toDF("my_id", "body")
+    val index = Dedup.buildIndex(standing, "my_id", "body", dfCap = 4)
+    // standing df for the hot shingles = 6 > 4 -> no postings, and the
+    // probe must emit nothing (combined df only grew)
+    assert(Dedup.probeIncremental(shard, "my_id", "body", index,
+      dfCap = 4).count() == 0)
+    // sanity: with a cap that admits them, the pair appears
+    val loose = Dedup.buildIndex(standing, "my_id", "body", dfCap = 100)
+    assert(Dedup.probeIncremental(shard, "my_id", "body", loose,
+      dfCap = 100).count() > 0)
+  }
+
+  test("extendIndex equals a batch rebuild over corpus ∪ shard") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (3L, "one two three four five six seven eight nine ten twelve")
+    ).toDF("my_id", "body")
+    val standing = corpus.filter($"my_id" % 2 === 0)
+    val shard = corpus.filter($"my_id" % 2 === 1)
+    // a tight cap so some shingles ARE capped during the extension
+    val ext = Dedup.extendIndex(
+      Dedup.buildIndex(standing, "my_id", "body", dfCap = 3),
+      shard, "my_id", "body", dfCap = 3)
+    val rebuilt = Dedup.buildIndex(corpus, "my_id", "body", dfCap = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    assert(rows(ext.postings) == rows(rebuilt.postings))
+    assert(rows(ext.df) == rows(rebuilt.df))
+  }
+
   test("componentLabels groups a transitive chain under the min id") {
     val sh = Dedup.shingleSignatures(docs, "my_id", "body")
     val pairs = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.5)
