@@ -123,6 +123,48 @@ object Curate {
       capPerStratum: Int): DataFrame =
     TopK.perKey(docs, Seq(strataCol), orderBy, capPerStratum)
 
+  /** Paragraph-tier exact dedup (the CCNet middle tier between
+    * whole-document hashing and substring winnowing): split each doc
+    * into paragraphs, drop every paragraph instance whose exact text
+    * already occurred earlier in the corpus (keep-first, ordered by
+    * (id, position) — deterministic, never rand()), and reassemble
+    * the surviving text. Corpora without newline structure use the
+    * no-separator generalization: non-overlapping `parTokens`-token
+    * blocks.
+    *
+    * Returns (id, n_par, n_kept, text_kept); zero-token docs survive
+    * with n_par = 0 and empty text. Shape at scale: one explode, one
+    * window keyed on the paragraph text (shuffles each paragraph
+    * once — the keep-first decision needs exactly one exchange), one
+    * groupBy(id) reassembly. Linear, no self-joins, no collect.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 20): DataFrame = {
+    require(parTokens > 0, s"parTokens must be positive, got $parTokens")
+    val blocks = docs
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__graft_tk"))
+      .withColumn("__graft_n", size(col("__graft_tk")))
+      .filter(col("__graft_n") > 0)
+      .withColumn("pid", explode(sequence(lit(0),
+        floor((col("__graft_n") - 1) / parTokens).cast("int"))))
+      .select(col("id"), col("pid"),
+        concat_ws(" ", slice(col("__graft_tk"),
+          col("pid") * parTokens + 1, lit(parTokens))).as("ptext"))
+    val marked = blocks.withColumn("__graft_rn", row_number().over(
+      Window.partitionBy("ptext").orderBy("id", "pid")))
+    val perDoc = marked.groupBy("id").agg(
+      count(lit(1)).as("n_par"),
+      sum(when(col("__graft_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(array_sort(collect_list(
+        when(col("__graft_rn") === 1, struct(col("pid"), col("ptext"))))),
+        x => x.getField("ptext"))).as("text_kept"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_par"), lit(0L)).as("n_par"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Train/eval contamination check — the benchmark-decontamination
     * pass every training pipeline runs before shipping a corpus: a
     * non-eval doc is contaminated when it shares any distinct word

@@ -59,5 +59,43 @@ object Round10Queries {
             shard, "doc_id", "text", index, minShared = 4)
           .orderBy("ida", "idb")
       }),
+
+    // ── Paragraph-tier exact dedup (CCNet-style keep-first removal
+    // of repeated paragraphs corpus-wide). The synthetic text has no
+    // newlines, so a "paragraph" is a non-overlapping 20-token block.
+    // The oracle pins exact BIGINT block counts AND an md5 over the
+    // reassembled kept text — the apply step, not just the counts.
+    QueryDef(
+      "ns_dedup_paragraph",
+      Some("""WITH tk AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              b AS (SELECT doc_id,
+                    [array_to_string(tk[i*20+1:i*20+20], ' ')
+                     for i in range(0, (len(tk)+19)//20)] bl
+                    FROM tk WHERE len(tk) > 0),
+              u AS (SELECT doc_id, UNNEST(bl) ptext,
+                    generate_subscripts(bl, 1) pid FROM b),
+              m AS (SELECT doc_id, pid, ptext,
+                    ROW_NUMBER() OVER (PARTITION BY ptext
+                      ORDER BY doc_id, pid) rn FROM u),
+              agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_par,
+                      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) n_kept,
+                      md5(COALESCE(string_agg(
+                        CASE WHEN rn = 1 THEN ptext END, ' '
+                        ORDER BY pid), '')) kept_fp
+                      FROM m GROUP BY 1)
+              SELECT d.doc_id, COALESCE(n_par, 0) AS n_par,
+                COALESCE(n_kept, 0) AS n_kept,
+                COALESCE(kept_fp, md5('')) AS kept_fp
+              FROM documents d LEFT JOIN agg USING (doc_id)
+              ORDER BY d.doc_id"""),
+      (s, dir) =>
+        graft.operators.Curate.dedupParagraphs(
+            t(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_par"), col("n_kept"),
+            md5(col("text_kept").cast("binary")).as("kept_fp"))
+          .orderBy("doc_id")),
   )
 }

@@ -33,6 +33,29 @@ class CurateApiSpec extends SparkSpec {
     assert(out(3L) == 0L) // de shard starts fresh
   }
 
+  test("dedupParagraphs drops repeated blocks keep-first and reassembles") {
+    // parTokens=3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then
+    // unique tail; doc 3 repeats both of doc 1's blocks exactly; doc 4
+    // is empty
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, ""))
+      .toDF("my_id", "body")
+    val out = Curate.dedupParagraphs(corpus, "my_id", "body", parTokens = 3)
+      .select("id", "n_par", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, "a b c d e f")))
+    // doc 2: [a b c] seen at doc 1 -> dropped; [x y z] kept
+    assert(out(2L) == ((2L, 2L, 1L, "x y z")))
+    // doc 3: both blocks already seen -> empty
+    assert(out(3L) == ((3L, 2L, 0L, "")))
+    // zero-token doc survives with zero counts
+    assert(out(4L) == ((4L, 0L, 0L, "")))
+  }
+
   test("redactPii replaces digit runs and emails") {
     val red = Curate.redactPii(
       Seq((1L, "mail me at a.b@example.com or call +1 (555) 123-4567 id 9876543"))
