@@ -55,6 +55,12 @@ object Bench {
       // small client pool (below); tiny jobs must not convoy behind a
       // large one's stage queue
       .config("spark.scheduler.mode", "FAIR")
+      // single-file/single-row-group test parquet otherwise pins every
+      // cached large-table partition — and each narrow pipeline over
+      // it — to ONE task (see Catalog.table; DuckDB parallelizes
+      // inside a row group on the same file, a cluster gets this from
+      // file count)
+      .config("spark.graft.local.scanParallelism", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

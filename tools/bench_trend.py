@@ -66,7 +66,8 @@ def build(src, dst):
     con = duckdb.connect()
 
     def copy(sql, table):
-        con.sql(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        con.sql(f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
         n = con.sql(
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')"
         ).fetchone()[0]
@@ -174,14 +175,24 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
     for name in TREND_QUERIES:
         s01 = caps["sf0.1"]["json"].get("queries_isolated", {}).get(name)
         s1 = caps["sf1"]["json"].get("queries_isolated", {}).get(name)
+        # best rep alongside the median: the sf1 pass executes every
+        # query 4x (pooled + 3 isolated) in ONE shared JVM holding all
+        # warm artifacts — late reps accumulate GC debris the capture's
+        # own `contended` flag reports. Median stays the headline; the
+        # min column shows what the same plan does on a clean heap.
+        s1min = (caps["sf1"]["json"].get("isolated_reps_detail", {})
+                 .get(name) or [None])[0]
         row = {
             "spark_sf01_sec": s01, "spark_sf1_sec": s1,
+            "spark_sf1_min_sec": s1min,
             "oracle_sf01_sec": d01.get(name), "oracle_sf1_sec": d1.get(name),
         }
         if s01 and d01.get(name, 0) > 0 and s01 > 0:
             row["ratio_sf01"] = round(s01 / d01[name], 3)
         if s1 and d1.get(name, 0) > 0 and s1 > 0:
             row["ratio_sf1"] = round(s1 / d1[name], 3)
+        if s1min and d1.get(name, 0) > 0 and s1min > 0:
+            row["ratio_sf1_min"] = round(s1min / d1[name], 3)
         if "ratio_sf01" in row and "ratio_sf1" in row and row["ratio_sf01"] > 0:
             row["ratio_trend"] = round(row["ratio_sf1"] / row["ratio_sf01"], 3)
         queries[name] = row
