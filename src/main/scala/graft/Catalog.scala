@@ -51,21 +51,32 @@ object Catalog {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw
       // Local-mode scan-parallelism fidelity (off by default; Bench
-      // sets it to the core count): the test parquet is one file with
-      // ONE row group per table, so the scan — and every cached
-      // partition and narrow pipeline built on it — is a single task
-      // no matter how many cores the session has, while DuckDB
-      // parallelizes freely inside a row group on the same file. On a
-      // cluster the file count provides this parallelism; locally the
-      // sf1 trend profile measured the same probe at 83 s on the
-      // 1-partition layout vs 12 s at 32 — a 7× handicap that is
-      // storage-layout accident, not engine cost. Applied only to the
-      // large tables (the dims would just pay 32-task scheduling
-      // floor), only when the conf is set, and before the cache so
-      // the one-time shuffle happens at warm time, not per query.
+      // sets the conf to the core count): the test parquet is one
+      // file with ONE row group per table, so the scan — and every
+      // cached partition and narrow pipeline built on it — is a
+      // single task no matter how many cores the session has, while
+      // DuckDB parallelizes freely inside a row group on the same
+      // file. On a cluster the file count provides this parallelism;
+      // locally the sf1 trend profile measured the same probe at 83 s
+      // on the 1-partition layout vs 12 s at 32 — a 7× handicap that
+      // is storage-layout accident, not engine cost. The partition
+      // count is DATA-PROPORTIONAL (file bytes / 512 KiB, capped at
+      // the conf value) — a flat core-count fan-out taxed every small
+      // query with near-empty task scheduling (+29% on the sf0.1
+      // suite) while tiny partitions buy nothing; this is
+      // maxPartitionBytes logic applied at the only point a
+      // single-row-group file can still be split (after the read).
+      // Applied to the large tables only, before the cache, so the
+      // one-time shuffle happens at warm time, not per query.
       val par = spark.conf.getOption("spark.graft.local.scanParallelism")
         .map(_.toInt).getOrElse(0)
-      if (par > 0 && largeTables(name)) df.repartition(par) else df
+      if (par > 0 && largeTables(name)) {
+        val bytes =
+          try new java.io.File(s"$dir/$name.parquet").length()
+          catch { case _: Throwable => 0L }
+        val n = math.min(par.toLong, math.max(1L, bytes >> 19)).toInt
+        if (n > 1) df.repartition(n) else df
+      } else df
     })
 
   /** Register every table as a temp view so `spark.sql` queries (the
