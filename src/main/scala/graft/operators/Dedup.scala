@@ -260,9 +260,19 @@ object Dedup {
     */
   def probeIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       index: ShingleIndex, k: Int = 3, dfCap: Int = 256,
-      minShared: Int = 1): DataFrame = {
-    val newPost = shingleSignatures(newDocs, idCol, textCol, k)
-      .select(col("id"), explode(col("hh")).as("s"))
+      minShared: Int = 1): DataFrame =
+    probePostings(
+      shingleSignatures(newDocs, idCol, textCol, k)
+        .select(col("id"), explode(col("hh")).as("s")),
+      index, dfCap, minShared)
+
+  /** The signer-agnostic probe core: cross pairs between a standing
+    * index and a new shard's postings (id, s), surviving = combined
+    * df within dfCap. Shared by the shingle and winnowing tiers so
+    * the increment-equals-rebuild logic exists once.
+    */
+  private def probePostings(newPost: DataFrame, index: ShingleIndex,
+      dfCap: Int, minShared: Int): DataFrame = {
     val surviving = index.df
       .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
@@ -275,6 +285,42 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Standing index for the SUBSTRING (winnowing) tier: df-capped
+    * fingerprint postings + COMPLETE fingerprint df table. The
+    * incremental contract pins an ABSOLUTE `dfCap` — the batch tier's
+    * corpus-PROPORTIONAL cap (floor(N/31)) is the wrong shape for a
+    * standing index, because a growing cap would re-admit
+    * fingerprints whose postings the index already dropped, breaking
+    * increment-equals-rebuild (capping is monotone-safe only when the
+    * cap does not rise). Choose dfCap for the anticipated standing-
+    * corpus scale at build time; rebuilding to raise it is the batch
+    * job.
+    */
+  def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 16, dfCap: Int = 256): ShingleIndex = {
+    val raw = docs.select(col(idCol).as("id"),
+      explode(TF.charGramWinnow(col(textCol), k, w)).as("s"))
+    val dfTab = raw.groupBy("s").agg(count(lit(1)).as("df"))
+    ShingleIndex(
+      raw.join(dfTab.filter(col("df") <= dfCap).select("s"), Seq("s")),
+      dfTab)
+  }
+
+  /** Probe a new shard against a standing winnow index ([[
+    * buildWinnowIndex]]): substring-level cross pairs (ida, idb,
+    * n_shared) signing ONLY the shard. Same exactness statement as
+    * [[probeIncremental]] — equals the fixed-cap batch rebuild
+    * restricted to cross pairs (ns_dedup_incremental_substring pins
+    * it against the batch-global DuckDB formulation).
+    */
+  def probeIncrementalWinnow(newDocs: DataFrame, idCol: String,
+      textCol: String, index: ShingleIndex, k: Int = 5, w: Int = 16,
+      dfCap: Int = 256, minShared: Int = 4): DataFrame =
+    probePostings(
+      newDocs.select(col(idCol).as("id"),
+        explode(TF.charGramWinnow(col(textCol), k, w)).as("s")),
+      index, dfCap, minShared)
+
   /** The updated standing index after absorbing a new shard:
     * provably equal to `buildIndex(corpus ∪ shard)` (the spec asserts
     * frame equality differentially) while signing only the shard.
@@ -285,9 +331,23 @@ object Dedup {
     * with [[writeIndex]] and serves the next day's probe from it.
     */
   def extendIndex(index: ShingleIndex, newDocs: DataFrame, idCol: String,
-      textCol: String, k: Int = 3, dfCap: Int = 256): ShingleIndex = {
-    val newPost = shingleSignatures(newDocs, idCol, textCol, k)
-      .select(col("id"), explode(col("hh")).as("s"))
+      textCol: String, k: Int = 3, dfCap: Int = 256): ShingleIndex =
+    extendPostings(index,
+      shingleSignatures(newDocs, idCol, textCol, k)
+        .select(col("id"), explode(col("hh")).as("s")), dfCap)
+
+  /** Winnow-tier twin of [[extendIndex]] — same fixed-cap contract as
+    * [[buildWinnowIndex]].
+    */
+  def extendWinnowIndex(index: ShingleIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, w: Int = 16,
+      dfCap: Int = 256): ShingleIndex =
+    extendPostings(index,
+      newDocs.select(col(idCol).as("id"),
+        explode(TF.charGramWinnow(col(textCol), k, w)).as("s")), dfCap)
+
+  private def extendPostings(index: ShingleIndex, newPost: DataFrame,
+      dfCap: Int): ShingleIndex = {
     val dfAll = index.df.withColumnRenamed("df", "__graft_dfa")
       .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")),
         Seq("s"), "full_outer")

@@ -61,6 +61,58 @@ object Round10Queries {
           .orderBy("ida", "idb")
       }),
 
+    // ── Incremental SUBSTRING-tier dedup: the winnowing twin of
+    // ns_dedup_incremental — probe the odd half's fingerprints
+    // against a standing winnow index over the even half, signing
+    // only the shard. The incremental contract pins an ABSOLUTE
+    // df-cap (16, the proportional tier's value at this sf): a
+    // corpus-proportional cap would rise as the corpus grows and
+    // re-admit fingerprints the standing index already dropped,
+    // breaking increment-equals-rebuild (Dedup.buildWinnowIndex
+    // scaladoc). Oracle = fixed-cap BATCH-GLOBAL winnow restricted to
+    // cross-half pairs, so the hash match again verifies the
+    // equivalence theorem itself.
+    QueryDef(
+      "ns_dedup_incremental_substring",
+      Some("""WITH h AS (SELECT doc_id, [(
+                  unicode(substring(text, i, 1))::BIGINT * 1604566856
+                + unicode(substring(text, i + 1, 1))::BIGINT * 1049561761
+                + unicode(substring(text, i + 2, 1))::BIGINT * 1426104154
+                + unicode(substring(text, i + 3, 1))::BIGINT * 1000003
+                + unicode(substring(text, i + 4, 1))::BIGINT)
+                % 2147483647
+                for i in range(1, length(text) - 3)] hs FROM documents),
+              u AS (SELECT doc_id, UNNEST(hs) hv,
+                    generate_subscripts(hs, 1) pos
+                    FROM h WHERE len(hs) >= 1),
+              wm AS (SELECT doc_id, pos, len,
+                     MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) wmin
+                     FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id) len
+                           FROM u)),
+              p AS (SELECT DISTINCT doc_id, wmin fp FROM wm
+                    WHERE pos >= LEAST(16, len)),
+              dfx AS (SELECT fp, COUNT(*) df FROM p GROUP BY 1),
+              pi AS (SELECT doc_id, p.fp FROM p
+                     JOIN (SELECT fp FROM dfx WHERE df <= 16) k
+                       ON p.fp = k.fp)
+              SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM pi a JOIN pi b
+                ON a.fp = b.fp AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2 HAVING COUNT(*) >= 4
+              ORDER BY ida, idb"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = graft.operators.Dedup.buildWinnowIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          dfCap = 16)
+        graft.operators.Dedup.probeIncrementalWinnow(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            index, dfCap = 16)
+          .orderBy("ida", "idb")
+      }),
+
     // ── Paragraph-tier exact dedup (CCNet-style keep-first removal
     // of repeated paragraphs corpus-wide). The synthetic text has no
     // newlines, so a "paragraph" is a non-overlapping 20-token block.

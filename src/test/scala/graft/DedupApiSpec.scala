@@ -180,6 +180,42 @@ class DedupApiSpec extends SparkSpec {
       dfCap = 100).count() > 0)
   }
 
+  test("winnow-tier incremental: probe equals fixed-cap batch rebuild; " +
+      "extend equals rebuild") {
+    val shared = "this exact forty-plus character run is copied verbatim into both docs"
+    val corpus = Seq(
+      (0L, s"alpha prologue $shared and then some trailing words here"),
+      (1L, s"a completely different opening passage $shared closing words"),
+      (2L, "nothing in common with the others at all in any respect"),
+      (3L, "likewise dissimilar content that shares no long character runs"))
+      .toDF("my_id", "body")
+    val standing = corpus.filter($"my_id" % 2 === 0)
+    val shard = corpus.filter($"my_id" % 2 === 1)
+    val index = Dedup.buildWinnowIndex(standing, "my_id", "body", dfCap = 8)
+    val got = Dedup.probeIncrementalWinnow(shard, "my_id", "body", index,
+      dfCap = 8).as[(Long, Long, Long)].collect().toSet
+    // batch: fixed-cap postings over the whole corpus, cross-restricted
+    val batch = Dedup.buildWinnowIndex(corpus, "my_id", "body", dfCap = 8)
+      .postings
+    val expect = batch.select(col("id").as("ida"), col("s"))
+      .join(batch.select(col("id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") % 2 === 0 && col("idb") % 2 === 1)
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"incremental $got vs batch $expect")
+    assert(got.exists { case (a, b, _) => a == 0L && b == 1L },
+      s"the shared-run cross pair must appear: $got")
+
+    val ext = Dedup.extendWinnowIndex(index, shard, "my_id", "body",
+      dfCap = 8)
+    val rebuilt = Dedup.buildWinnowIndex(corpus, "my_id", "body", dfCap = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    assert(rows(ext.postings) == rows(rebuilt.postings))
+    assert(rows(ext.df) == rows(rebuilt.df))
+  }
+
   test("extendIndex equals a batch rebuild over corpus ∪ shard") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
