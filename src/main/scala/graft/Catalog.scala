@@ -71,9 +71,19 @@ object Catalog {
       val par = spark.conf.getOption("spark.graft.local.scanParallelism")
         .map(_.toInt).getOrElse(0)
       if (par > 0 && largeTables(name)) {
+        // directory-style parquet: File.length() on a directory is
+        // the inode size (~4 KiB), which silently disabled the split
+        // for multi-file layouts — sum the contained part files
         val bytes =
-          try new java.io.File(s"$dir/$name.parquet").length()
-          catch { case _: Throwable => 0L }
+          try {
+            val f = new java.io.File(s"$dir/$name.parquet")
+            if (f.isDirectory)
+              f.listFiles().iterator
+                .filter(x => x.isFile && !x.getName.startsWith("_")
+                  && !x.getName.startsWith("."))
+                .map(_.length()).sum
+            else f.length()
+          } catch { case _: Throwable => 0L }
         val n = math.min(par.toLong, math.max(1L, bytes >> 19)).toInt
         if (n > 1) df.repartition(n) else df
       } else df

@@ -124,11 +124,16 @@ object Dedup {
       k: Int = 5, w: Int = 16, minDfCap: Int = 16,
       capDenominator: Int = 31, minShared: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pp = winnowPostings(docs, idCol, textCol, k, w, minDfCap,
-      capDenominator).persist(lvl)
+    // persist the RAW explode too: the df-cap branch and the postings
+    // join both reference it, so capping alone would re-pay the
+    // corpus-wide winnow pass twice when pp materializes
+    val raw = rawWinnowPostings(docs, idCol, textCol, k, w).persist(lvl)
+    val pp = capWinnowPostings(raw, docs, minDfCap, capDenominator)
+      .persist(lvl)
     val pairs = winnowPairsFromPostings(pp, minShared).persist(lvl)
     pairs.count()
     pp.unpersist()
+    raw.unpersist()
     pairs
   }
 
@@ -145,11 +150,31 @@ object Dedup {
     */
   def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 16, minDfCap: Int = 16,
-      capDenominator: Int = 31): DataFrame = {
+      capDenominator: Int = 31): DataFrame =
+    capWinnowPostings(rawWinnowPostings(docs, idCol, textCol, k, w),
+      docs, minDfCap, capDenominator)
+
+  /** The UNCAPPED winnowing-fingerprint postings (id, fp) — one
+    * narrow O(doc) native pass per row. [[capWinnowPostings]]
+    * references the result twice (df-cap branch + postings join), so
+    * a caller about to materialize the capped frame should persist
+    * THIS for the duration of the build ([[winnowPairs]] and the
+    * query layer's artifact warm-up do) — otherwise the corpus-wide
+    * explode is paid once per reference.
+    */
+  def rawWinnowPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 16): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TF.charGramWinnow(col(textCol), k, w)).as("fp"))
+
+  /** Apply the corpus-PROPORTIONAL df cap
+    * (`greatest(minDfCap, floor(N / capDenominator))`, N from a
+    * broadcast 1-row aggregate over `docs`) to a raw postings frame.
+    */
+  def capWinnowPostings(p: DataFrame, docs: DataFrame,
+      minDfCap: Int = 16, capDenominator: Int = 31): DataFrame = {
     val cap = docs.agg(greatest(lit(minDfCap.toLong),
       floor(count(lit(1)) / capDenominator).cast("long")).as("cap"))
-    val p = docs.select(col(idCol).as("id"),
-      explode(TF.charGramWinnow(col(textCol), k, w)).as("fp"))
     val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap")).select("fp")
@@ -216,11 +241,28 @@ object Dedup {
     * parquet via [[writeIndex]].
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, dfCap: Int = 256): ShingleIndex = {
-    val sh = shingleSignatures(docs, idCol, textCol, k)
-    val dfTab = sh.select(explode(col("hh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("df"))
-    ShingleIndex(cappedInvertedIndex(sh, dfCap), dfTab)
+      k: Int = 3, dfCap: Int = 256): ShingleIndex =
+    buildIndexFromPostings(
+      shingleSignatures(docs, idCol, textCol, k)
+        .select(col("id"), explode(col("hh")).as("s")), dfCap)
+
+  /** Build a [[ShingleIndex]] from an already-exploded postings frame
+    * (id, s) — the signer-agnostic index core. Both component frames
+    * (capped postings + complete df table) reference `post`, so a
+    * caller materializing them should persist `post` for the
+    * duration of the build (the query layer's artifact warm-up does)
+    * rather than pay the corpus explode once per frame.
+    */
+  def buildIndexFromPostings(post: DataFrame,
+      dfCap: Int = 256): ShingleIndex = {
+    val dfTab = post.groupBy("s").agg(count(lit(1)).as("df"))
+    // anti-join against the HOT set (df > cap, tiny by construction)
+    // — an inner join against the keep set would broadcast nearly
+    // every distinct shingle at scale
+    ShingleIndex(
+      post.join(dfTab.filter(col("df") > dfCap).select("s"),
+        Seq("s"), "left_anti"),
+      dfTab)
   }
 
   /** Write/load the standing index as parquet — loading severs all

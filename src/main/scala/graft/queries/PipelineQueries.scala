@@ -103,14 +103,20 @@ object PipelineQueries {
       dir: String): graft.operators.Dedup.ShingleIndex = {
     def standing =
       t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-    graft.operators.Dedup.ShingleIndex(
-      memoArtifact(s, dir, "incpost") {
-        graft.operators.Dedup.buildIndex(standing, "doc_id", "text")
-          .postings
-      },
-      memoArtifact(s, dir, "incdf") {
-        graft.operators.Dedup.buildIndex(standing, "doc_id", "text").df
-      })
+    // ONE shared shingle explode feeds both artifacts; persisted for
+    // the duration of the warm-up so the standing half is signed once,
+    // not once per artifact (ADVICE r10). On a warm memo hit the
+    // persist is never materialized and the unpersist is a no-op.
+    val raw = graft.operators.Dedup
+      .shingleSignatures(standing, "doc_id", "text")
+      .select(col("id"), explode(col("hh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = graft.operators.Dedup.buildIndexFromPostings(raw)
+      graft.operators.Dedup.ShingleIndex(
+        memoArtifact(s, dir, "incpost") { idx.postings },
+        memoArtifact(s, dir, "incdf") { idx.df })
+    } finally { raw.unpersist(); () }
   }
 
   /** Df-capped winnowing-fingerprint postings (id, fp) over the
@@ -122,11 +128,19 @@ object PipelineQueries {
     * released winnowPairs' persisted return — memoizing the postings
     * artifact gives the release a single owner, clearArtifacts).
     */
-  private[queries] def winnowPostings(s: SparkSession, dir: String): DataFrame =
-    memoArtifact(s, dir, "winnow") {
-      graft.operators.Dedup.winnowPostings(
+  private[queries] def winnowPostings(s: SparkSession, dir: String): DataFrame = {
+    // persist the raw winnow explode for the duration of the warm
+    // materialization — the df-cap branch and the postings join each
+    // reference it (ADVICE r10: unpersisted, the corpus-wide winnow
+    // pass ran twice at warm time). No-op on a warm memo hit.
+    val raw = graft.operators.Dedup.rawWinnowPostings(
         t(s, dir, "documents"), "doc_id", "text")
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try memoArtifact(s, dir, "winnow") {
+      graft.operators.Dedup.capWinnowPostings(
+        raw, t(s, dir, "documents"))
+    } finally { raw.unpersist(); () }
+  }
 
   /** TF-IDF weight postings (doc_id, s, wq): the df-capped inverted
     * index joined to its document frequencies with the fixed-point
