@@ -44,6 +44,55 @@ object Curate {
           / budgetTokens.toDouble).cast("long"))
   }
 
+  /** Budget-constrained corpus selection — fill a token budget with
+    * the best documents first (the "select the top-quality N billion
+    * tokens for this training run" shape). Documents are ranked by
+    * (`scoreCol` DESC, `idCol` ASC) — a TOTAL order, so the selected
+    * set is deterministic and engine-independent — and every document
+    * whose cumulative `weightCol` (its own included) stays within
+    * `budget` is kept, with the running total exposed as `cum_w`.
+    *
+    * Scale shape: the textbook formulation is one global-order
+    * running-sum window, and a window with no PARTITION BY moves the
+    * whole corpus into a single task (the WindowExec trap). This is
+    * instead the distributed prefix sum: range-repartition on the
+    * selection order (the only wide exchange — the same sort a
+    * global ORDER BY needs anyway), per-partition running sums under
+    * a partitioned window, then one broadcast offset table of
+    * numPartitions rows computed from per-partition totals. Every
+    * stage is linear; no single-task hotspot at any corpus size.
+    * AQE-safe: coalesced shuffle partitions merge ADJACENT ranges,
+    * so partition ids stay aligned with the global order.
+    */
+  def selectByBudget(docs: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    val ranged = docs.repartitionByRange(parts, ord: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+    val within = Window.partitionBy("__graft_pid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = ranged.withColumn("__graft_cin",
+      sum(col(weightCol).cast("long")).over(within))
+    // numPartitions-row frame: the unpartitioned window is bounded by
+    // construction (one row per range partition), like the as-of
+    // router's probe aggregate — not a data-sized single-task window
+    val offs = cumIn.groupBy("__graft_pid")
+      .agg(sum(col(weightCol).cast("long")).as("__graft_psum"))
+      .withColumn("__graft_off",
+        coalesce(sum("__graft_psum").over(
+          Window.orderBy("__graft_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__graft_pid", "__graft_off")
+    cumIn.join(broadcast(offs), "__graft_pid")
+      .withColumn("cum_w", col("__graft_cin") + col("__graft_off"))
+      .filter(col("cum_w") <= budget)
+      .drop("__graft_pid", "__graft_cin", "__graft_off")
+  }
+
   /** Deterministic content-hash train/val/test split + sample flag —
     * reproducible across engines and runs, never rand(). Adds `split`
     * and `in_sample`; a user's own `bucket` column survives.

@@ -48,15 +48,7 @@ object Dedup {
     */
   def minhashCandidates(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    // a band slicing past the signature end would hash an EMPTY slice
-    // — every doc shares that bucket and the self-join goes O(n²)
-    require(nHashes >= bands * rowsPerBand,
-      s"nHashes ($nHashes) must cover bands*rowsPerBand " +
-        s"(${bands * rowsPerBand})")
-    val sig = sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
-    val banded = sig.select(col("id"),
-      posexplode(TF.lshBuckets(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "bucket")))
+    val banded = bandedBuckets(sh, nHashes, bands, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -64,6 +56,25 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+  }
+
+  /** Banded LSH buckets (id, band, bucket) from a signature frame
+    * (id, hh): MinHash(nHashes) → bands × rowsPerBand slices, each
+    * hashed to a bucket key. The shared banding core behind
+    * [[minhashCandidates]] (self-join) and the sketch-tier standing
+    * index ([[buildMinHashIndex]] / [[probeIncrementalMinhash]]).
+    */
+  def bandedBuckets(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    // a band slicing past the signature end would hash an EMPTY slice
+    // — every doc shares that bucket and any bucket join goes O(n²)
+    require(nHashes >= bands * rowsPerBand,
+      s"nHashes ($nHashes) must cover bands*rowsPerBand " +
+        s"(${bands * rowsPerBand})")
+    sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
+      .select(col("id"),
+        posexplode(TF.lshBuckets(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
   }
 
   /** Inverted-index candidate pairs (ida < idb) from a signature
@@ -400,6 +411,103 @@ object Dedup {
     ShingleIndex(
       index.postings.unionByName(newPost).join(keep, Seq("s")),
       dfAll)
+  }
+
+  /** Standing index for the MINHASH (sketch) tier:
+    *
+    *  - `buckets` — banded LSH buckets (id, band, bucket), the
+    *    candidate-discovery side a probe joins on;
+    *  - `signatures` — the shingle-signature table (id, hh), the
+    *    verify side an exact-Jaccard rerank reads.
+    *
+    * Unlike the shingle/winnow tiers there is NO df table to carry: a
+    * doc's MinHash signature and band buckets depend only on its own
+    * text, so increment-equals-rebuild holds with no combined-df
+    * bookkeeping at all — probing a shard against this index finds
+    * exactly the cross pairs a batch [[minhashCandidates]] +
+    * [[verifiedPairs]] over (corpus ∪ shard) would.
+    */
+  final case class MinHashIndex(buckets: DataFrame, signatures: DataFrame)
+
+  /** Build the sketch-tier standing index (the once-per-corpus batch
+    * job; increments then use [[probeIncrementalMinhash]] +
+    * [[extendMinHashIndex]]). LAZY — production writes it straight to
+    * parquet via [[writeMinHashIndex]].
+    */
+  def buildMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nHashes: Int = 32, bands: Int = 8,
+      rowsPerBand: Int = 4): MinHashIndex = {
+    val sh = shingleSignatures(docs, idCol, textCol, k)
+    MinHashIndex(bandedBuckets(sh, nHashes, bands, rowsPerBand), sh)
+  }
+
+  /** Write/load the sketch-tier index as parquet — loading severs all
+    * lineage to the corpus text (a probe cannot re-sign the corpus).
+    */
+  def writeMinHashIndex(index: MinHashIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    index.signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+  }
+
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): MinHashIndex =
+    MinHashIndex(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/signatures"))
+
+  /** Probe a new shard against a standing [[MinHashIndex]]: verified
+    * cross near-dup pairs (ida from the index, idb from the shard,
+    * jaccard), signing ONLY the shard. Candidate discovery joins the
+    * shard's band buckets against the index's on (band, bucket) —
+    * shuffles on the bucket key only; the verify rerank then joins
+    * the (small) candidate set against both signature tables via
+    * plain shuffle joins (NEVER broadcast — signatures are
+    * O(corpus)). Band parameters must match the index build.
+    */
+  def probeIncrementalMinhash(newDocs: DataFrame, idCol: String,
+      textCol: String, index: MinHashIndex, k: Int = 3,
+      nHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame =
+    probeMinhashFromSignatures(
+      shingleSignatures(newDocs, idCol, textCol, k), index,
+      nHashes, bands, rowsPerBand, minJaccard)
+
+  /** Signer-agnostic core of [[probeIncrementalMinhash]]: probe a
+    * shard's signature frame (id, hh) against a standing index (lets
+    * a caller that already holds signatures — e.g. the query layer's
+    * memoized artifact — skip re-tokenizing the shard).
+    */
+  def probeMinhashFromSignatures(shNew: DataFrame, index: MinHashIndex,
+      nHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val cand = index.buckets
+      .select(col("id").as("ida"), col("band"), col("bucket"))
+      .join(bandedBuckets(shNew, nHashes, bands, rowsPerBand)
+          .select(col("id").as("idb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(index.signatures.select(col("id").as("ida"),
+        col("hh").as("ssa")), "ida")
+      .join(shNew.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          size(array_union(col("ssa"), col("ssb"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** Fold a probed shard into the sketch-tier index — plain unions
+    * (per-doc sketches never interact), written back out with
+    * [[writeMinHashIndex]] for the next day's probe.
+    */
+  def extendMinHashIndex(index: MinHashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, nHashes: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4): MinHashIndex = {
+    val sh = shingleSignatures(newDocs, idCol, textCol, k)
+    MinHashIndex(
+      index.buckets.unionByName(
+        bandedBuckets(sh, nHashes, bands, rowsPerBand)),
+      index.signatures.unionByName(sh))
   }
 
   /** Shared verify scaffolding: probe the candidate-pair set against

@@ -238,7 +238,7 @@ object PipelineQueries {
     * candidate self-joins (at 100 TB this is the signature table you
     * write to parquet once).
     */
-  private def hashedShingled(s: SparkSession, dir: String): DataFrame =
+  private[queries] def hashedShingled(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "shingles") {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -264,7 +264,7 @@ object PipelineQueries {
     * bands → distinct candidate pairs (mirrors the Spark dataflow in
     * `minhashCandidates`). Appended after `shingleCte`.
     */
-  private val minhashCandCte = """,
+  private[queries] val minhashCandCte = """,
         seeds AS (SELECT seed,
                  ('0x' || substring(md5('a:' || seed), 1, 15))::BIGINT
                    % 2147483646 + 1 a,

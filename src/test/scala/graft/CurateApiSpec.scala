@@ -129,4 +129,28 @@ class CurateApiSpec extends SparkSpec {
     assert(a == b, "split must be deterministic")
     assert(a.values.toSet == Set("train", "val", "test"))
   }
+
+  test("selectByBudget: distributed prefix sum equals the " +
+      "single-window spec; range partitioning in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 100L).map(i => (i, i * 37 % 11, i % 7 + 1))
+      .toDF("id", "score", "w") // tied scores -> id tie-break matters
+    val sel = Curate.selectByBudget(rows, "id", "score", "w",
+      budget = 150L, numPartitions = 7)
+    // the scale contract: global order comes from a range exchange,
+    // never a single-task unpartitioned data window
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"))
+    val got = sel.select("id", "cum_w").as[(Long, Long)].collect().toSet
+    val spec = Window.orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = rows
+      .withColumn("cum_w", sum(col("w").cast("long")).over(spec))
+      .filter(col("cum_w") <= 150L)
+      .select("id", "cum_w").as[(Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty, s"$got vs $expect")
+    // budget below the best doc's weight selects nothing
+    assert(Curate.selectByBudget(rows, "id", "score", "w", 0L)
+      .count() == 0)
+  }
 }

@@ -245,4 +245,57 @@ class DedupApiSpec extends SparkSpec {
     assert(labels(11L) == 10L && labels(13L) == 10L, labels.toString)
     assert(labels(12L) == 12L)
   }
+
+  test("minhash-tier incremental: probe against a LOADED sketch index " +
+      "equals the batch rebuild's cross pairs; extend equals rebuild") {
+    val standing = docs.filter($"my_id" % 2 === 0)
+    val shard = docs.filter($"my_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-")
+      .toString
+    Dedup.writeMinHashIndex(
+      Dedup.buildMinHashIndex(standing, "my_id", "body"), dir)
+    val index = Dedup.loadMinHashIndex(spark, dir)
+    val probe = Dedup.probeIncrementalMinhash(shard, "my_id", "body", index)
+
+    // structural no-re-signing proof (same as the shingle tier): the
+    // probe plan scans only the index parquet — the standing corpus'
+    // source is unreachable after the round-trip
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val leaves = probe.queryExecution.optimizedPlan.collectLeaves()
+    val scannedFiles = leaves.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains(dir)),
+      s"probe must scan only the index parquet, got: $scannedFiles")
+
+    val got = probe.select("ida", "idb").as[(Long, Long)].collect().toSet
+    // batch: candidates + verify over the FULL corpus, restricted to
+    // cross-half pairs normalized to (even, odd) — sketches are
+    // corpus-independent, so increment must equal rebuild exactly
+    val sh = Dedup.shingleSignatures(docs, "my_id", "body")
+    val batch = Dedup.verifiedPairs(sh, Dedup.minhashCandidates(sh), 0.8)
+      .filter((col("ida") % 2) =!= (col("idb") % 2))
+      .select(
+        when(col("ida") % 2 === 0, col("ida")).otherwise(col("idb"))
+          .as("a"),
+        when(col("ida") % 2 === 0, col("idb")).otherwise(col("ida"))
+          .as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == batch, s"incremental $got vs batch $batch")
+    assert(got.contains((10L, 11L)), s"the near-dup cross pair: $got")
+
+    // extend = union of per-doc sketches = exactly a batch rebuild
+    val ext = Dedup.extendMinHashIndex(
+      Dedup.buildMinHashIndex(standing, "my_id", "body"),
+      shard, "my_id", "body")
+    val rebuilt = Dedup.buildMinHashIndex(docs, "my_id", "body")
+    assert(ext.buckets.except(rebuilt.buckets).isEmpty &&
+      rebuilt.buckets.except(ext.buckets).isEmpty)
+    assert(ext.signatures.except(rebuilt.signatures).isEmpty &&
+      rebuilt.signatures.except(ext.signatures).isEmpty)
+  }
 }
