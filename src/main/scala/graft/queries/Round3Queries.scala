@@ -116,9 +116,7 @@ object Round3Queries {
                 cid AS vec_id, ROUND(cos, 4) AS cos
               FROM rk WHERE rn <= 5 ORDER BY probe_id, rnk"""),
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", SF.l2Norm(col("v")))
+        val e = PipelineQueries.normEmbeddings(s, dir)
         val bands = e.select(col("vec_id"),
           posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
             .as(Seq("band", "bucket")))
