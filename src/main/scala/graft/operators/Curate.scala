@@ -239,6 +239,207 @@ object Curate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontamination index — the build-once artifact the bloom-
+    * prefiltered contamination check probes: the distinct eval-side
+    * n-gram set plus a Bloom filter over it. At 100 TB the eval
+    * benchmark suite's n-gram set can run to tens of millions of
+    * entries — too big to ship as a broadcast hash relation (GBs of
+    * strings) but a few hundred MB as bloom BITS, so the filter rides
+    * to every executor and prunes the corpus-side shingle stream
+    * before the exact join sees it.
+    */
+  final case class ContamIndex(evalShingles: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+
+  /** Build the [[ContamIndex]] for `docs` rows where `isEval` holds
+    * (NULL counts as train, as in [[decontaminate]]). The distinct
+    * eval shingle frame is persisted for the index's lifetime — three
+    * consumers read it (the sizing count, the bloom populate, the
+    * verify join), and the single-pay rule says the eval-side explode
+    * is paid once. Callers own the release ([[releaseContamIndex]]).
+    */
+  def buildContamIndex(docs: DataFrame, textCol: String,
+      isEval: org.apache.spark.sql.Column, n: Int = 4,
+      fpp: Double = 0.01): ContamIndex = {
+    val evalSh = docs
+      .filter(coalesce(isEval, lit(false)))
+      .select(explode(TF.shingles(TF.tokens(col(textCol)), n)).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ContamIndex(evalSh, bloomOver(evalSh, fpp))
+  }
+
+  /** Release the index's cached eval shingle frame (safe after every
+    * probe result has been materialized). */
+  def releaseContamIndex(index: ContamIndex): Unit =
+    index.evalShingles.unpersist()
+
+  /** Bloom filter over the `s` column of a (typically cached) distinct
+    * shingle frame. Exposed so a memoized artifact can be indexed
+    * without rebuilding the frame. */
+  def bloomOver(evalShingles: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    evalShingles.stat.bloomFilter("s",
+      math.max(evalShingles.count(), 1L), fpp)
+
+  /** Bloom-prefiltered contamination check — same contract as
+    * [[decontaminate]] (returns (id, n_shared) for contaminated
+    * non-eval docs; the exact verify join removes every bloom false
+    * positive, so the RESULT is identical to the exact formulation).
+    * The difference is the scale path: the broadcast bloom probe
+    * discards the overwhelmingly-clean corpus shingle stream
+    * map-side, so the shuffle join only ever sees candidate hits.
+    * The probe is a lambda over the broadcast sketch (one
+    * mightContain per shingle — no per-element re-materialization,
+    * the interpreted-HOF trap doesn't apply to a flat filter).
+    */
+  def decontaminateWithIndex(docs: DataFrame, idCol: String,
+      textCol: String, isEval: org.apache.spark.sql.Column,
+      index: ContamIndex, n: Int = 4): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index.bloom)
+    val probe = udf((s: String) => s != null && bc.value.mightContainString(s))
+    docs
+      .filter(!coalesce(isEval, lit(false)))
+      .select(col(idCol).as("id"),
+        explode(TF.shingles(TF.tokens(col(textCol)), n)).as("s"))
+      .filter(probe(col("s")))
+      .join(index.evalShingles, Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Convenience build-and-probe form of the bloom-prefiltered
+    * contamination check. Production pipelines build the index once
+    * ([[buildContamIndex]]) and probe every corpus shard against it;
+    * the index's cached eval frame stays alive behind the returned
+    * plan — release it with [[releaseContamIndex]] via the index form
+    * when lifecycle control matters.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      isEval: org.apache.spark.sql.Column, n: Int = 4,
+      fpp: Double = 0.01): DataFrame =
+    decontaminateWithIndex(docs, idCol, textCol, isEval,
+      buildContamIndex(docs, textCol, isEval, n, fpp), n)
+
+  /** Token-budget WATERFILLING across strata — the mixture solver
+    * behind "hit these domain proportions within a B-token budget":
+    * each stratum s with capacity `nCol` tokens and target weight
+    * `wCol` receives min(n_s, w_s·t) tokens, with the water level t
+    * set so allocations sum to the budget. Small strata saturate (all
+    * their tokens taken); the remainder splits across the rest in
+    * weight proportion.
+    *
+    * Deterministic and engine-exact: the saturation walk orders
+    * strata by quantized capacity/weight ratio ((n·10⁶) div w, then
+    * stratum id — ratios closer than 10⁻⁶ may order arbitrarily but
+    * BOTH engines use the identical key), and every saturation test
+    * is an integer cross-multiplication n_k·W_rem ≤ B_rem·w_k — no
+    * float water level ever materializes. Unsaturated allocations are
+    * floor(w_s·B_K / W_K) in BIGINT; the ≤B invariant holds exactly.
+    *
+    * Scale shape: `strata` is one row per stratum (languages,
+    * sources, domains — thousands at most), so the unpartitioned
+    * windows here are bounded by construction, like the offset table
+    * in [[selectByBudget]] — never data-sized. The corpus itself is
+    * only touched by whatever aggregation PRODUCED the strata frame.
+    *
+    * Returns the strata frame plus `saturated` (1/0) and `alloc`
+    * (tokens granted). Guards: zero remaining weight → alloc 0 for
+    * the (empty) unsaturated set; remaining budget clamped at 0.
+    */
+  def waterfillAllocation(strata: DataFrame, stratumCol: String,
+      nCol: String, wCol: String, budget: Long): DataFrame = {
+    val full = Window.orderBy(col("__graft_key"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upto = Window.orderBy(col("__graft_key"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s1 = strata
+      .withColumn("__graft_n", col(nCol).cast("long"))
+      .withColumn("__graft_w", col(wCol).cast("long"))
+      .withColumn("__graft_key",
+        expr("__graft_n * 1000000L div __graft_w"))
+      .withColumn("__graft_rk", row_number().over(
+        Window.orderBy(col("__graft_key"), col(stratumCol))))
+      .withColumn("__graft_pn",
+        coalesce(sum("__graft_n").over(upto), lit(0L)))
+      .withColumn("__graft_pw",
+        coalesce(sum("__graft_w").over(upto), lit(0L)))
+      .withColumn("__graft_tw", sum("__graft_w").over(full))
+    val s2 = s1.withColumn("__graft_sat",
+      col("__graft_n") * (col("__graft_tw") - col("__graft_pw")) <=
+        (lit(budget) - col("__graft_pn")) * col("__graft_w"))
+    val s3 = s2.withColumn("__graft_K",
+      coalesce(max(when(col("__graft_sat"), col("__graft_rk"))).over(full),
+        lit(0)))
+    val s4 = s3
+      .withColumn("__graft_satN", coalesce(sum(
+        when(col("__graft_rk") <= col("__graft_K"), col("__graft_n")))
+        .over(full), lit(0L)))
+      .withColumn("__graft_satW", coalesce(sum(
+        when(col("__graft_rk") <= col("__graft_K"), col("__graft_w")))
+        .over(full), lit(0L)))
+    s4
+      .withColumn("saturated",
+        when(col("__graft_rk") <= col("__graft_K"), 1).otherwise(0))
+      .withColumn("alloc",
+        when(col("saturated") === 1, col("__graft_n"))
+          .when(col("__graft_tw") === col("__graft_satW"), lit(0L))
+          .otherwise(expr(
+            """__graft_w * greatest(0L, %s - __graft_satN)
+               div (__graft_tw - __graft_satW)""".format(budget))))
+      .drop("__graft_n", "__graft_w", "__graft_key", "__graft_rk",
+        "__graft_pn", "__graft_pw", "__graft_tw", "__graft_sat",
+        "__graft_K", "__graft_satN", "__graft_satW")
+  }
+
+  /** Per-(id, n-gram) occurrence counts — the shared intermediate both
+    * halves of the corpus-LM scorer derive from (single explode pass;
+    * callers that reference it twice should persist it for the build,
+    * per the single-pay index rule).
+    */
+  def ngramPairCounts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TF.ngrams(TF.tokens(col(textCol)), n)).as("g"))
+      .groupBy("id", "g")
+      .agg(count(lit(1)).as("c"))
+
+  /** Corpus-LM document scoring from precomputed (id, g, c) pair
+    * counts: a document's score is the average corpus frequency of
+    * its n-gram OCCURRENCES, fixed-point ×10⁶ (sum(c·cnt)·10⁶ div
+    * sum(c) — exact BIGINT arithmetic, order-independent across
+    * partial aggregation; engines never disagree). High score =
+    * stereotyped/boilerplate-ish text, low = rare constructions — the
+    * cheap statistical stand-in for "LM perplexity" quality signals
+    * that needs no model, only the corpus itself.
+    *
+    * Scale shape: one groupBy(g) for the corpus counts, one shuffle
+    * join back on g, one groupBy(id). The n-gram key is Zipfian —
+    * the head gram's postings dwarf the tail — which is exactly the
+    * skew AQE's skew-join handles; nothing here forces a single
+    * hot partition beyond the data's own head.
+    */
+  def scoreFromNgramPairs(pairs: DataFrame): DataFrame = {
+    val counts = pairs.groupBy("g").agg(sum("c").as("__graft_cnt"))
+    pairs.join(counts, Seq("g"))
+      .groupBy("id")
+      .agg(sum("c").as("n_ngrams"),
+        expr("sum(c * __graft_cnt) * 1000000L div sum(c)").as("score"))
+  }
+
+  /** Convenience build-and-score form of the corpus-LM scorer: counts
+    * n-gram occurrences, derives corpus frequencies, scores every doc.
+    * The pair-count intermediate is persisted for the duration of the
+    * two references (corpus counts + join-back) — single-pay explode.
+    */
+  def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val pairs = ngramPairCounts(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreFromNgramPairs(pairs)
+  }
+
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,
     * so rare strata are upsampled and the head is downsampled). T =

@@ -601,6 +601,34 @@ object Dedup {
     out
   }
 
+  /** Quality-aware representative selection: given component labels
+    * ((id, component), e.g. from [[componentLabels]]) and per-doc
+    * scores ((id, score)), pick each component's BEST member — max
+    * score, ties to the smallest id, a total order so the kept set is
+    * deterministic and engine-independent. Keep-first dedup throws
+    * away information the curation pipeline already paid for (quality
+    * scores); this is the keep-best variant every production dedup
+    * ends with: of N near-identical crawls, ship the cleanest one.
+    *
+    * Returns (component, keeper, best_score, n_members). Shape at
+    * scale: one equi-join, one window partitioned BY COMPONENT (key
+    * cardinality ~ corpus; no global window), one pass — the same
+    * cost as the keep-first argmin it replaces.
+    */
+  def keepBestRepresentatives(labels: DataFrame,
+      scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("id").asc)
+    labels.join(scores, Seq("id"))
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("__graft_rn") === 1)
+      .select(col("component"), col("id").as("keeper"),
+        col("score").as("best_score"), col("n_members"))
+  }
+
   /** End-to-end: the surviving ids after transitive near-dup removal
     * (one representative — the min id — per component). Converges to
     * fixpoint regardless of chain length. EAGER like componentLabels;

@@ -40,7 +40,7 @@ object PipelineQueries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def memoArtifact(s: SparkSession, dir: String, kind: String)(
+  private[queries] def memoArtifact(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     val m = artifactCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
@@ -337,7 +337,7 @@ object PipelineQueries {
     * 3 rounds of min-label propagation (l3 = doc_id → component
     * label). Appended after `minhashCandCte`.
     */
-  private val labelPropCte = """,
+  private[queries] val labelPropCte = """,
         pairs AS (SELECT c.da, c.db
                   FROM cand c JOIN sh x ON x.doc_id = c.da
                               JOIN sh y ON y.doc_id = c.db
@@ -364,7 +364,7 @@ object PipelineQueries {
     * table — both component queries (labels, apply) share one
     * propagation; at 100 TB this is the write-labels-once job.
     */
-  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+  private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "labels") {
       // exactly 3 rounds — the oracle SQL unrolls 3 label CTEs, and
       // the differential gate needs identical (possibly unconverged)

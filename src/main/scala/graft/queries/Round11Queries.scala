@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Catalog
 import graft.functions.{TextFunctions => TF}
+import graft.operators.{Curate, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +25,18 @@ object Round11Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
+
+  /** The distinct eval-split shingle set — the decontamination index's
+    * data half, memoized like every other standing index artifact (at
+    * 100 TB it is written once per eval suite; no probe rebuilds it).
+    */
+  private def evalShingles(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memoArtifact(s, dir, "evalsh") {
+      t(s, dir, "documents")
+        .filter(TF.hex60(col("text")) % 100 < 5)
+        .select(explode(TF.shingles(TF.tokens(col("text")), 4)).as("s"))
+        .distinct()
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -108,5 +121,168 @@ object Round11Queries {
           .select("doc_id", "n_tok", "score", "cum_w")
           .orderBy("doc_id")
       }),
+
+    // ── Bloom-prefiltered decontamination: the SAME contract (and the
+    // same oracle SQL) as ns_decontaminate — the hash match proves the
+    // broadcast-bloom prefilter + exact-verify path returns exactly
+    // the exact-join result, false positives and all removed. The
+    // scale story is the plan, not the rows: at 100 TB the eval
+    // n-gram set is too big to broadcast as a hash relation but small
+    // as bloom BITS, so the corpus shingle stream is pruned map-side
+    // and the shuffle join only sees candidate hits. The eval shingle
+    // set is a memoized standing artifact (built once per eval suite).
+    QueryDef(
+      "ns_decontaminate_bloom",
+      Some("""WITH tk AS (SELECT doc_id,
+                ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              sh AS (SELECT doc_id, bucket,
+                     UNNEST(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' ||
+                       tk[i+2] || ' ' || tk[i+3]
+                       for i in range(1, len(tk)-2)])) s
+                     FROM tk WHERE len(tk) >= 4),
+              e AS (SELECT DISTINCT s FROM sh WHERE bucket < 5)
+              SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM sh JOIN e USING (s) WHERE sh.bucket >= 5
+              GROUP BY 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val ev = evalShingles(s, dir)
+        val idx = Curate.ContamIndex(ev, Curate.bloomOver(ev))
+        Curate.decontaminateWithIndex(
+            t(s, dir, "documents"), "doc_id", "text",
+            isEval = TF.hex60(col("text")) % 100 < 5, idx)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Token-budget WATERFILLING across sources: the mixture solver
+    // behind "hit these domain weights inside a 12k-token budget".
+    // Small/heavily-weighted sources saturate (all their tokens
+    // taken); the rest split the remainder by weight. Every step is
+    // exact integer arithmetic — the saturation walk is ordered by
+    // the quantized capacity/weight key and tested by BIGINT
+    // cross-multiplication, so no float water level exists to
+    // diverge between engines. The stratum table is one row per
+    // source: the unpartitioned windows are bounded by construction.
+    QueryDef(
+      "ns_mix_waterfill",
+      Some("""WITH st AS (SELECT source,
+                CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''))) AS BIGINT) n_tok,
+                CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+                  THEN 8 ELSE 1 END AS BIGINT) w
+                FROM documents GROUP BY 1),
+              s1 AS (SELECT source, n_tok, w,
+                ROW_NUMBER() OVER (ORDER BY (n_tok*1000000)//w, source) rk,
+                CAST(COALESCE(SUM(n_tok) OVER (
+                  ORDER BY (n_tok*1000000)//w, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) pn,
+                CAST(COALESCE(SUM(w) OVER (
+                  ORDER BY (n_tok*1000000)//w, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) pw,
+                CAST(SUM(w) OVER () AS BIGINT) tw
+                FROM st),
+              s2 AS (SELECT *, n_tok * (tw - pw) <= (12000 - pn) * w sat
+                     FROM s1),
+              s3 AS (SELECT *, COALESCE(MAX(CASE WHEN sat THEN rk END)
+                       OVER (), 0) k FROM s2),
+              s4 AS (SELECT *,
+                CAST(COALESCE(SUM(CASE WHEN rk <= k THEN n_tok END)
+                  OVER (), 0) AS BIGINT) satn,
+                CAST(COALESCE(SUM(CASE WHEN rk <= k THEN w END)
+                  OVER (), 0) AS BIGINT) satw
+                FROM s3)
+              SELECT source, n_tok, w,
+                CASE WHEN rk <= k THEN 1 ELSE 0 END AS saturated,
+                CAST(CASE WHEN rk <= k THEN n_tok
+                     WHEN tw = satw THEN 0
+                     ELSE w * GREATEST(0, 12000 - satn) // (tw - satw)
+                END AS BIGINT) AS alloc
+              FROM s4 ORDER BY source"""),
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(size(TF.tokens(col("text"))).cast("long")).as("n_tok"))
+          .withColumn("w",
+            when(col("source").isin("src0", "src1", "src2", "src3"), 8L)
+              .otherwise(1L))
+        Curate.waterfillAllocation(st, "source", "n_tok", "w",
+            budget = 12000L)
+          .select("source", "n_tok", "w", "saturated", "alloc")
+          .orderBy("source")
+      }),
+
+    // ── Quality-aware dedup representative selection: keep each
+    // near-dup component's BEST member by fixed-point alpha-ratio
+    // score (ties to the smallest id — a total order). Keep-first
+    // throws away the quality signal the pipeline already computed;
+    // this is the keep-best ending every production dedup ships. The
+    // oracle unrolls the same 3-round label propagation as the
+    // component queries, then argmaxes per label.
+    QueryDef(
+      "ns_dedup_keep_best",
+      Some(PipelineQueries.shingleCte + PipelineQueries.minhashCandCte +
+        PipelineQueries.labelPropCte + """,
+        sc AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN 0
+                 ELSE (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1000000) // length(text) END score
+               FROM documents),
+        r AS (SELECT l3.lbl component, l3.doc_id, sc.score,
+                ROW_NUMBER() OVER (PARTITION BY l3.lbl
+                  ORDER BY sc.score DESC, l3.doc_id) rn,
+                COUNT(*) OVER (PARTITION BY l3.lbl) n_members
+              FROM l3 JOIN sc ON sc.doc_id = l3.doc_id)
+        SELECT component, doc_id AS keeper, CAST(score AS BIGINT)
+          AS best_score, n_members
+        FROM r WHERE rn = 1 AND n_members >= 2 ORDER BY component"""),
+      (s, dir) => {
+        val labels = PipelineQueries.componentLabels(s, dir)
+          .select(col("doc_id").as("id"), col("lbl").as("component"))
+        val scores = t(s, dir, "documents").select(col("doc_id").as("id"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(expr("""length(regexp_replace(text, '[^a-zA-Z]', ''))
+              * 1000000L div length(text)"""))
+            .as("score"))
+        Dedup.keepBestRepresentatives(labels, scores)
+          .filter(col("n_members") >= 2)
+          .select("component", "keeper", "best_score", "n_members")
+          .orderBy("component")
+      }),
+
+    // ── Corpus-LM document scoring: a doc's score is the average
+    // corpus frequency of its bigram occurrences (fixed-point ×10⁶,
+    // exact BIGINT arithmetic) — the model-free stand-in for LM
+    // perplexity quality signals: high = boilerplate-stereotyped,
+    // low = rare constructions. Two-pass shape: corpus counts, join
+    // back on the (Zipfian — AQE skew territory) gram key, one
+    // groupBy(doc). Both passes derive from ONE per-(doc, gram)
+    // count intermediate via the operator's single-pay persist.
+    QueryDef(
+      "ns_score_lm",
+      Some("""WITH toks AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
+                FROM documents),
+              bg AS (SELECT doc_id,
+                     UNNEST([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, len(tk))]) g
+                     FROM toks WHERE len(tk) >= 2),
+              pg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) c
+                     FROM bg GROUP BY 1, 2),
+              cnt AS (SELECT g, CAST(SUM(c) AS BIGINT) tot
+                      FROM pg GROUP BY 1),
+              d AS (SELECT pg.doc_id,
+                      CAST(SUM(pg.c) AS BIGINT) n_ngrams,
+                      CAST(SUM(pg.c * cnt.tot) * 1000000 // SUM(pg.c)
+                        AS BIGINT) score
+                    FROM pg JOIN cnt USING (g) GROUP BY 1)
+              SELECT doc_id, n_ngrams, score FROM d ORDER BY doc_id"""),
+      (s, dir) =>
+        Curate.scoreByNgramFreq(
+            t(s, dir, "documents"), "doc_id", "text", n = 2)
+          .select(col("id").as("doc_id"), col("n_ngrams"), col("score"))
+          .orderBy("doc_id")),
   )
 }

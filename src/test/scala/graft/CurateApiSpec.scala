@@ -153,4 +153,74 @@ class CurateApiSpec extends SparkSpec {
     assert(Curate.selectByBudget(rows, "id", "score", "w", 0L)
       .count() == 0)
   }
+
+  test("decontaminateBloom equals the exact formulation, false " +
+      "positives removed, even at an absurd fpp") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true), // eval
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false),
+      (4L, "another clean doc with nothing shared at all here", false))
+      .toDF("id0", "body", "ev")
+    val exact = Curate.decontaminate(corpus, "id0", "body", col("ev"))
+      .as[(Long, Long)].collect().toMap
+    // fpp 0.5: the bloom passes plenty of clean shingles — the verify
+    // join must still reduce the result to exactly the exact answer
+    val idx = Curate.buildContamIndex(corpus, "body", col("ev"), fpp = 0.5)
+    val bloomed = Curate.decontaminateWithIndex(
+        corpus, "id0", "body", col("ev"), idx)
+      .as[(Long, Long)].collect().toMap
+    Curate.releaseContamIndex(idx)
+    assert(bloomed == exact, s"$bloomed vs $exact")
+    assert(bloomed.contains(2L) && !bloomed.contains(3L))
+  }
+
+  test("waterfillAllocation: saturation walk matches the brute-force " +
+      "water level; budget edges behave") {
+    val strata = Seq(
+      ("tiny", 50L, 4L),   // heavy weight, tiny capacity -> saturates
+      ("smal", 300L, 2L),
+      ("medi", 900L, 1L),
+      ("larg", 2000L, 1L))
+      .toDF("src", "n", "w")
+    val out = Curate.waterfillAllocation(strata, "src", "n", "w", 1000L)
+      .select("src", "saturated", "alloc")
+      .as[(String, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force: t=1000/8=125 -> tiny (cap 50 <= 4*125) saturates;
+    // then t=950/4=237.5 -> smal (300 > 2*237.5=475? no: 300<=475)
+    // saturates; then t=650/2=325 -> medi (900>325) and larg stay
+    // unsaturated at floor(1*650/2)=325 each
+    assert(out("tiny") == ((1, 50L)), s"$out")
+    assert(out("smal") == ((1, 300L)), s"$out")
+    assert(out("medi") == ((0, 325L)), s"$out")
+    assert(out("larg") == ((0, 325L)), s"$out")
+    // allocations fill the budget exactly (no rounding loss here)
+    assert(out.values.map(_._2).sum == 1000L)
+    // zero budget -> zero everywhere, nothing saturates
+    val zero = Curate.waterfillAllocation(strata, "src", "n", "w", 0L)
+      .select("saturated", "alloc").as[(Int, Long)].collect()
+    assert(zero.forall(_ == ((0, 0L))), zero.toSeq.toString)
+    // budget >= total capacity -> everything saturates at capacity
+    val all = Curate.waterfillAllocation(strata, "src", "n", "w", 10000L)
+      .select("src", "saturated", "alloc")
+      .as[(String, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(all.values.forall(_._1 == 1) && all("larg")._2 == 2000L, s"$all")
+  }
+
+  test("scoreByNgramFreq: average corpus bigram frequency, fixed-point") {
+    val corpus = Seq(
+      (1L, "a b c"),       // bigrams: "a b", "b c"
+      (2L, "a b a b"),     // "a b" x2, "b a" x1
+      (3L, "x"))           // no bigrams -> absent from output
+      .toDF("id0", "body")
+    val out = Curate.scoreByNgramFreq(corpus, "id0", "body")
+      .select("id", "n_ngrams", "score")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus counts: "a b" -> 3, "b c" -> 1, "b a" -> 1
+    // doc 1: (3 + 1) * 1e6 / 2 = 2_000_000
+    // doc 2: (3 + 3 + 1) * 1e6 / 3 = 2_333_333 (floor)
+    assert(out(1L) == ((2L, 2000000L)), s"$out")
+    assert(out(2L) == ((3L, 2333333L)), s"$out")
+    assert(!out.contains(3L), s"$out")
+  }
 }

@@ -246,6 +246,26 @@ class DedupApiSpec extends SparkSpec {
     assert(labels(12L) == 12L)
   }
 
+  test("keepBestRepresentatives: max score wins, ties to smallest id, " +
+      "singletons keep themselves") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // component 1
+      (4L, 4L), (5L, 4L),           // component 4: tied scores
+      (6L, 6L))                     // singleton
+      .toDF("id", "component")
+    val scores = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),
+      (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("id", "score")
+    val out = Dedup.keepBestRepresentatives(labels, scores)
+      .select("component", "keeper", "best_score", "n_members")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 99L, 3L)), s"$out") // best quality, not first
+    assert(out(4L) == ((4L, 7L, 2L)), s"$out")  // tie -> smallest id
+    assert(out(6L) == ((6L, 1L, 1L)), s"$out")  // singleton survives
+  }
+
   test("minhash-tier incremental: probe against a LOADED sketch index " +
       "equals the batch rebuild's cross pairs; extend equals rebuild") {
     val standing = docs.filter($"my_id" % 2 === 0)
