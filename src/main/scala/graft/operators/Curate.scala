@@ -274,6 +274,28 @@ object Curate {
   def releaseContamIndex(index: ContamIndex): Unit =
     index.evalShingles.unpersist()
 
+  /** Persist the [[ContamIndex]]: the eval shingle set as parquet, the
+    * bloom as its own portable binary format — the standing-artifact
+    * contract every index tier here follows (minhash, winnow): build
+    * once per eval suite, probe every corpus shard against the LOADED
+    * index without touching eval docs again.
+    */
+  def writeContamIndex(index: ContamIndex, dir: String): Unit = {
+    index.evalShingles.write.mode("overwrite")
+      .parquet(s"$dir/eval_shingles")
+    val os = new java.io.FileOutputStream(s"$dir/bloom.bin")
+    try index.bloom.writeTo(os) finally os.close()
+  }
+
+  def loadContamIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ContamIndex = {
+    val is = new java.io.FileInputStream(s"$dir/bloom.bin")
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+      finally is.close()
+    ContamIndex(spark.read.parquet(s"$dir/eval_shingles"), bloom)
+  }
+
   /** Bloom filter over the `s` column of a (typically cached) distinct
     * shingle frame. Exposed so a memoized artifact can be indexed
     * without rebuilding the frame. */
@@ -390,6 +412,47 @@ object Curate {
       .drop("__graft_n", "__graft_w", "__graft_key", "__graft_rk",
         "__graft_pn", "__graft_pw", "__graft_tw", "__graft_sat",
         "__graft_K", "__graft_satN", "__graft_satW")
+  }
+
+  /** Deterministic GLOBAL position under a total order — the
+    * curriculum-ordering primitive ("train on the easy docs first"):
+    * every row gets `posCol` = its 1-based rank under `ord` (callers
+    * pass a TOTAL order — score then id — so the curriculum is
+    * engine-independent and reproducible).
+    *
+    * Scale shape: the textbook ROW_NUMBER() over a global ORDER BY is
+    * the single-task WindowExec trap; zipWithIndex is RDD-land and
+    * order-fragile. This is the distributed formulation of the same
+    * thing, sharing [[selectByBudget]]'s skeleton with COUNTS instead
+    * of weight sums: one range exchange on the order (the exchange a
+    * global sort pays anyway), per-partition row_number under a
+    * partitioned window, then a broadcast numPartitions-row offset
+    * table. Linear everywhere; no data-sized single task at any
+    * corpus size. AQE-safe: coalesced shuffle partitions merge
+    * ADJACENT ranges, keeping partition ids aligned with the order.
+    */
+  def globalOrderIndex(docs: DataFrame,
+      ord: Seq[org.apache.spark.sql.Column], posCol: String = "pos",
+      numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs.repartitionByRange(parts, ord: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+    val within = Window.partitionBy("__graft_pid").orderBy(ord: _*)
+    val numbered = ranged
+      .withColumn("__graft_rn", row_number().over(within).cast("long"))
+    // numPartitions-row offset frame — bounded by construction
+    val offs = numbered.groupBy("__graft_pid")
+      .agg(count(lit(1)).as("__graft_pc"))
+      .withColumn("__graft_off",
+        coalesce(sum("__graft_pc").over(
+          Window.orderBy("__graft_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__graft_pid", "__graft_off")
+    numbered.join(broadcast(offs), "__graft_pid")
+      .withColumn(posCol, col("__graft_off") + col("__graft_rn"))
+      .drop("__graft_pid", "__graft_rn", "__graft_off")
   }
 
   /** Per-(id, n-gram) occurrence counts — the shared intermediate both

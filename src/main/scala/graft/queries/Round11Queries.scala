@@ -284,5 +284,34 @@ object Round11Queries {
             t(s, dir, "documents"), "doc_id", "text", n = 2)
           .select(col("id").as("doc_id"), col("n_ngrams"), col("score"))
           .orderBy("doc_id")),
+
+    // ── Curriculum ordering: every doc's global 1-based position
+    // under (alpha-quality DESC, doc_id) — "train on the clean docs
+    // first". The oracle is the textbook single-window ROW_NUMBER;
+    // the Spark side is the distributed formulation (range exchange +
+    // per-partition numbering + broadcast offsets — selectByBudget's
+    // skeleton with counts), so the hash match pins the scalable plan
+    // to the spec. No single-task window at any corpus size.
+    QueryDef(
+      "ns_curriculum_order",
+      Some("""WITH sc AS (SELECT doc_id, CASE WHEN length(text) = 0
+                THEN 0 ELSE (length(regexp_replace(text, '[^a-zA-Z]',
+                  '', 'g')) * 1000000) // length(text) END score
+                FROM documents)
+              SELECT doc_id, CAST(score AS BIGINT) AS score,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS pos
+              FROM sc ORDER BY doc_id"""),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(expr("""length(regexp_replace(text, '[^a-zA-Z]', ''))
+              * 1000000L div length(text)"""))
+            .as("score"))
+        Curate.globalOrderIndex(scored,
+            Seq(col("score").desc, col("doc_id").asc))
+          .select("doc_id", "score", "pos")
+          .orderBy("doc_id")
+      }),
   )
 }

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Online near-dup-filtered corpus ingestion — the streaming face of
+  * the incremental MinHash-LSH tier: a document stream is consumed in
+  * micro-batches, each batch probed against the STANDING on-disk
+  * sketch index; survivors land in the corpus sink and their sketches
+  * are APPENDED to the index, so later batches (and later runs) dedup
+  * against everything ingested so far.
+  *
+  * Design for scale (and for unbounded streams):
+  *  - The index lives ON DISK (parquet buckets + signatures, the same
+  *    layout `Dedup.writeMinHashIndex` produces) and is re-loaded per
+  *    batch — every batch's lineage starts at a file scan, so plan
+  *    depth does NOT grow with batch count (an in-memory
+  *    `extendMinHashIndex` chain would union one more plan per batch
+  *    until the driver chokes).
+  *  - Appending survivors' sketches is parquet `append` mode: new
+  *    part-files beside the old, no rewrite — the write cost per
+  *    batch is O(batch), never O(corpus).
+  *  - A batch is deduped BOTH against the index (cross matches) and
+  *    within itself (batch-internal pairs; the later id of every
+  *    verified pair is dropped — conservative: a doc whose earlier
+  *    match was itself dropped still goes; transitive keep-chains
+  *    are a batch-tier policy, not replayed per micro-batch).
+  *  - Exactly-once note: parquet append + index append are two
+  *    non-atomic writes; a crash between them can ship a survivor
+  *    whose sketch is missing (it would be re-admitted as a future
+  *    dup). Production pairs this with foreachBatch idempotence on
+  *    batchId (the standard Structured Streaming recipe — see
+  *    TelemetryPipeline's routedSink for the pattern).
+  *
+  * Cold start: seed the directory with
+  * `Dedup.writeMinHashIndex(Dedup.buildMinHashIndex(emptyOrCorpus, …))`
+  * — an empty frame writes an empty-but-schema'd index that loads
+  * fine on batch 0.
+  */
+object StreamingDedup {
+
+  /** Dedup one (batch) frame against a loaded standing index plus
+    * itself. Returns (survivors, survivor signatures, the PERSISTED
+    * batch-signature handle) — the shard is signed ONCE and both
+    * outputs derive from that cache (single-pay); the caller owns
+    * releasing the third element via `.unpersist()` after its writes
+    * (unpersisting a derived select would be a no-op on the cache).
+    */
+  def dedupBatchWithSignatures(batch: DataFrame, idCol: String,
+      textCol: String, index: Dedup.MinHashIndex,
+      minJaccard: Double = 0.8): (DataFrame, DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = Dedup.shingleSignatures(batch, idCol, textCol).persist(lvl)
+    val crossDrop = Dedup.probeMinhashFromSignatures(sh, index,
+        minJaccard = minJaccard)
+      .select(col("idb").as("__graft_drop"))
+    val innerDrop = Dedup.verifiedPairs(sh,
+        Dedup.minhashCandidates(sh), minJaccard)
+      .select(col("idb").as("__graft_drop"))
+    val drops = crossDrop.union(innerDrop).distinct()
+    val survivors = batch.join(drops,
+      col(idCol) === col("__graft_drop"), "left_anti")
+    val shKept = sh.join(drops, col("id") === col("__graft_drop"),
+      "left_anti")
+    (survivors, shKept, sh)
+  }
+
+  /** One micro-batch of the ingestion: load index → dedup → append
+    * survivors to `corpusDir` → append their sketches to `indexDir`.
+    * Public so batch backfills can reuse the exact streaming path.
+    */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, corpusDir: String,
+      minJaccard: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    val index = Dedup.loadMinHashIndex(spark, indexDir)
+    val (survivors, shKept, shHandle) =
+      dedupBatchWithSignatures(batch, idCol, textCol, index, minJaccard)
+    try {
+      survivors.write.mode("append").parquet(corpusDir)
+      // the index append derives from the SAME cached signatures the
+      // dedup probed — the shard is signed exactly once per batch
+      Dedup.bandedBuckets(shKept).write.mode("append")
+        .parquet(s"$indexDir/buckets")
+      shKept.write.mode("append").parquet(s"$indexDir/signatures")
+    } finally shHandle.unpersist()
+  }
+
+  /** The ready-to-start streaming writer: every micro-batch of `docs`
+    * (a STREAMING frame with `idCol` + `textCol`) runs
+    * [[processBatch]]. Caller picks trigger/checkpoint and `.start()`s.
+    */
+  def dedupedIngestWriter(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, corpusDir: String,
+      minJaccard: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        processBatch(batch, idCol, textCol, indexDir, corpusDir,
+          minJaccard)
+    }
+}

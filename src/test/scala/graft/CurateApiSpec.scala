@@ -175,6 +175,48 @@ class CurateApiSpec extends SparkSpec {
     assert(bloomed.contains(2L) && !bloomed.contains(3L))
   }
 
+  test("contam index round-trips through disk: probing the LOADED " +
+      "index equals the direct probe, eval docs never re-read") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false))
+      .toDF("id0", "body", "ev")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-contam-").toString
+    val built = Curate.buildContamIndex(corpus, "body", col("ev"))
+    val direct = Curate.decontaminateWithIndex(
+        corpus, "id0", "body", col("ev"), built)
+      .as[(Long, Long)].collect().toMap
+    Curate.writeContamIndex(built, dir)
+    Curate.releaseContamIndex(built)
+    val loaded = Curate.loadContamIndex(spark, dir)
+    // lineage proof: the loaded eval side is a file scan of the index,
+    // not a re-derivation from the documents
+    assert(loaded.evalShingles.inputFiles.exists(_.contains("eval_shingles")))
+    val viaDisk = Curate.decontaminateWithIndex(
+        corpus, "id0", "body", col("ev"), loaded)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDisk == direct && viaDisk.contains(2L), s"$viaDisk")
+  }
+
+  test("globalOrderIndex equals the single-window ROW_NUMBER spec; " +
+      "range partitioning in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 100L).map(i => (i, i * 37 % 11))
+      .toDF("id", "score") // tied scores -> id tie-break matters
+    val ord = Seq(col("score").desc, col("id").asc)
+    val got = Curate.globalOrderIndex(rows, ord, numPartitions = 7)
+    assert(got.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"))
+    val expect = rows
+      .withColumn("pos", row_number().over(
+        Window.orderBy(ord: _*)).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(got.select("id", "pos").as[(Long, Long)]
+      .collect().toSet == expect)
+  }
+
   test("waterfillAllocation: saturation walk matches the brute-force " +
       "water level; budget edges behave") {
     val strata = Seq(

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** t3 golden for the online deduped-ingestion composition: micro-
+  * batches dedup against the standing ON-DISK sketch index and
+  * within themselves; survivors extend the index, so later batches
+  * (and later runs) dedup against everything ingested so far.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txt10 =
+    "the quick brown fox jumps over the lazy dog near the river bank"
+  private val txt11 = // near-dup of 10 (one trailing word differs)
+    "the quick brown fox jumps over the lazy dog near the river bend"
+  private val txt12 =
+    "completely different content about spark query planning adaptive " +
+      "execution shuffle partitions and broadcast joins measured today"
+  private val txt15 = txt12.replace("today", "tonight") // near-dup of 12
+  private val txt13 = txt12.replace("today", "tomorrow") // near-dup of 12
+  private val txt14 =
+    "fresh unrelated body entirely about gardening tulips and soil " +
+      "moisture sensors logging hourly readings all winter long"
+
+  test("online ingest: batches dedup against the standing index AND " +
+      "within themselves; survivors extend the on-disk index") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sdedup-").toString
+    val indexDir = s"$tmp/index"
+    val corpusDir = s"$tmp/corpus"
+    // seed the standing corpus + index with doc 10 (the cold-start
+    // recipe: an empty frame would seed an empty-but-schema'd index)
+    val seed = Seq((10L, txt10)).toDF("id", "text")
+    Dedup.writeMinHashIndex(
+      Dedup.buildMinHashIndex(seed, "id", "text"), indexDir)
+    seed.write.mode("append").parquet(corpusDir)
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.dedupedIngestWriter(
+        input.toDF().toDF("id", "text"), "id", "text",
+        indexDir, corpusDir, minJaccard = 0.5)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      // batch 1: 11 duplicates the SEEDED doc (cross-drop), 12 is
+      // new (kept), 15 duplicates 12 INSIDE the same batch
+      // (inner-drop, later id goes)
+      input.addData((11L, txt11), (12L, txt12), (15L, txt15))
+      q.processAllAvailable()
+      // batch 2: 13 duplicates 12 — kept in batch 1, so the index
+      // must have been extended for this drop to happen; 14 is new
+      input.addData((13L, txt13), (14L, txt14))
+      q.processAllAvailable()
+
+      val corpus = spark.read.parquet(corpusDir)
+        .select("id").as[Long].collect().toSet
+      assert(corpus == Set(10L, 12L, 14L), s"corpus: $corpus")
+      // the on-disk index tracks exactly the surviving corpus — the
+      // proof batch 2's drop of 13 came from batch 1's append
+      val sigIds = spark.read.parquet(s"$indexDir/signatures")
+        .select("id").as[Long].collect().toSet
+      assert(sigIds == Set(10L, 12L, 14L), s"index: $sigIds")
+      val bucketIds = spark.read.parquet(s"$indexDir/buckets")
+        .select("id").as[Long].collect().toSet
+      assert(bucketIds == Set(10L, 12L, 14L), s"buckets: $bucketIds")
+    } finally q.stop()
+  }
+
+  test("batch backfill reuses the exact streaming path: processBatch " +
+      "is idempotent-shaped and order-deterministic") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sdedup-bf-").toString
+    val indexDir = s"$tmp/index"
+    val corpusDir = s"$tmp/corpus"
+    Dedup.writeMinHashIndex(
+      Dedup.buildMinHashIndex(
+        spark.emptyDataset[(Long, String)].toDF("id", "text"),
+        "id", "text"), indexDir)
+    StreamingDedup.processBatch(
+      Seq((1L, txt12), (2L, txt15)).toDF("id", "text"),
+      "id", "text", indexDir, corpusDir, minJaccard = 0.5)
+    StreamingDedup.processBatch(
+      Seq((3L, txt13), (4L, txt14)).toDF("id", "text"),
+      "id", "text", indexDir, corpusDir, minJaccard = 0.5)
+    val corpus = spark.read.parquet(corpusDir)
+      .select("id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 4L), s"corpus: $corpus")
+  }
+}
