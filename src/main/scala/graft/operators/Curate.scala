@@ -456,17 +456,21 @@ object Curate {
   }
 
   /** Per-(id, n-gram) occurrence counts — the shared intermediate both
-    * halves of the corpus-LM scorer derive from (single explode pass;
-    * callers that reference it twice should persist it for the build,
-    * per the single-pay index rule).
+    * halves of the corpus-LM scorer derive from. NARROW: within-doc
+    * multiplicity is counted per ROW by the native single-pass
+    * [[graft.plans.ValueCounts]] expression and only then exploded —
+    * the explode + groupBy(id, gram) formulation shuffles every
+    * n-gram OCCURRENCE across the cluster to count what never needed
+    * to leave the row (measured 2× the whole query's latency at
+    * sf0.1). Callers referencing the result twice persist it for the
+    * build, per the single-pay rule.
     */
   def ngramPairCounts(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        explode(TF.ngrams(TF.tokens(col(textCol)), n)).as("g"))
-      .groupBy("id", "g")
-      .agg(count(lit(1)).as("c"))
+        explode(graft.plans.NgramCounts(col(textCol), n)).as("gc"))
+      .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c"))
 
   /** Corpus-LM document scoring from precomputed (id, g, c) pair
     * counts: a document's score is the average corpus frequency of
@@ -493,15 +497,16 @@ object Curate {
 
   /** Convenience build-and-score form of the corpus-LM scorer: counts
     * n-gram occurrences, derives corpus frequencies, scores every doc.
-    * The pair-count intermediate is persisted for the duration of the
-    * two references (corpus counts + join-back) — single-pay explode.
+    * The two consumers RECOMPUTE the narrow pair pass rather than
+    * persist it — measured at sf0.1, re-running the fused
+    * scan+count pass is cheaper than materializing and re-reading
+    * the cache; and at 100 TB the intermediate would not be cached
+    * either (scan-twice is the standard shape when the intermediate
+    * is corpus-sized and the pass is narrow).
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
-    val pairs = ngramPairCounts(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scoreFromNgramPairs(pairs)
-  }
+      n: Int = 2): DataFrame =
+    scoreFromNgramPairs(ngramPairCounts(docs, idCol, textCol, n))
 
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,

@@ -83,6 +83,7 @@ object PipelineQueries {
     componentLabels(s, dir)
     normEmbeddings(s, dir)
     embBandBuckets(s, dir)
+    annBandBuckets(s, dir)
     ivfKmeansAssignments(s, dir)
     cappedInvertedIndex(s, dir)
     tfidfWeights(s, dir)
@@ -209,6 +210,21 @@ object PipelineQueries {
     memoArtifact(s, dir, "embbk") {
       normEmbeddings(s, dir).select(col("vec_id"),
         posexplode(SF.lshBandBuckets(col("v"), 8, 8, 64))
+          .as(Seq("band", "bucket")))
+    }
+
+  /** Banded hyperplane-LSH buckets at the ANN-SERVING parameters
+    * (4 bands × 2 planes — recall-biased, vs the dedup tier's 8×8
+    * precision bias): the bucket index the batched top-k prefilter
+    * joins probe-against-corpus on. Written beside the vectors at
+    * ingest like [[embBandBuckets]]; serving never re-hashes the
+    * corpus (the batch query previously derived this table TWICE —
+    * once per join side).
+    */
+  private[queries] def annBandBuckets(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "annbk") {
+      normEmbeddings(s, dir).select(col("vec_id"),
+        posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
           .as(Seq("band", "bucket")))
     }
 

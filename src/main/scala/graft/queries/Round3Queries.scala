@@ -117,9 +117,9 @@ object Round3Queries {
               FROM rk WHERE rn <= 5 ORDER BY probe_id, rnk"""),
       (s, dir) => {
         val e = PipelineQueries.normEmbeddings(s, dir)
-        val bands = e.select(col("vec_id"),
-          posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
-            .as(Seq("band", "bucket")))
+        // both join sides serve from the write-once ANN bucket index
+        // (4×2 recall-biased banding) — serving never re-hashes
+        val bands = PipelineQueries.annBandBuckets(s, dir)
         val cand = bands.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("pid"), col("band"), col("bucket"))
           .join(bands.select(col("vec_id").as("cid"), col("band"),

@@ -531,6 +531,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sec < 60, f"linear pass took $sec%.1f s — not linear")
   }
 
+  test("NgramCounts fusion equals the ValueCounts∘ngrams∘tokens " +
+      "composition, and stays linear on a mega-document") {
+    // the fused expression must be BYTE-equal to the composition it
+    // replaces (the corpus-LM scorer's oracle depends on it), including
+    // the empty-token-drop and short-doc edge cases
+    val docs = Seq(
+      "the quick  brown fox   the quick brown fox",
+      "", "one", "a a a a a", "x  y").toDF("text")
+    val fused = docs.select(
+      org.apache.spark.sql.functions.explode(
+        graft.plans.NgramCounts($"text", 2)).as("gc"))
+      .select($"gc.g", $"gc.c").as[(String, Long)].collect().toSeq
+    val composed = docs.select(
+      org.apache.spark.sql.functions.explode(
+        graft.plans.ValueCounts(TF.ngrams(TF.tokens($"text"), 2))).as("gc"))
+      .select($"gc.g", $"gc.c").as[(String, Long)].collect().toSeq
+    assert(fused == composed && fused.contains(("the quick", 2L)),
+      s"$fused vs $composed")
+    // linearity golden, same family as the mega-doc cases above
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+    val mega = Seq.tabulate(300000)(i => vocab(i % 5)).mkString(" ")
+    val t0 = System.nanoTime()
+    val n = Seq(mega).toDF("text")
+      .select(org.apache.spark.sql.functions.size(
+        graft.plans.NgramCounts($"text", 2)).as("n")).as[Int].head()
+    assert(n == 5, s"periodic vocab has 5 distinct bigrams, got $n")
+    assert((System.nanoTime() - t0) / 1e9 < 30, "not linear")
+  }
+
   test("routeFor maps tags to the gateway endpoints") {
     val out = Seq("D", "S", "E", "X").toDF("t")
       .select(Telemetry.routeFor($"t")).as[Option[String]].collect()
