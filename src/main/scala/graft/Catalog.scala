@@ -39,16 +39,26 @@ object Catalog {
     cache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), { _ =>
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for; read it as raw nanos (legacy.parquet.nanosAsLong) and
-      // truncate to a µs TimestampType here so every downstream operator
-      // (and the DuckDB oracle, which casts ::TIMESTAMP) sees µs.
+      // events.ts normalization: every downstream operator (and the
+      // DuckDB oracle, which casts ::TIMESTAMP) must see µs
+      // TimestampType (LTZ), whatever the generator wrote —
+      //  * TIMESTAMP(NANOS): Spark has no native type; read as raw
+      //    nanos (legacy.parquet.nanosAsLong) and truncate to µs;
+      //  * timestamp[us] with isAdjustedToUTC=false: Spark infers
+      //    TIMESTAMP_NTZ (inferTimestampNTZ default-on in 4.x), which
+      //    unix_micros() et al reject — cast to LTZ (wall-clock
+      //    identity under the sessions' UTC timezone, same as the
+      //    oracle's naive ::TIMESTAMP).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       val df =
         if (name == "events" &&
             raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else if (name == "events" &&
+            raw.schema.fields.exists(f => f.name == "ts" &&
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+          raw.withColumn("ts", col("ts").cast("timestamp"))
         else raw
       // Local-mode scan-parallelism fidelity (off by default; Bench
       // sets the conf to the core count): the test parquet is one
@@ -135,9 +145,14 @@ object Catalog {
         s"""CREATE TABLE IF NOT EXISTS $database.$tbl
            |USING parquet LOCATION '$wanted'""".stripMargin)
     }
-    val rawTs = spark.table(s"$database.events_raw").schema
-      .fields.exists(f => f.name == "ts" && f.dataType == LongType)
-    val tsExpr = if (rawTs) "timestamp_micros(ts div 1000)" else "ts"
+    val tsType = spark.table(s"$database.events_raw").schema
+      .fields.find(_.name == "ts").map(_.dataType)
+    val tsExpr = tsType match {
+      case Some(LongType) => "timestamp_micros(ts div 1000)"
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        "CAST(ts AS TIMESTAMP)"
+      case _ => "ts"
+    }
     val cols = spark.table(s"$database.events_raw").columns
       .map(c => if (c == "ts") s"$tsExpr AS ts" else c).mkString(", ")
     spark.sql(

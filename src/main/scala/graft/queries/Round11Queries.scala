@@ -87,7 +87,13 @@ object Round11Queries {
     // single-window running sum is the semantic spec; the Spark side
     // is the distributed prefix sum (range repartition +
     // per-partition windows + broadcast offsets) — the hash match
-    // pins the two formulations equal.
+    // pins the two formulations equal. The oracle's running sum is
+    // CAST to BIGINT: DuckDB's SUM(BIGINT) yields HUGEINT, which the
+    // driver's pandas bridge widens to float64, so the values hash
+    // as "4092.0" against Spark's int64 "4092" (the r11
+    // ns_select_budget hash miss). No SQL comments in oracle strings
+    // — whitespace-collapsing consumers turn `--` into "comment out
+    // the rest of the query".
     QueryDef(
       "ns_select_budget",
       Some("""WITH tk AS (SELECT doc_id,
@@ -100,9 +106,9 @@ object Round11Queries {
                              * 1000000) // len(tk) END score
                      FROM tk),
               c AS (SELECT doc_id, n_tok, score,
-                    SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      cum_w
+                      AS BIGINT) cum_w
                     FROM sc)
               SELECT doc_id, n_tok, score, cum_w FROM c
               WHERE cum_w <= 15000 ORDER BY doc_id"""),
