@@ -455,6 +455,29 @@ object Curate {
       .drop("__graft_pid", "__graft_rn", "__graft_off")
   }
 
+  /** Reproducible global corpus shuffle + shard assignment — the
+    * "write the training set in randomized shard order" step every
+    * run-prep pipeline ends with. Randomness is a content hash of the
+    * id (never rand(): re-runs, retries, and both engines agree), the
+    * global position comes from [[globalOrderIndex]] (range exchange +
+    * per-partition numbering + broadcast offsets — no single-task
+    * window at any corpus size), and shards are round-robin by
+    * position so shard sizes differ by at most one — the balanced
+    * layout a 1000-executor training reader wants, regardless of how
+    * skewed the hash buckets land.
+    *
+    * Adds `h` (the shuffle key), `pos` (1-based global position under
+    * (h, id)) and `shard` ∈ [0, nShards); all input columns survive.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = docs.withColumn("h",
+      TF.hex60(concat(lit(salt + ":"), col(idCol).cast("string"))))
+    globalOrderIndex(keyed, Seq(col("h").asc, col(idCol).asc))
+      .withColumn("shard", ((col("pos") - 1) % nShards).cast("long"))
+  }
+
   /** Per-(id, n-gram) occurrence counts — the shared intermediate both
     * halves of the corpus-LM scorer derive from. NARROW: within-doc
     * multiplicity is counted per ROW by the native single-pass

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Catalog
+import graft.functions.{SimilarityFunctions => SF}
+import graft.operators.Curate
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 extensions: two more production shapes —
+  *
+  *  - PRODUCT-QUANTIZATION ANN (ns_ann_pq_topk): the memory-bound
+  *    serving tier the ANN family was missing. The 64-dim space is
+  *    split into 4×16-dim subspaces; each gets its own k=8 codebook
+  *    (one Lloyd refinement from a deterministic seed, every float
+  *    SUM quantized to fixed-point BIGINT before summing — the same
+  *    cross-engine discipline as the IVF k-means tier); every vector
+  *    compresses to 4 byte-sized codes. A probe builds a 32-entry
+  *    distance table and scores candidates by table lookup (ADC) —
+  *    O(1) per candidate instead of O(dim) — then exact-reranks the
+  *    shortlist. At 100 TB the codebook is O(model) broadcast state,
+  *    the codes live beside the vectors as a write-once index, and
+  *    serving never touches raw vectors until the rerank.
+  *
+  *  - REPRODUCIBLE SHARD SHUFFLE (ns_shuffle_shards): the final
+  *    "write the training corpus in randomized, balanced shard
+  *    order" step (operators/Curate.shuffleShards) — content-hash
+  *    randomness (never rand()), the distributed global-position
+  *    machinery of ns_curriculum_order, round-robin shards whose
+  *    sizes differ by at most one.
+  */
+object Round12Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  // ── PQ machinery ──────────────────────────────────────────────────
+  // 4 subspaces × 16 dims over the 64-dim embeddings; k=8 codewords
+  // per subspace. Fixed-point quantum 1e12, matching the IVF tier.
+  private val fxQ = 1e12
+
+  private def fx(c: Column): Column = floor(c * fxQ).cast("long")
+
+  /** Long-form (vec, subspace, dim, value) view of the embeddings —
+    * narrow explode, the shared input of codebook training and
+    * encoding.
+    */
+  private def pqEv(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.normEmbeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("s", expr("d div 16"))
+
+  /** Fixed-point squared-L2 distance of every (vec, subspace) to every
+    * codeword of `cb` — exact BIGINT sums, order-independent across
+    * partial aggregation. The codebook is O(model) (≤ 512 rows):
+    * always a broadcast.
+    */
+  private def pqDists(ev: DataFrame, cb: DataFrame): DataFrame =
+    ev.join(broadcast(cb), Seq("s", "d"))
+      .groupBy("vec_id", "s", "cid")
+      .agg(sum(fx((col("x") - col("cx")) * (col("x") - col("cx"))))
+        .as("dist"))
+
+  /** Nearest codeword per (vec, subspace); ties break on cid so both
+    * engines pick identically.
+    */
+  private def pqArgmin(d: DataFrame): DataFrame =
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1).select("vec_id", "s", "cid")
+
+  /** Trained per-subspace codebooks (s, cid, d, cx) — seed = the 8
+    * lowest vec_ids' subvectors, one Lloyd refinement. Write-once
+    * O(model) artifact (4×8×16 = 512 rows), memoized like the IVF
+    * assignments; serving reads it, it never retrains.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memoArtifact(s, dir, "pqcb") {
+      val ev = pqEv(s, dir)
+      val c0 = ev.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("s"), col("d"),
+          col("x").as("cx"))
+      val a1 = pqArgmin(pqDists(ev, c0))
+      // centroid mean: fixed-point sum → double → / count, the exact
+      // op order the oracle uses (long division last would truncate)
+      ev.join(a1, Seq("vec_id", "s"))
+        .groupBy("s", "cid", "d")
+        .agg((sum(fx(col("x"))).cast("double") / fxQ / count(lit(1)))
+          .as("cx"))
+    }
+
+  /** PQ codes (vec_id, s, cid) — every vector's 4 codeword ids. The
+    * write-once compressed index: 4 small ints per vector, stored
+    * beside the corpus; the scale path's memory-resident search
+    * structure.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memoArtifact(s, dir, "pqc") {
+      pqArgmin(pqDists(pqEv(s, dir), pqCodebook(s, dir)))
+    }
+
+  /** Shared oracle CTE chain for the PQ tier (embeddings → long form →
+    * seed codebook → one Lloyd step → codes) — mirrors the Spark
+    * dataflow stage for stage with the same fixed-point quantum.
+    */
+  private val pqCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       ev AS (SELECT vec_id, d // 16 s, d, v[d+1] x
+              FROM e, range(0, 64) r(d)),
+       c0 AS (SELECT vec_id cid, s, d, x cx FROM ev WHERE vec_id < 8),
+       d1 AS (SELECT ev.vec_id, ev.s, c0.cid,
+                SUM(CAST(FLOOR((ev.x - c0.cx) * (ev.x - c0.cx)
+                    * 1000000000000.0) AS BIGINT)) dist
+              FROM ev JOIN c0 ON ev.s = c0.s AND ev.d = c0.d
+              GROUP BY 1, 2, 3),
+       a1 AS (SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, cid) rn FROM d1)
+              WHERE rn = 1),
+       cb AS (SELECT a1.s, a1.cid, ev.d,
+                SUM(CAST(FLOOR(ev.x * 1000000000000.0) AS BIGINT))::DOUBLE
+                  / 1000000000000.0 / COUNT(*) cx
+              FROM ev JOIN a1 ON ev.vec_id = a1.vec_id AND ev.s = a1.s
+              GROUP BY 1, 2, 3),
+       d2 AS (SELECT ev.vec_id, ev.s, cb.cid,
+                SUM(CAST(FLOOR((ev.x - cb.cx) * (ev.x - cb.cx)
+                    * 1000000000000.0) AS BIGINT)) dist
+              FROM ev JOIN cb ON ev.s = cb.s AND ev.d = cb.d
+              GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, cid) rn FROM d2)
+              WHERE rn = 1)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Similarity search, PQ/ADC tier: probe builds its 32-entry
+    // subspace distance table (probe row of d2), candidates score by
+    // 4 table lookups each (codes ⨝ table on (s, cid) + SUM — exact
+    // long arithmetic), top-64 shortlist by (approx dist, vec_id),
+    // exact cosine rerank to 10. Shuffles touch only the O(n·4) code
+    // rows and the shortlist — never raw vectors until the rerank,
+    // never a pair space.
+    QueryDef(
+      "ns_ann_pq_topk",
+      Some(pqCte + """,
+       pt AS (SELECT s, cid, dist pdist FROM d2 WHERE vec_id = 0),
+       ad AS (SELECT c.vec_id, SUM(p.pdist) adist
+              FROM codes c JOIN pt p ON c.s = p.s AND c.cid = p.cid
+              WHERE c.vec_id <> 0 GROUP BY 1),
+       cand AS (SELECT vec_id FROM (SELECT vec_id,
+                  ROW_NUMBER() OVER (ORDER BY adist, vec_id) rn FROM ad)
+                WHERE rn <= 64)
+       SELECT e1.vec_id, ROUND(list_dot_product(e1.v, e0.v) /
+           (sqrt(list_dot_product(e1.v, e1.v)) *
+            sqrt(list_dot_product(e0.v, e0.v))), 4) AS cos
+       FROM cand JOIN e e1 ON e1.vec_id = cand.vec_id
+       JOIN e e0 ON e0.vec_id = 0
+       ORDER BY cos DESC, e1.vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = PipelineQueries.normEmbeddings(s, dir)
+          .select("vec_id", "v")
+        val cb = pqCodebook(s, dir)
+        val codes = pqCodes(s, dir)
+        // probe-side ADC table: 32 rows of fixed-point distances,
+        // recomputed per probe from the broadcast codebook (the
+        // serving path never re-encodes the corpus)
+        val pt = pqEv(s, dir).filter(col("vec_id") === 0)
+          .drop("vec_id")
+          .join(broadcast(cb), Seq("s", "d"))
+          .groupBy("s", "cid")
+          .agg(sum(fx((col("x") - col("cx")) * (col("x") - col("cx"))))
+            .as("pdist"))
+        val cand = codes.filter(col("vec_id") =!= 0)
+          .join(broadcast(pt), Seq("s", "cid"))
+          .groupBy("vec_id").agg(sum("pdist").as("adist"))
+          .orderBy(col("adist"), col("vec_id")).limit(64)
+        val pv = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+        cand.select("vec_id").join(e, Seq("vec_id"))
+          .crossJoin(broadcast(pv))
+          .select(col("vec_id"),
+            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }),
+
+    // ── Reproducible shard shuffle: h = content hash of the id (both
+    // engines derive the identical BIGINT from md5), pos = global
+    // 1-based position under (h, doc_id) via the distributed prefix
+    // machinery, shard = round-robin by position (sizes differ by ≤1).
+    QueryDef(
+      "ns_shuffle_shards",
+      Some("""WITH h AS (SELECT doc_id,
+                ('0x' || substring(md5('shuf:' || doc_id::VARCHAR),
+                 1, 15))::BIGINT h
+                FROM documents),
+              p AS (SELECT doc_id, h,
+                CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) pos
+                FROM h)
+              SELECT doc_id, h, pos, CAST((pos - 1) % 8 AS BIGINT) AS shard
+              FROM p ORDER BY doc_id"""),
+      (s, dir) =>
+        Curate.shuffleShards(
+            t(s, dir, "documents").select("doc_id"), "doc_id", 8)
+          .select("doc_id", "h", "pos", "shard")
+          .orderBy("doc_id")),
+  )
+}

@@ -124,7 +124,9 @@ class QueryPlanSpec extends SparkSpec {
       "ns_text_tfidf_sim", "q34_theta_join",
       // 1-row-by-construction broadcasts: the int8 probe vector and
       // the corpus-scaled df-cap aggregate
-      "ns_ann_int8_topk", "ns_dedup_substring")
+      "ns_ann_int8_topk", "ns_dedup_substring",
+      // PQ rerank: 1-row probe-vector broadcast, same as the ANN tier
+      "ns_ann_pq_topk")
     for ((name, fn) <- Registry.queries) {
       val e = explainStr(fn(spark, sfDir))
       assert(!e.contains("CartesianProduct"),

@@ -41,6 +41,11 @@ TREND_QUERIES = [
     "q34_theta_join", "q42_string_agg", "q47_tpch_local_volume",
     "q51_chr_ascii", "q52_calibration_dim_join", "q62_variant_json",
     "ns_dedup_incremental", "ns_dedup_paragraph",
+    # round-12 additions: the two remaining r11 gate breaches (both
+    # floor-straddlers by oracle latency — the trend is their
+    # retirement evidence, as it was for q15) plus the bloom
+    # decontamination tier (oracle 0.42 s, clearly data-dominated)
+    "ns_score_lm", "ns_ann_batch_topk", "ns_decontaminate_bloom",
 ]
 
 FACTOR = 10
