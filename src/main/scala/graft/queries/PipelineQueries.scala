@@ -89,6 +89,8 @@ object PipelineQueries {
     tfidfWeights(s, dir)
     winnowPostings(s, dir)
     incrementalIndex(s, dir)
+    Round12Queries.pqCodebook(s, dir)
+    Round12Queries.pqCodes(s, dir)
     ()
   }
 

@@ -74,7 +74,7 @@ object Round12Queries {
     * O(model) artifact (4×8×16 = 512 rows), memoized like the IVF
     * assignments; serving reads it, it never retrains.
     */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+  private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.memoArtifact(s, dir, "pqcb") {
       val ev = pqEv(s, dir)
       val c0 = ev.filter(col("vec_id") < 8)
@@ -94,7 +94,7 @@ object Round12Queries {
     * beside the corpus; the scale path's memory-resident search
     * structure.
     */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+  private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.memoArtifact(s, dir, "pqc") {
       pqArgmin(pqDists(pqEv(s, dir), pqCodebook(s, dir)))
     }
