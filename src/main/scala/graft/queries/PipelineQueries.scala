@@ -90,7 +90,7 @@ object PipelineQueries {
     winnowPostings(s, dir)
     incrementalIndex(s, dir)
     Round12Queries.pqCodebook(s, dir)
-    Round12Queries.pqCodes(s, dir)
+    Round12Queries.pqCodesWide(s, dir)
     ()
   }
 

@@ -99,6 +99,23 @@ object Round12Queries {
       pqArgmin(pqDists(pqEv(s, dir), pqCodebook(s, dir)))
     }
 
+  /** The codes in SERVING layout — one row per vector, `cw[s]` = the
+    * subspace-s codeword id (array_sort over (s, cid) structs, so the
+    * collect_list order can't matter). This is how the index is
+    * actually stored at scale: 4 small ids beside each vector, making
+    * ADC scoring a NARROW projection — no shuffle between the scan
+    * and the shortlist.
+    */
+  private[queries] def pqCodesWide(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memoArtifact(s, dir, "pqcw") {
+      pqCodes(s, dir)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+          .as("sc"))
+        .select(col("vec_id"),
+          transform(col("sc"), x => x("cid")).as("cw"))
+    }
+
   /** Shared oracle CTE chain for the PQ tier (embeddings → long form →
     * seed codebook → one Lloyd step → codes) — mirrors the Spark
     * dataflow stage for stage with the same fixed-point quantum.
@@ -160,27 +177,59 @@ object Round12Queries {
       (s, dir) => {
         val e = PipelineQueries.normEmbeddings(s, dir)
           .select("vec_id", "v")
-        val cb = pqCodebook(s, dir)
-        val codes = pqCodes(s, dir)
-        // probe-side ADC table: 32 rows of fixed-point distances,
-        // recomputed per probe from the broadcast codebook (the
-        // serving path never re-encodes the corpus)
-        val pt = pqEv(s, dir).filter(col("vec_id") === 0)
-          .drop("vec_id")
-          .join(broadcast(cb), Seq("s", "d"))
-          .groupBy("s", "cid")
-          .agg(sum(fx((col("x") - col("cx")) * (col("x") - col("cx"))))
-            .as("pdist"))
-        val cand = codes.filter(col("vec_id") =!= 0)
-          .join(broadcast(pt), Seq("s", "cid"))
-          .groupBy("vec_id").agg(sum("pdist").as("adist"))
-          .orderBy(col("adist"), col("vec_id")).limit(64)
-        val pv = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-        cand.select("vec_id").join(e, Seq("vec_id"))
-          .crossJoin(broadcast(pv))
-          .select(col("vec_id"),
-            round(SF.cosine(col("v"), col("pv")), 4).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        val codes = pqCodesWide(s, dir)
+        // The ADC table is computed DRIVER-side: the codebook is
+        // O(model) (512 rows, a memoized cache read) and the probe is
+        // one vector — a serving node holds exactly this table in
+        // RAM. Same fixed-point ops as the oracle's d2 row for the
+        // probe (floor(diff² · 1e12) longs, order-free long sums), so
+        // the values are bit-identical to the broadcast-join
+        // formulation; what changes is the job count, not the math.
+        // (Driver-side loops over DATA stay banned — this is the
+        // "trained model → driver" shape of the IVF tier.)
+        val cbRows = pqCodebook(s, dir).collect()
+        val pvOpt = e.filter(col("vec_id") === 0).select("v")
+          .collect().headOption.map(_.getSeq[Double](0).toArray)
+        pvOpt match {
+          case None => // empty probe yields empty, not a crash
+            e.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
+          case Some(pv) =>
+            val pt: Map[Long, Long] = cbRows
+              .groupBy(r => (r.getLong(0), r.getLong(1)))
+              .map { case ((sub, cid), rows) =>
+                var acc = 0L
+                rows.foreach { r =>
+                  val diff = pv(r.getInt(2)) - r.getDouble(3)
+                  acc += math.floor(diff * diff * 1e12).toLong
+                }
+                (sub * 8 + cid) -> acc
+              }
+            // every code in cw exists in the table by construction
+            // (codes are argmins OVER the codebook), so the lookups
+            // can't miss. Scoring is a narrow projection over the
+            // wide code index + TakeOrdered — scan to shortlist with
+            // ZERO shuffles, the map-side pass a 1000-executor
+            // serving job wants.
+            val adist = (0 until 4)
+              .map(sb => element_at(typedlit(pt),
+                lit(sb * 8L) + element_at(col("cw"), sb + 1)))
+              .reduce(_ + _)
+            val cand = codes.filter(col("vec_id") =!= 0)
+              .select(col("vec_id"), adist.as("adist"))
+              .orderBy(col("adist"), col("vec_id")).limit(64)
+            // probe norm driver-side with the oracle's sequential
+            // float64 sum; the per-candidate dot stays the codegen
+            // DotProduct against the probe literal
+            var pn = 0.0
+            var i = 0
+            while (i < pv.length) { pn += pv(i) * pv(i); i += 1 }
+            cand.select("vec_id").join(e, Seq("vec_id"))
+              .select(col("vec_id"),
+                round(SF.dot(col("v"), typedlit(pv.toSeq)) /
+                  (SF.l2Norm(col("v")) * lit(math.sqrt(pn))), 4)
+                  .as("cos"))
+              .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        }
       }),
 
     // ── Reproducible shard shuffle: h = content hash of the id (both
