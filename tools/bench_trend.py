@@ -46,6 +46,10 @@ TREND_QUERIES = [
     # retirement evidence, as it was for q15) plus the bloom
     # decontamination tier (oracle 0.42 s, clearly data-dominated)
     "ns_score_lm", "ns_ann_batch_topk", "ns_decontaminate_bloom",
+    # round-12 second wave: the r12 capture's floor-admission lottery
+    # rows — Spark times unchanged vs r11, but this run's DuckDB
+    # medians crossed the 0.15 s floor and admitted them to gating
+    "q59_asof_join", "q70_asof_auto_default", "q16_lag_running",
 ]
 
 FACTOR = 10
