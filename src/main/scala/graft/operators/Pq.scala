@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization over arbitrary vector frames — the
+  * memory-bound ANN index family: [[trainCodebook]] and [[encode]] are
+  * the write-once index jobs, [[encodeWide]] the serving layout (the
+  * codes stored beside the corpus), and the ADC distance table is
+  * O(model) state a serving node computes in RAM (see
+  * queries/Round12Queries.scala for the full serving plan).
+  *
+  * Cross-engine determinism discipline (identical to the IVF k-means
+  * tier): every float SUM quantizes each term to fixed-point BIGINT
+  * (floor(x·1e12)) BEFORE summing — long addition is exact and
+  * order-independent, so Spark's partial aggregation and a sequential
+  * SQL engine derive the identical codebook; argmin ties break on the
+  * codeword id.
+  *
+  * Incremental contract: codes depend only on (vector, codebook) —
+  * never on other corpus rows — so encoding a new shard against the
+  * standing codebook equals a batch re-encode restricted to the shard
+  * (the same increment-equals-rebuild theorem as the MinHash sketch
+  * tier; reference analog: master/master.ino:158-168 skips work for
+  * already-read slaves rather than re-polling the fleet).
+  */
+object Pq {
+
+  /** Fixed-point quantum shared with the oracle CTEs. */
+  val Q: Double = 1e12
+
+  private def fx(c: Column): Column = floor(c * Q).cast("long")
+
+  /** Long-form (id, s, d, x) view of a vector column — narrow explode,
+    * the shared input of training and encoding. `s` = d div subDim.
+    */
+  def longForm(vecs: DataFrame, idCol: String, vecCol: String,
+      subDim: Int): DataFrame =
+    vecs.select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .withColumn("s", expr(s"d div $subDim"))
+
+  /** Fixed-point squared-L2 distance of every (id, subspace) to every
+    * codeword. The codebook is O(model): always a broadcast.
+    */
+  def distances(ev: DataFrame, codebook: DataFrame,
+      idCol: String): DataFrame =
+    ev.join(broadcast(codebook), Seq("s", "d"))
+      .groupBy(col(idCol), col("s"), col("cid"))
+      .agg(sum(fx((col("x") - col("cx")) * (col("x") - col("cx"))))
+        .as("dist"))
+
+  /** Nearest codeword per (id, subspace); ties break on cid so every
+    * engine picks identically.
+    */
+  def nearest(d: DataFrame, idCol: String): DataFrame =
+    d.withColumn("__pq_rn", row_number().over(
+        Window.partitionBy(col(idCol), col("s"))
+          .orderBy(col("dist"), col("cid"))))
+      .filter(col("__pq_rn") === 1)
+      .select(col(idCol), col("s"), col("cid"))
+
+  /** Train per-subspace codebooks (s, cid, d, cx): seed = the k
+    * lowest-id vectors' subvectors (cid = the seed's id), one Lloyd
+    * refinement. O(model) output — k codewords × dims rows.
+    */
+  def trainCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+      subDim: Int = 16, k: Int = 8): DataFrame = {
+    val ev = longForm(vecs, idCol, vecCol, subDim)
+    val seeds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
+    val c0 = ev.join(broadcast(seeds), Seq(idCol))
+      .select(col(idCol).as("cid"), col("s"), col("d"),
+        col("x").as("cx"))
+    val a1 = nearest(distances(ev, c0, idCol), idCol)
+    // centroid mean: fixed-point sum → double → / count, in exactly
+    // that op order (long division last would truncate)
+    ev.join(a1, Seq(idCol, "s"))
+      .groupBy("s", "cid", "d")
+      .agg((sum(fx(col("x"))).cast("double") / Q / count(lit(1)))
+        .as("cx"))
+  }
+
+  /** Encode vectors against a (standing) codebook → (id, s, cid).
+    * Corpus-independent given the codebook: the incremental path IS
+    * this call on the new shard alone.
+    */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, subDim: Int = 16): DataFrame =
+    nearest(distances(longForm(vecs, idCol, vecCol, subDim),
+      codebook, idCol), idCol)
+
+  /** Codes in serving layout — one row per vector, `cw[s]` = the
+    * subspace-s codeword id (array_sort over (s, cid) structs, so
+    * collect_list order can't matter).
+    */
+  def encodeWide(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, subDim: Int = 16): DataFrame =
+    encode(vecs, idCol, vecCol, codebook, subDim)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+        .as("__pq_sc"))
+      .select(col(idCol),
+        transform(col("__pq_sc"), x => x("cid")).as("cw"))
+}

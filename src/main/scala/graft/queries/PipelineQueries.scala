@@ -91,6 +91,7 @@ object PipelineQueries {
     incrementalIndex(s, dir)
     Round12Queries.pqCodebook(s, dir)
     Round12Queries.pqCodesWide(s, dir)
+    Round12Queries.pqCodebookEven(s, dir)
     ()
   }
 

@@ -34,40 +34,10 @@ object Round12Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  // ── PQ machinery ──────────────────────────────────────────────────
-  // 4 subspaces × 16 dims over the 64-dim embeddings; k=8 codewords
-  // per subspace. Fixed-point quantum 1e12, matching the IVF tier.
-  private val fxQ = 1e12
-
-  private def fx(c: Column): Column = floor(c * fxQ).cast("long")
-
-  /** Long-form (vec, subspace, dim, value) view of the embeddings —
-    * narrow explode, the shared input of codebook training and
-    * encoding.
-    */
-  private def pqEv(s: SparkSession, dir: String): DataFrame =
-    PipelineQueries.normEmbeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-      .withColumn("s", expr("d div 16"))
-
-  /** Fixed-point squared-L2 distance of every (vec, subspace) to every
-    * codeword of `cb` — exact BIGINT sums, order-independent across
-    * partial aggregation. The codebook is O(model) (≤ 512 rows):
-    * always a broadcast.
-    */
-  private def pqDists(ev: DataFrame, cb: DataFrame): DataFrame =
-    ev.join(broadcast(cb), Seq("s", "d"))
-      .groupBy("vec_id", "s", "cid")
-      .agg(sum(fx((col("x") - col("cx")) * (col("x") - col("cx"))))
-        .as("dist"))
-
-  /** Nearest codeword per (vec, subspace); ties break on cid so both
-    * engines pick identically.
-    */
-  private def pqArgmin(d: DataFrame): DataFrame =
-    d.withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("cid"))))
-      .filter(col("rn") === 1).select("vec_id", "s", "cid")
+  // ── PQ machinery: the generic operator lives in operators/Pq.scala
+  // (train/encode/encodeWide over arbitrary frames); these memoize the
+  // test corpus's write-once artifacts at the serving parameters
+  // (4×16-dim subspaces, k=8).
 
   /** Trained per-subspace codebooks (s, cid, d, cx) — seed = the 8
     * lowest vec_ids' subvectors, one Lloyd refinement. Write-once
@@ -76,17 +46,9 @@ object Round12Queries {
     */
   private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.memoArtifact(s, dir, "pqcb") {
-      val ev = pqEv(s, dir)
-      val c0 = ev.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("s"), col("d"),
-          col("x").as("cx"))
-      val a1 = pqArgmin(pqDists(ev, c0))
-      // centroid mean: fixed-point sum → double → / count, the exact
-      // op order the oracle uses (long division last would truncate)
-      ev.join(a1, Seq("vec_id", "s"))
-        .groupBy("s", "cid", "d")
-        .agg((sum(fx(col("x"))).cast("double") / fxQ / count(lit(1)))
-          .as("cx"))
+      graft.operators.Pq.trainCodebook(
+        PipelineQueries.normEmbeddings(s, dir).select("vec_id", "v"),
+        "vec_id", "v")
     }
 
   /** PQ codes (vec_id, s, cid) — every vector's 4 codeword ids. The
@@ -96,7 +58,9 @@ object Round12Queries {
     */
   private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.memoArtifact(s, dir, "pqc") {
-      pqArgmin(pqDists(pqEv(s, dir), pqCodebook(s, dir)))
+      graft.operators.Pq.encode(
+        PipelineQueries.normEmbeddings(s, dir).select("vec_id", "v"),
+        "vec_id", "v", pqCodebook(s, dir))
     }
 
   /** The codes in SERVING layout — one row per vector, `cw[s]` = the
@@ -114,6 +78,18 @@ object Round12Queries {
           .as("sc"))
         .select(col("vec_id"),
           transform(col("sc"), x => x("cid")).as("cw"))
+    }
+
+  /** The INCREMENTAL tier's standing codebook: trained on the even
+    * half only — the signed-once corpus; a new shard encodes against
+    * it without retraining (see ns_pq_encode_incremental).
+    */
+  private[queries] def pqCodebookEven(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memoArtifact(s, dir, "pqcbe") {
+      graft.operators.Pq.trainCodebook(
+        PipelineQueries.normEmbeddings(s, dir)
+          .filter(col("vec_id") % 2 === 0).select("vec_id", "v"),
+        "vec_id", "v")
     }
 
   /** Shared oracle CTE chain for the PQ tier (embeddings → long form →
@@ -252,5 +228,53 @@ object Round12Queries {
             t(s, dir, "documents").select("doc_id"), "doc_id", 8)
           .select("doc_id", "h", "pos", "shard")
           .orderBy("doc_id")),
+
+    // ── Incremental PQ encode: the PQ tier joins the incremental
+    // family (shingle/winnow/minhash r10-r11). The standing codebook
+    // is trained ONCE on the signed corpus (even half; seeds = its 8
+    // lowest ids, contiguous ids make that vec_id < 16); a new shard
+    // (odd half) encodes against it without retraining — and because
+    // codes depend only on (vector, codebook), increment-equals-
+    // rebuild holds exactly; the hash match pins the theorem. The
+    // timed path is the ENCODE probe: one narrow explode of the shard
+    // + a broadcast codebook join + the argmin window.
+    QueryDef(
+      "ns_pq_encode_incremental",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                FROM embeddings),
+       ev AS (SELECT vec_id, d // 16 s, d, v[d+1] x
+              FROM e, range(0, 64) r(d)),
+       evn AS (SELECT * FROM ev WHERE vec_id % 2 = 0),
+       c0 AS (SELECT vec_id cid, s, d, x cx FROM evn WHERE vec_id < 16),
+       d1 AS (SELECT evn.vec_id, evn.s, c0.cid,
+                SUM(CAST(FLOOR((evn.x - c0.cx) * (evn.x - c0.cx)
+                    * 1000000000000.0) AS BIGINT)) dist
+              FROM evn JOIN c0 ON evn.s = c0.s AND evn.d = c0.d
+              GROUP BY 1, 2, 3),
+       a1 AS (SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, cid) rn FROM d1)
+              WHERE rn = 1),
+       cb AS (SELECT a1.s, a1.cid, evn.d,
+                SUM(CAST(FLOOR(evn.x * 1000000000000.0) AS BIGINT))::DOUBLE
+                  / 1000000000000.0 / COUNT(*) cx
+              FROM evn JOIN a1 ON evn.vec_id = a1.vec_id AND evn.s = a1.s
+              GROUP BY 1, 2, 3),
+       d2 AS (SELECT ev.vec_id, ev.s, cb.cid,
+                SUM(CAST(FLOOR((ev.x - cb.cx) * (ev.x - cb.cx)
+                    * 1000000000000.0) AS BIGINT)) dist
+              FROM ev JOIN cb ON ev.s = cb.s AND ev.d = cb.d
+              WHERE ev.vec_id % 2 = 1 GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, cid) rn FROM d2)
+              WHERE rn = 1)
+       SELECT vec_id, s, cid FROM codes ORDER BY vec_id, s"""),
+      (s, dir) =>
+        graft.operators.Pq.encode(
+            PipelineQueries.normEmbeddings(s, dir)
+              .filter(col("vec_id") % 2 === 1).select("vec_id", "v"),
+            "vec_id", "v", pqCodebookEven(s, dir))
+          .orderBy("vec_id", "s")),
   )
 }

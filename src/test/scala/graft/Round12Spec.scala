@@ -51,6 +51,25 @@ class Round12Spec extends SparkSpec {
     assert(e0.map(_._2).toSeq != e1.map(_._2).toSeq)
   }
 
+  test("Pq: incremental encode equals the batch re-encode restricted " +
+      "to the shard (codes depend only on vector + codebook)") {
+    import graft.operators.Pq
+    val e = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = Pq.trainCodebook(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "v")
+    val incr = Pq.encode(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "v", cb)
+      .as[(Long, Long, Long)].collect().sorted
+    val batch = Pq.encode(e, "vec_id", "v", cb)
+      .filter(col("vec_id") % 2 === 1)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(incr.nonEmpty && incr.toSeq == batch.toSeq)
+    // every shard vector carries one code per subspace
+    assert(incr.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L)))
+  }
+
   test("ns_ann_pq_topk: 10 results, cosines in [-1,1] descending; " +
       "probe itself excluded") {
     val df = graft.queries.Registry.queries("ns_ann_pq_topk")(spark, sfDir)
