@@ -296,6 +296,37 @@ object Curate {
     ContamIndex(spark.read.parquet(s"$dir/eval_shingles"), bloom)
   }
 
+  /** Bucketed-table variant of [[writeContamIndex]]: the eval shingle
+    * set lands as a catalog table `bucketBy(nBuckets, "s")` (the bloom
+    * binary goes beside it in `bloomDir`). At 100 TB the eval n-gram
+    * set is tens of millions of rows — too big to broadcast — so the
+    * exact verify join shuffles BOTH sides on `s` when the index is
+    * plain parquet; bucketed, the standing side reads in place and
+    * only the (bloom-pruned, already-small) candidate stream
+    * exchanges. Same layout rationale as Dedup.writeIndexBucketed.
+    */
+  def writeContamIndexBucketed(index: ContamIndex, name: String,
+      bloomDir: String, nBuckets: Int = 32): Unit = {
+    Layout.replaceTable(index.evalShingles.sparkSession,
+      s"${name}_eval_shingles")
+    index.evalShingles.repartition(nBuckets, col("s"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "s").sortBy("s")
+      .saveAsTable(s"${name}_eval_shingles")
+    new java.io.File(bloomDir).mkdirs()
+    val os = new java.io.FileOutputStream(s"$bloomDir/bloom.bin")
+    try index.bloom.writeTo(os) finally os.close()
+  }
+
+  def loadContamIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String, bloomDir: String): ContamIndex = {
+    val is = new java.io.FileInputStream(s"$bloomDir/bloom.bin")
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+      finally is.close()
+    ContamIndex(spark.table(s"${name}_eval_shingles"), bloom)
+  }
+
   /** Bloom filter over the `s` column of a (typically cached) distinct
     * shingle frame. Exposed so a memoized artifact can be indexed
     * without rebuilding the frame. */

@@ -290,6 +290,46 @@ object Dedup {
     ShingleIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/df"))
 
+  /** Write the standing index as BUCKETED, sorted catalog tables
+    * (`<name>_postings`, `<name>_df`, both `bucketBy(nBuckets, "s")`).
+    *
+    * This layout is the 100 TB fix for the probe's shuffle profile:
+    * plain-parquet postings arrive with file-based partitioning, so
+    * EVERY daily probe re-shuffles the O(corpus) postings and df
+    * frames on `s` before joining the O(shard) side. Bucketed on `s`,
+    * the scans report HashPartitioning(s, nBuckets) and the probe
+    * plans co-located — only the shard side exchanges (the plan
+    * property DedupApiSpec pins). Reference analog:
+    * master/master.ino:158-168 — never re-poll what's already
+    * answered; never re-shuffle what's already placed.
+    *
+    * The pre-write `repartition(nBuckets, $"s")` uses the same
+    * murmur3 HashPartitioning as the bucket spec, so each task holds
+    * exactly one bucket's rows → nBuckets files total instead of
+    * (tasks × buckets) small files.
+    */
+  def writeIndexBucketed(index: ShingleIndex, name: String,
+      nBuckets: Int = 32): Unit = {
+    def save(df: DataFrame, table: String): Unit = {
+      Layout.replaceTable(df.sparkSession, table) // clear orphaned locations
+      df.repartition(nBuckets, col("s"))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "s").sortBy("s")
+        .saveAsTable(table)
+    }
+    save(index.postings, s"${name}_postings")
+    save(index.df, s"${name}_df")
+  }
+
+  /** Load a bucketed standing index written by [[writeIndexBucketed]]
+    * — catalog-table reads, so the bucket spec travels with the scan
+    * and probe joins on `s` need no exchange on the corpus side.
+    */
+  def loadIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String): ShingleIndex =
+    ShingleIndex(spark.table(s"${name}_postings"),
+      spark.table(s"${name}_df"))
+
   /** Cross pairs (ida from the index, idb from the new shard,
     * n_shared) sharing at least `minShared` surviving shingles, where
     * surviving means COMBINED document frequency (standing df + new
@@ -453,6 +493,31 @@ object Dedup {
       dir: String): MinHashIndex =
     MinHashIndex(spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/signatures"))
+
+  /** Bucketed-table twin of [[writeMinHashIndex]] (same rationale as
+    * [[writeIndexBucketed]]): `<name>_buckets` bucketed on the
+    * (band, bucket) join key so candidate discovery co-locates on the
+    * index side, `<name>_signatures` bucketed on `id` so the verify
+    * rerank's ida join reads the O(corpus) signature table in place.
+    */
+  def writeMinHashIndexBucketed(index: MinHashIndex, name: String,
+      nBuckets: Int = 32): Unit = {
+    Layout.replaceTable(index.buckets.sparkSession, s"${name}_buckets")
+    Layout.replaceTable(index.buckets.sparkSession, s"${name}_signatures")
+    index.buckets.repartition(nBuckets, col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${name}_buckets")
+    index.signatures.repartition(nBuckets, col("id"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_signatures")
+  }
+
+  def loadMinHashIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String): MinHashIndex =
+    MinHashIndex(spark.table(s"${name}_buckets"),
+      spark.table(s"${name}_signatures"))
 
   /** Probe a new shard against a standing [[MinHashIndex]]: verified
     * cross near-dup pairs (ida from the index, idb from the shard,

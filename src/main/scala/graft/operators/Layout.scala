@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Drop `table` if present and clear any ORPHANED managed-table
+    * directory a previous JVM left behind: the in-memory catalog
+    * forgets table entries at exit while the warehouse directory
+    * survives, and `saveAsTable` (even mode=overwrite) refuses to
+    * create a managed table over an existing location
+    * (LOCATION_ALREADY_EXISTS). Makes bucketed-table artifact writes
+    * idempotent across sessions whatever the catalog implementation.
+    */
+  def replaceTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val p = new Path(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** Write a fact table partitioned by the date of `tsCol` — the
     * layout that makes dynamic partition pruning and date-range scans
     * touch only the queried days (ScaleOpsSpec DPP proof reads this

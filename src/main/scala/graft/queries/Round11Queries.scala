@@ -67,13 +67,15 @@ object Round11Queries {
         SELECT ida, idb, ROUND(j, 3) AS j FROM jac
         WHERE j >= 0.8 ORDER BY ida, idb"""),
       (s, dir) => {
+        // probe against the STANDING bucketed MinHash index artifact
+        // (PipelineQueries.minhashIncIndex): band buckets + signature
+        // table read co-located from the warehouse; only the shard's
+        // O(shard) frames exchange
         val sh = PipelineQueries.hashedShingled(s, dir)
           .withColumnRenamed("doc_id", "id")
-        val standing = sh.filter(col("id") % 2 === 0)
-        val index = graft.operators.Dedup.MinHashIndex(
-          graft.operators.Dedup.bandedBuckets(standing), standing)
         graft.operators.Dedup.probeMinhashFromSignatures(
-            sh.filter(col("id") % 2 === 1), index)
+            sh.filter(col("id") % 2 === 1),
+            PipelineQueries.minhashIncIndex(s, dir))
           .select(col("ida"), col("idb"),
             round(col("jaccard"), 3).as("j"))
           .orderBy("ida", "idb")

@@ -161,6 +161,89 @@ class DedupApiSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
   }
 
+  test("BUCKETED standing index: probe equals the plain-index probe " +
+      "and no corpus-side scan feeds a shuffle Exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "unrelated filler content with nothing shared at all here"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (3L, "one two three four five six seven eight nine ten twelve"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota nu")
+    ).toDF("my_id", "body")
+    val standing = corpus.filter($"my_id" % 2 === 0)
+    val shard = corpus.filter($"my_id" % 2 === 1)
+
+    Dedup.writeIndexBucketed(Dedup.buildIndex(standing, "my_id", "body"),
+      "graft_test_bidx", nBuckets = 4)
+    val bucketed = Dedup.loadIndexBucketed(spark, "graft_test_bidx")
+
+    // same answer as the plain parquet-round-trip index
+    val dir = java.nio.file.Files.createTempDirectory("graft-bidx-").toString
+    Dedup.writeIndex(Dedup.buildIndex(standing, "my_id", "body"), dir)
+    val plain = Dedup.probeIncremental(shard, "my_id", "body",
+      Dedup.loadIndex(spark, dir)).as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.probeIncremental(shard, "my_id", "body", bucketed)
+      .as[(Long, Long, Long)].collect().toSet == plain)
+
+    // Plan property (VERDICT r12 what's-wrong #2): with broadcast off
+    // (AQE would broadcast these toy frames; a 100 TB corpus side is
+    // never broadcastable) every shuffle Exchange in the probe plan
+    // must have a JOIN below it — i.e. it moves join/agg OUTPUT, never
+    // the standing postings/df scans themselves, which read in place
+    // through their bucket layout.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.probeIncremental(shard, "my_id", "body", bucketed)
+      probe.collect() // resolve AQE stages
+      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => subtree(a.executedPlan)
+        case q: QueryStageExec => subtree(q.plan)
+        case r: ReusedExchangeExec => subtree(r.child)
+        case other => other.children.flatMap(subtree)
+      })
+      val all = subtree(probe.queryExecution.executedPlan)
+      val bucketedScans = all.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f }
+      assert(bucketedScans.size >= 2, // postings + df both read bucketed
+        s"expected bucketed scans, plan:\n${probe.queryExecution.executedPlan}")
+      val offending = all.collect {
+        case e: ShuffleExchangeLike if {
+          val below = subtree(e.asInstanceOf[SparkPlan]).drop(1)
+          below.exists {
+            case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+            case _ => false
+          } && !below.exists(_.isInstanceOf[BaseJoinExec])
+        } => e
+      }
+      assert(offending.isEmpty,
+        s"standing-index scan feeds a shuffle:\n${offending.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("bucketed MinHash standing index round-trips and matches the " +
+      "plain-index probe") {
+    val sh = Dedup.shingleSignatures(docs, "my_id", "body")
+    val standing = sh.filter($"id" % 2 === 0) // shingleSignatures aliases idCol to "id"
+    val shardSig = sh.filter($"id" % 2 === 1)
+    val idx = Dedup.MinHashIndex(Dedup.bandedBuckets(standing), standing)
+    Dedup.writeMinHashIndexBucketed(idx, "graft_test_mhidx", nBuckets = 4)
+    val loaded = Dedup.loadMinHashIndexBucketed(spark, "graft_test_mhidx")
+    val want = Dedup.probeMinhashFromSignatures(shardSig, idx,
+      minJaccard = 0.4).as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.probeMinhashFromSignatures(shardSig, loaded,
+      minJaccard = 0.4).as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+  }
+
   test("probeIncremental: stop-shingles stay capped across increments") {
     // a shingle over the cap in the STANDING corpus has no postings;
     // the complete df table must keep it suppressed even though the
