@@ -517,7 +517,11 @@ object Curate {
     * skewed the hash buckets land.
     *
     * Adds `h` (the shuffle key), `pos` (1-based global position under
-    * (h, id)) and `shard` ∈ [0, nShards); all input columns survive.
+    * (h, id)) and `shard` ∈ [0, nShards). `h`/`pos`/`shard` are
+    * RESERVED output column names: a pre-existing input column with
+    * one of those names is silently replaced (withColumn semantics) —
+    * rename such columns before calling (ADVICE r12). Every other
+    * input column survives untouched.
     */
   def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuf"): DataFrame = {

@@ -43,6 +43,13 @@ object Pq {
 
   /** Fixed-point squared-L2 distance of every (id, subspace) to every
     * codeword. The codebook is O(model): always a broadcast.
+    *
+    * Input-magnitude bound (ADVICE r12): each term quantizes as
+    * floor(diff² · 1e12) into a Long, which overflows past 2⁶³ when
+    * |diff| exceeds ~3.0e3; the sum over `subDim` terms tightens the
+    * per-term headroom by a further √subDim. Fine for normalized or
+    * feature-scaled embeddings (|x| ≲ 1); rescale inputs (or shrink
+    * [[Q]]) before quantizing vectors with coordinates beyond ~1e3.
     */
   def distances(ev: DataFrame, codebook: DataFrame,
       idCol: String): DataFrame =
@@ -96,8 +103,16 @@ object Pq {
     */
   def encodeWide(vecs: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, subDim: Int = 16): DataFrame =
-    encode(vecs, idCol, vecCol, codebook, subDim)
-      .groupBy(col(idCol))
+    codesToWide(encode(vecs, idCol, vecCol, codebook, subDim), idCol)
+
+  /** Long-form codes (id, s, cid) → the wide serving layout — the
+    * step [[encodeWide]] and a caller holding already-materialized
+    * codes (e.g. a memoized or loaded code index) share, so the
+    * layout logic exists once (ADVICE r12: the query layer previously
+    * duplicated this groupBy inline).
+    */
+  def codesToWide(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
         .as("__pq_sc"))
       .select(col(idCol),

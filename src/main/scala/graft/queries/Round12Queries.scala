@@ -72,12 +72,10 @@ object Round12Queries {
     */
   private[queries] def pqCodesWide(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.memoArtifact(s, dir, "pqcw") {
-      pqCodes(s, dir)
-        .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
-          .as("sc"))
-        .select(col("vec_id"),
-          transform(col("sc"), x => x("cid")).as("cw"))
+      // layout logic owned by the operator (Pq.codesToWide) so this
+      // composes with the memoized code artifact instead of
+      // duplicating the groupBy inline (ADVICE r12)
+      graft.operators.Pq.codesToWide(pqCodes(s, dir), "vec_id")
     }
 
   /** The INCREMENTAL tier's standing codebook: trained on the even
@@ -173,6 +171,16 @@ object Round12Queries {
             val pt: Map[Long, Long] = cbRows
               .groupBy(r => (r.getLong(0), r.getLong(1)))
               .map { case ((sub, cid), rows) =>
+                // the sub*8+cid packing (and the oracle's seed set)
+                // assumes 8 contiguous 0-based codeword ids — FAIL
+                // LOUD if a testdata regen breaks vec_id contiguity,
+                // because a colliding/missing key would yield null
+                // adist and nulls-first sort silently promotes
+                // arbitrary candidates (ADVICE r12, medium)
+                require(cid >= 0 && cid < 8,
+                  s"PQ ADC packing needs codeword ids in [0,8); got " +
+                    s"cid=$cid for subspace $sub — non-contiguous " +
+                    "vec_ids in the corpus seeds?")
                 var acc = 0L
                 rows.foreach { r =>
                   val diff = pv(r.getInt(2)) - r.getDouble(3)
