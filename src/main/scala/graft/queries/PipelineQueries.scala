@@ -1438,6 +1438,43 @@ object PipelineQueries {
             col("sq_sum"), col("peak"))
           .orderBy("media_id")
       }),
+
+    // ── Multimodal REAL video decode (pure-JVM AVI demux +
+    // per-frame decode: MJPEG via javax.imageio, uncompressed DIB via
+    // a raw BGR24 walk): same truth-from-formula discipline — the
+    // committed fixture carries binary AVI payloads plus truth
+    // columns computed ARITHMETICALLY at generation
+    // (tools/MakeMediaFixture). The oracle reads the truth; the Spark
+    // side must DEMUX the container and DECODE every frame to match.
+    // luma_fp is the exact Rec.601×1000 pixel sum for the LOSSLESS
+    // DIB rows and the -1 sentinel for MJPEG (lossy pixel values are
+    // decoder-defined; those rows still prove decode via
+    // n_frames_decoded + dims). Corrupt rows pin the
+    // never-kill-the-task contract as -1 sentinel rows.
+    QueryDef(
+      "ns_multimodal_video",
+      Some("""SELECT media_id, kind,
+              true_width AS width, true_height AS height,
+              true_us_per_frame AS us_per_frame,
+              true_n_frames AS n_frames_declared,
+              true_n_frames AS n_frames_found,
+              true_n_frames_decoded AS n_frames_decoded,
+              true_frame_bytes AS frame_bytes,
+              true_luma_fp AS luma_fp
+              FROM read_parquet('/root/repo/fixtures/video/*.parquet')
+              ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val recs = s.read.parquet(videoFixtureDir)
+          .select("media_id", "kind", "payload")
+          .as[graft.functions.Multimodal.MediaRecord]
+        graft.functions.Multimodal.decodeVideoFeatures(recs)
+          .select(col("media_id"), col("kind"), col("width"),
+            col("height"), col("us_per_frame"), col("n_frames_declared"),
+            col("n_frames_found"), col("n_frames_decoded"),
+            col("frame_bytes"), col("luma_fp"))
+          .orderBy("media_id")
+      }),
   )
 
   /** The media fixtures are repo-local (binary payloads can't live in
@@ -1446,4 +1483,6 @@ object PipelineQueries {
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/media"
   private def audioFixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/audio"
+  private def videoFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/video"
 }

@@ -106,6 +106,77 @@ object MakeMediaFixture {
 
   def audioRows: Seq[AudioFixtureRow] = (0 until 24).map(audioRow)
 
+  // ── Video fixture family (`fixtures/video/`), the input of the
+  // `ns_multimodal_video` oracle query (round-13 upgrade: real AVI
+  // demux + frame decode, same truth-from-formula discipline).
+  // 18 AVIs: ids with i % 3 == 1 are MJPEG (each frame a JPEG from
+  // Multimodal.encodeImage), the rest uncompressed DIB (raw BGR24);
+  // plus 2 corrupt rows (truncated container, garbage bytes). Truth
+  // columns are computed ARITHMETICALLY from the frame formula and
+  // the encoder inputs — pixel luma truth only for the LOSSLESS DIB
+  // family (lossy JPEG pixel values are decoder-defined; those rows
+  // pin true_luma_fp = -1, the feature contract's sentinel), while
+  // MJPEG rows still require every frame to DECODE with dims matching
+  // the header (true_n_frames_decoded).
+  //
+  // Frame pixel formula (shared with MultimodalSpec):
+  //   R=(3x+5f+i) G=(5y+7f+i) B=(x+y+11f+i), mod 256  (f = frame idx)
+
+  case class VideoFixtureRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      true_width: Int,
+      true_height: Int,
+      true_us_per_frame: Long,
+      true_n_frames: Long,
+      true_n_frames_decoded: Long,
+      true_frame_bytes: Long,
+      true_luma_fp: Long,
+      true_ok: Boolean)
+
+  def videoPx(i: Int, f: Int)(x: Int, y: Int): (Int, Int, Int) =
+    ((3 * x + 5 * f + i) % 256, (5 * y + 7 * f + i) % 256,
+      (x + y + 11 * f + i) % 256)
+
+  def videoRow(i: Int): VideoFixtureRow = {
+    val w = 8 + (i % 5) * 3 // not a multiple of 4: exercises DIB row padding
+    val h = 6 + (i % 4) * 2
+    val n = 2 + (i % 4)
+    val usPf = 40000L + 1000L * i
+    val mjpg = i % 3 == 1
+    val frames: Seq[Array[Byte]] =
+      if (mjpg) (0 until n).map(f =>
+        Multimodal.encodeImage(w, h, videoPx(i, f), "jpg"))
+      else (0 until n).map(f => Multimodal.dibFrame(w, h, videoPx(i, f)))
+    var luma = -1L
+    if (!mjpg) {
+      luma = 0L
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = videoPx(i, f)(x, y)
+        luma += 299L * r + 587L * g + 114L * b
+      }
+    }
+    VideoFixtureRow(i.toLong,
+      if (mjpg) "video/avi-mjpeg" else "video/avi-dib",
+      Multimodal.encodeAvi(w, h, usPf, frames, compressed = mjpg),
+      w, h, usPf, n.toLong, n.toLong,
+      frames.map(_.length.toLong).sum, luma, true_ok = true)
+  }
+
+  def videoRows: Seq[VideoFixtureRow] = {
+    val good = (0 until 18).map(videoRow)
+    // corrupt rows: a truncated container and plain garbage — truth is
+    // the decode_ok=false sentinel row (never a task kill)
+    val truncated = good.head.payload.take(40)
+    val garbage = Array.tabulate(512)(j => ((j * 37 + 11) % 256).toByte)
+    val bad = Seq((18L, truncated), (19L, garbage)).map { case (id, p) =>
+      VideoFixtureRow(id, "video/avi-corrupt", p,
+        -1, -1, -1L, -1L, -1L, -1L, -1L, true_ok = false)
+    }
+    good ++ bad
+  }
+
   private def stripBookkeeping(outDir: String): Unit = {
     // strip Spark's bookkeeping files so only the .parquet is committed
     val dir = new java.io.File(outDir)
@@ -118,6 +189,7 @@ object MakeMediaFixture {
     val base = if (args.nonEmpty) args(0) else "fixtures"
     val mediaDir = s"$base/media"
     val audioDir = s"$base/audio"
+    val videoDir = s"$base/video"
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -125,10 +197,13 @@ object MakeMediaFixture {
     import spark.implicits._
     rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mediaDir)
     audioRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(audioDir)
+    videoRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(videoDir)
     spark.stop()
     stripBookkeeping(mediaDir)
     stripBookkeeping(audioDir)
+    stripBookkeeping(videoDir)
     println(s"wrote ${rows.size} image rows to $mediaDir, " +
-      s"${audioRows.size} audio rows to $audioDir")
+      s"${audioRows.size} audio rows to $audioDir, " +
+      s"${videoRows.size} video rows to $videoDir")
   }
 }

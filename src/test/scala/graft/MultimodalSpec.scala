@@ -4,14 +4,16 @@ import graft.functions.Multimodal
 import graft.tools.MakeMediaFixture
 
 /** Goldens for the REAL javax.imageio image decode path (round-5
-  * upgrade) and the REAL javax.sound.sampled audio decode path
-  * (round-8 upgrade); only the video codec remains a disclosed stub
+  * upgrade), the REAL javax.sound.sampled audio decode path (round-8
+  * upgrade), and the REAL AVI demux + frame decode path (round-13
+  * upgrade: MJPEG frames via imageio, uncompressed DIB frames via the
+  * raw BGR24 walk); only NON-AVI video codecs remain a disclosed stub
   * tested in TextPipelineSpec.
   *
   * The decode-vs-truth goldens replay exactly what the
-  * ns_multimodal_decode / ns_multimodal_audio oracle rows check:
-  * truth columns computed arithmetically from the pixel / sample
-  * formulas, never from a decoder.
+  * ns_multimodal_decode / ns_multimodal_audio / ns_multimodal_video
+  * oracle rows check: truth columns computed arithmetically from the
+  * pixel / sample formulas, never from a decoder.
   */
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
@@ -141,5 +143,96 @@ class MultimodalSpec extends SparkSpec {
     val got = decodeImageFeatures(recs).collect().sortBy(_.media_id)
     assert(got.map(_.decode_ok).toSeq == Seq(true, false, false, false))
     assert(got.filter(!_.decode_ok).forall(f => f.width == -1 && f.luma_fp == 0L))
+  }
+
+  test("video decode recovers container fields + exact DIB luma for all " +
+      "20 fixture AVIs") {
+    import spark.implicits._
+    val rows = MakeMediaFixture.videoRows
+    val recs = rows.map(r => MediaRecord(r.media_id, r.kind, r.payload)).toDS()
+    val got = decodeVideoFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.length == 20)
+    got.zip(rows).foreach { case (f, truth) =>
+      assert(f.decode_ok == truth.true_ok, s"media ${truth.media_id}")
+      assert(f.width == truth.true_width && f.height == truth.true_height,
+        s"media ${truth.media_id}: dims ${f.width}x${f.height}")
+      assert(f.us_per_frame == truth.true_us_per_frame)
+      assert(f.n_frames_declared == truth.true_n_frames &&
+        f.n_frames_found == truth.true_n_frames &&
+        f.n_frames_decoded == truth.true_n_frames_decoded,
+        s"media ${truth.media_id}: frames ${f.n_frames_found}")
+      assert(f.frame_bytes == truth.true_frame_bytes)
+      // exact pixel truth for the lossless DIB family; MJPEG rows pin
+      // the -1 sentinel (lossy pixel values are decoder-defined)
+      assert(f.luma_fp == truth.true_luma_fp,
+        s"media ${truth.media_id}: luma ${f.luma_fp} != ${truth.true_luma_fp}")
+    }
+  }
+
+  test("committed video fixture parquet matches in-memory generation (no drift)") {
+    val fixDir = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/video"
+    val onDisk = spark.read.parquet(fixDir)
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("payload")),
+        r.getAs[Long]("true_luma_fp"))).sortBy(_._1)
+    val fresh = MakeMediaFixture.videoRows
+      .map(r => (r.media_id, java.util.Arrays.hashCode(r.payload),
+        r.true_luma_fp)).sortBy(_._1)
+    assert(onDisk.toSeq == fresh,
+      "committed fixtures/video diverges from MakeMediaFixture — rerun the generator")
+  }
+
+  test("sampleVideoFrames demuxes every Nth frame payload byte-exactly") {
+    import spark.implicits._
+    val w = 10; val h = 8
+    val frames = (0 until 6).map(f =>
+      dibFrame(w, h, (x, y) => (x + f, y, f)))
+    val avi = encodeAvi(w, h, 40000L, frames, compressed = false)
+    val got = sampleVideoFrames(
+        Seq(MediaRecord(7L, "video/avi-dib", avi),
+          MediaRecord(8L, "video/x", Array.tabulate[Byte](64)(_.toByte)))
+          .toDS(), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    // non-AVI rows emit nothing; the AVI yields frames 0, 2, 4
+    assert(got.map(_.media_id).distinct.toSeq == Seq(7L))
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    got.foreach(fr => assert(
+      java.util.Arrays.equals(fr.frame, frames(fr.frame_idx)),
+      s"frame ${fr.frame_idx} bytes differ"))
+  }
+
+  test("mjpeg avi: every frame decodes via imageio with header dims; " +
+      "luma reports the lossy sentinel") {
+    import spark.implicits._
+    val frames = (0 until 3).map(f =>
+      encodeImage(16, 12, (x, y) => (x * 3 + f, y * 5, x + y), "jpg"))
+    val avi = encodeAvi(16, 12, 33333L, frames, compressed = true)
+    val f = decodeVideoFeatures(
+      Seq(MediaRecord(1L, "video/avi-mjpeg", avi)).toDS()).head()
+    assert(f.decode_ok && f.width == 16 && f.height == 12)
+    assert(f.n_frames_found == 3 && f.n_frames_decoded == 3)
+    assert(f.luma_fp == -1L)
+  }
+
+  test("corrupt / non-AVI video payloads yield decode_ok=false, never a " +
+      "task failure") {
+    import spark.implicits._
+    val ok = encodeAvi(8, 6, 40000L,
+      Seq(dibFrame(8, 6, (x, y) => (x, y, 0))), compressed = false)
+    // a chunk whose declared size overruns the container must be
+    // rejected by the bounds check, not throw AIOOBE in a task
+    val overrun = ok.clone()
+    overrun(16) = -1; overrun(17) = -1; overrun(18) = -1; overrun(19) = -1
+    val recs = Seq(
+      MediaRecord(1L, "video/avi-dib", ok),
+      MediaRecord(2L, "video/avi-dib", ok.take(20)), // truncated
+      MediaRecord(3L, "video/avi-dib", Array[Byte]()),
+      MediaRecord(4L, "video/mp4", Array.tabulate[Byte](256)(_.toByte)),
+      MediaRecord(5L, "video/avi-dib", overrun)).toDS()
+    val got = decodeVideoFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.map(_.decode_ok).toSeq ==
+      Seq(true, false, false, false, false))
+    assert(got.filter(!_.decode_ok).forall(f =>
+      f.width == -1 && f.n_frames_found == -1L && f.luma_fp == -1L))
   }
 }
