@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * Cache-ownership contract (one pattern, stated once — VERDICT r9
   * what's-wrong #3): batch PAIR-SET operators (`winnowPairs`,
-  * `invertedIndexCandidates`, `componentLabels`, `dedupTransitive`)
+  * `invertedIndexCandidates`, `componentLabels`,
+  * `componentLabelsStar`, `dedupTransitive`)
   * are EAGER — they run at call time and return a persisted,
   * materialized frame the caller releases with `.unpersist()`. Eager
   * is the contract because each internally references a corpus-wide
@@ -630,9 +631,16 @@ object Dedup {
     val edges = pairs.select(col("ida"), col("idb")).union(
       pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .persist(lvl)
-    var persisted = ids.select(col("id"), col("id").as("lbl")).persist(lvl)
-    persisted.count()
-    var labels = persisted
+    // Each round references the previous labels frame TWICE (once
+    // through the neighbour-min aggregate, once in the outer join),
+    // so carrying the logical plan across rounds doubles it per round
+    // — a long chain would OOM the DRIVER on plan bookkeeping before
+    // any executor works. localCheckpoint(eager) truncates lineage to
+    // the round's materialized blocks (the iterative-graph pattern
+    // shared with componentLabelsStar); superseded rounds' blocks are
+    // released by the ContextCleaner once dereferenced.
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     val bound = iterations.getOrElse(maxIterations)
@@ -643,27 +651,115 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .persist(lvl)
+        .localCheckpoint(true)
       val changed = next.filter(col("lbl") < col("prev")).count()
-      // unpersist the PERSISTED handle (unpersisting a derived select
-      // would be a no-op on the actual cache)
-      persisted.unpersist()
-      persisted = next
       labels = next.select("id", "lbl")
       round += 1
       // fixpoint only ends the loop in the default mode; an explicit
       // iteration count runs all rounds for deterministic testing
       converged = iterations.isEmpty && changed == 0
     }
-    // persist + materialize the returned plan ITSELF before dropping
-    // the loop's cache: unpersist on a derived select would be a no-op
-    // on the actual cache entry, so handing back a derived plan would
-    // leak `persisted` for the session lifetime (ADVICE r2)
+    // persist + materialize the returned plan ITSELF (the cache
+    // contract callers release via `.unpersist()`); loop-round
+    // checkpoint blocks are dereferenced on return
     val out = labels.select(col("id"), col("lbl").as("component")).persist(lvl)
     out.count()
-    persisted.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi &
+    * Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    * SoCC '14 — public algorithm): returns (id, component) with
+    * component = the min id, identical to [[componentLabels]] at
+    * fixpoint, but converging in O(log² n) star rounds on ANY
+    * topology where min-label propagation needs O(diameter) rounds.
+    * The pathological case is real for dedup graphs: a crawl
+    * re-snapshotted daily forms a length-n near-dup CHAIN (each
+    * snapshot pairs only with its neighbours), and propagation walks
+    * the min label one hop per round — n shuffle rounds at corpus
+    * scale — while star contraction collapses the chain in ~log n.
+    *
+    * Round shape at scale: each round is two groupBy(min)+equi-join
+    * passes over the current edge set. Edges only point "downhill"
+    * (larger id → smaller id) after orientation, the edge count never
+    * exceeds the input pair count plus one parent pointer per node,
+    * and the set SHRINKS as stars contract — so shuffle volume decays
+    * across rounds instead of staying O(pairs) for O(diameter)
+    * rounds. EAGER with the same cache contract as
+    * [[componentLabels]]: the returned frame is persisted and
+    * materialized; callers release it with `.unpersist()`.
+    */
+  def componentLabelsStar(ids: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 40): DataFrame =
+    componentLabelsStarWithRounds(ids, pairs, maxIterations)._1
+
+  /** [[componentLabelsStar]] plus the number of (large-star +
+    * small-star) rounds run before the edge set reached fixpoint —
+    * exposed so the convergence claim is test-assertable (a chain
+    * that costs propagation O(n) rounds must finish in O(log n) star
+    * rounds) rather than a docstring promise.
+    */
+  def componentLabelsStarWithRounds(ids: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 40): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Lineage control: each round derives the next edge set from the
+    // previous one through a union + two aggregate-joins, so carrying
+    // the LOGICAL plan across rounds grows it geometrically (the
+    // propagation loop only grows linearly). localCheckpoint(eager)
+    // truncates lineage to the materialized blocks each round — the
+    // standard Spark iterative-graph pattern; superseded rounds'
+    // blocks are released by the ContextCleaner once dereferenced.
+    var edges = pairs
+      .select(greatest(col("ida"), col("idb")).as("u"),
+        least(col("ida"), col("idb")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxIterations && !converged) {
+      // LARGE-STAR: over the bidirectional adjacency, attach every
+      // strictly-larger neighbour v of u to m(u) = min(Γ(u) ∪ {u}).
+      // Output edges satisfy v > u ≥ m, i.e. stay downhill-oriented.
+      val bidir = edges.select("u", "v")
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = bidir.join(largeMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().persist(lvl)
+      large.count()
+      // SMALL-STAR: on the downhill orientation, re-attach u and all
+      // its (smaller) neighbours to min(Γ(u) ∪ {u}) = min(Γ(u)).
+      val smallMins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smallMins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(smallMins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the (distinct) edge set stopped changing — equal
+      // cardinality plus containment implies set equality
+      converged = small.count() == edges.count() &&
+        small.except(edges).count() == 0
+      large.unpersist()
+      edges = small
+      round += 1
+    }
+    // at fixpoint the graph is a disjoint union of stars centred on
+    // component minima (SoCC '14, Thm 1-2): each non-root node holds
+    // exactly its parent pointer, roots/singletons hold none
+    val parents = edges.groupBy(col("u").as("id")).agg(min("v").as("p"))
+    val out = ids.select(col("id"))
+      .join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("p"), col("id")).as("component"))
+      .persist(lvl)
+    out.count()
+    edges.unpersist()
+    (out, round)
   }
 
   /** Quality-aware representative selection: given component labels
@@ -705,7 +801,9 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sh = shingleSignatures(docs, idCol, textCol)
     val pairs = verifiedPairs(sh, minhashCandidates(sh), threshold)
-    val labels = componentLabels(docs.select(col(idCol).as("id")), pairs)
+    // star contraction, not propagation: identical labels at
+    // fixpoint, O(log n) rounds even on snapshot-chain dup graphs
+    val labels = componentLabelsStar(docs.select(col(idCol).as("id")), pairs)
     val out = labels.filter(col("id") === col("component")).select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
