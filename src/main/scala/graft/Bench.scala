@@ -43,6 +43,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // A/B knob for AQE's runtime SMJ→BHJ conversion (-1 = static
+      // threshold). Measured at sf1 (q47): the conversion's serial
+      // materialize→fetch→build→rebroadcast chain costs MORE than the
+      // shuffle it saves at this scale, so it stays at the default.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_BC", "-1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // WindowExec switches to a spill-capable external buffer after
@@ -62,6 +68,12 @@ object Bench {
       // file count)
       .config("spark.graft.local.scanParallelism", cpus)
       .getOrCreate()
+    // dev knob: arbitrary conf overrides for plan A/B runs, e.g.
+    // SPARK_GRAFT_CONFS="spark.sql.join.preferSortMergeJoin=false"
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
 
     // JIT/codegen warmup first (one throwaway job), THEN the cold-scan

@@ -215,7 +215,11 @@ object ExtendedQueries {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        c.join(o, c("c_custkey") === o("o_custkey"))
+        // same size-routed shape as q47: (customer⋈orders) is bounded
+        // by |orders|, so the orders statistic decides broadcast vs
+        // shuffle — lineitem stays un-shuffled when the stat is small
+        graft.operators.Joins.broadcastIfSmall(
+          c.join(o, c("c_custkey") === o("o_custkey")), o)
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(o("o_orderkey"))
           .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
@@ -245,9 +249,15 @@ object ExtendedQueries {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
-          .join(c, c("c_nationkey") === n("n_nationkey"))
-          .join(o, o("o_custkey") === c("c_custkey"))
+        // the filtered-orders side is bounded by |orders| (each order
+        // matches one customer), so route it by the ORDERS statistic:
+        // small → broadcast into lineitem (lineitem never shuffles),
+        // big → declarative shuffle join. AsOf.autoPlan's routing
+        // pattern applied to a star join.
+        graft.operators.Joins.broadcastIfSmall(
+          broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
+            .join(c, c("c_nationkey") === n("n_nationkey"))
+            .join(o, o("o_custkey") === c("c_custkey")), o)
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(n("n_name"))
           .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
