@@ -53,6 +53,21 @@ TREND_QUERIES = [
 ]
 
 FACTOR = 10
+
+# Third-point set (VERDICT r12 next-round #7): two points cannot
+# distinguish floor amortization from linear degradation, and the
+# round-13 bucketed-standing-index fix needs a CURVE to prove itself.
+# The sf3 (30x sf0.1) point covers the incremental/decontamination
+# dedup family plus the round-13 join-routing fix; DuckDB is timed at
+# sf3 under the same single-rep-if-huge policy (all-pairs tiers stay
+# excluded as before).
+TREND3_QUERIES = [
+    "ns_dedup_incremental", "ns_dedup_incremental_substring",
+    "ns_dedup_incremental_minhash",
+    "ns_decontaminate", "ns_decontaminate_bloom",
+    "ns_dedup_minhash_lsh", "ns_dedup_substring", "ns_dedup_containment",
+    "q47_tpch_local_volume",
+]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 # DuckDB rep policy: 3 reps unless the first rep shows the query is
@@ -69,7 +84,7 @@ def loadavg():
         return ""
 
 
-def build(src, dst):
+def build(src, dst, factor=FACTOR):
     import duckdb
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -91,14 +106,14 @@ def build(src, dst):
         copy(f"SELECT * FROM {rp(t)}", t)
     copy(f"""SELECT o_orderkey + i*mx AS o_orderkey, o_custkey,
              o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-             FROM {rp('orders')}, range({FACTOR}) r(i),
+             FROM {rp('orders')}, range({factor}) r(i),
                (SELECT MAX(o_orderkey)+1 mx FROM {rp('orders')})""",
          "orders")
     # l_orderkey offset matches orders' so the FK survives
     copy(f"""SELECT l_orderkey + i*mx AS l_orderkey, l_partkey, l_suppkey,
              l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
              l_returnflag, l_linestatus, l_shipdate
-             FROM {rp('lineitem')}, range({FACTOR}) r(i),
+             FROM {rp('lineitem')}, range({factor}) r(i),
                (SELECT MAX(o_orderkey)+1 mx FROM {rp('orders')})""",
          "lineitem")
     # same users, 10x events each; +i µs breaks exact-tie degeneracy.
@@ -109,7 +124,7 @@ def build(src, dst):
     copy(f"""SELECT event_id + i*mx AS event_id,
              (ts + i * INTERVAL 1 MICROSECOND)::TIMESTAMPTZ AS ts,
              user_id, event_type, value, props
-             FROM {rp('events')}, range({FACTOR}) r(i),
+             FROM {rp('events')}, range({factor}) r(i),
                (SELECT MAX(event_id)+1 mx FROM {rp('events')})""",
          "events")
     # replica 0 verbatim; others get a 1-token suffix so the corpus is
@@ -121,7 +136,7 @@ def build(src, dst):
              CASE WHEN i = 0 THEN n_chars
                   ELSE length(text || ' r' || i::VARCHAR)::BIGINT
              END AS n_chars
-             FROM {rp('documents')}, range({FACTOR}) r(i),
+             FROM {rp('documents')}, range({factor}) r(i),
                (SELECT MAX(doc_id)+1 mx FROM {rp('documents')})""",
          "documents")
     copy(f"""SELECT vec_id + i*mx AS vec_id,
@@ -129,12 +144,12 @@ def build(src, dst):
                   ELSE list_transform(embedding,
                     x -> CAST(x + i * 0.000001 AS FLOAT)) END AS embedding,
              label
-             FROM {rp('embeddings')}, range({FACTOR}) r(i),
+             FROM {rp('embeddings')}, range({factor}) r(i),
                (SELECT MAX(vec_id)+1 mx FROM {rp('embeddings')})""",
          "embeddings")
 
 
-def time_duckdb(sf_dir, oracles):
+def time_duckdb(sf_dir, oracles, names=None):
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
@@ -143,7 +158,7 @@ def time_duckdb(sf_dir, oracles):
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
-    for name in TREND_QUERIES:
+    for name in (names if names is not None else TREND_QUERIES):
         sql = oracles.get(name)
         if sql is None:
             out[name] = -1.0
@@ -244,12 +259,64 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
           f"{record['n_improved_of_trended'][1]} trended queries improved")
 
 
+def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
+    """Third scale point: extend an existing 2-point BENCH_TREND record
+    (from `merge`) with sf3 rows for TREND3_QUERIES — Spark seconds
+    from a graft.Bench capture at the sf3 dir, DuckDB timed here under
+    the same rep policy. Adds per-query spark_sf3_sec / oracle_sf3_sec
+    / ratio_sf3 / ratio_trend_3pt (= ratio_sf3 / ratio_sf1) and the
+    Spark-only scaling column spark_scaling_1to3 (= spark_sf3 /
+    spark_sf1; 3.0 is perfectly linear in data volume) so amortization
+    vs degradation is readable even where DuckDB is absent."""
+    with open(oracle_json) as f:
+        oracles = json.load(f)
+    with open(trend_json) as f:
+        record = json.load(f)
+    with open(spark3_path, "rb") as f:
+        raw3 = f.read()
+    cap3 = json.loads(raw3)
+    print("timing DuckDB at sf3 ...")
+    d3 = time_duckdb(sf3, oracles, TREND3_QUERIES)
+    queries = record["queries"]
+    for name in TREND3_QUERIES:
+        row = queries.setdefault(name, {})
+        s3 = cap3.get("queries_isolated", {}).get(name)
+        s3min = (cap3.get("isolated_reps_detail", {})
+                 .get(name) or [None])[0]
+        row["spark_sf3_sec"] = s3
+        row["spark_sf3_min_sec"] = s3min
+        row["oracle_sf3_sec"] = d3.get(name)
+        if s3 and d3.get(name, 0) > 0 and s3 > 0:
+            row["ratio_sf3"] = round(s3 / d3[name], 3)
+        if row.get("ratio_sf3") and row.get("ratio_sf1"):
+            row["ratio_trend_3pt"] = round(
+                row["ratio_sf3"] / row["ratio_sf1"], 3)
+        s1 = row.get("spark_sf1_sec")
+        if s3 and s1 and s1 > 0 and s3 > 0:
+            row["spark_scaling_1to3"] = round(s3 / s1, 3)
+    record["sf3_construction"] = (
+        "sf0.1 replicated 30x by the same build recipe (bench-only; "
+        "3x the sf1 data volume); third point for TREND3_QUERIES only")
+    record["spark_capture_sf3"] = {
+        "path": spark3_path, "sha256": hashlib.sha256(raw3).hexdigest(),
+        "contended": cap3.get("contended"),
+        "loadavg_start": cap3.get("loadavg_start"), "sf": cap3.get("sf")}
+    with open(dest, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    n3 = len([r for r in queries.values() if r.get("spark_sf3_sec")])
+    print(f"wrote {dest}: {n3} queries carry an sf3 point")
+
+
 def main():
     mode = sys.argv[1]
     if mode == "build":
-        build(sys.argv[2], sys.argv[3])
+        build(sys.argv[2], sys.argv[3],
+              int(sys.argv[4]) if len(sys.argv) > 4 else FACTOR)
     elif mode == "merge":
         merge(*sys.argv[2:8])
+    elif mode == "merge3":
+        merge3(*sys.argv[2:7])
     else:
         sys.exit(f"unknown mode {mode}")
 
