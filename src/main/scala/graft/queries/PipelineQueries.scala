@@ -482,6 +482,25 @@ object PipelineQueries {
       out
     }
 
+  /** Fixpoint star-contraction labels, memoized like the 3-round
+    * propagation twin above: (doc_id, component). The oracle side is
+    * recursive-CTE reachability, exact at any diameter, so unlike
+    * `componentLabels` this one pins the CONVERGED answer.
+    */
+  private[queries] def componentLabelsStarFix(s: SparkSession,
+      dir: String): DataFrame =
+    memoArtifact(s, dir, "labels_star") {
+      val labels = graft.operators.Dedup.componentLabelsStar(
+        t(s, dir, "documents").select(col("doc_id").as("id")),
+        minhashVerified(s, dir))
+      val out = labels
+        .select(col("id").as("doc_id"), col("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      labels.unpersist()
+      out
+    }
+
   /** DuckDB CTE for the trained IVF k-means lists (`e` … `a2`) —
     * mirrors `ivfKmeansAssignments` exactly (2 Lloyd iterations,
     * fixed-point BIGINT sums, ties on cid). Shared by the ANN-serving
@@ -613,6 +632,36 @@ object PipelineQueries {
         componentLabels(s, dir)
           .filter(col("doc_id") === col("lbl"))
           .select("doc_id")
+          .orderBy("doc_id")),
+
+    // ── Components at FIXPOINT via star contraction (the production
+    // algorithm behind dedupTransitive): the O(log n)-round
+    // large/small-star loop vs DuckDB's recursive-CTE reachability
+    // ground truth (component = MIN reachable id over symmetric
+    // edges — exact regardless of diameter, unlike the unrolled
+    // 3-round propagation above). Proves the star algorithm
+    // end-to-end on real pair graphs, not just the PropertySpec
+    // chain fixtures.
+    QueryDef(
+      "ns_dedup_components_star",
+      Some(shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+        minhashCandCte + """,
+        pairs AS (SELECT c.da, c.db
+                  FROM cand c JOIN sh x ON x.doc_id = c.da
+                              JOIN sh y ON y.doc_id = c.db
+                  WHERE len(list_intersect(x.hh, y.hh))::DOUBLE /
+                        len(list_distinct(list_concat(x.hh, y.hh))) >= 0.8),
+        edges AS (SELECT da, db FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+                  UNION
+                  SELECT e.da AS id, r.lbl FROM edges e
+                  JOIN reach r ON r.id = e.db)
+        SELECT id AS doc_id, MIN(lbl) AS component
+        FROM reach GROUP BY id ORDER BY doc_id"""),
+      (s, dir) =>
+        componentLabelsStarFix(s, dir)
+          .select(col("doc_id"), col("component"))
           .orderBy("doc_id")),
 
     // ── Corpus analysis: per-language stats over the text-quality
