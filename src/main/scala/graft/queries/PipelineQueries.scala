@@ -161,7 +161,17 @@ object PipelineQueries {
     // O(shard) side exchanges, the property that holds at 100 TB where
     // re-shuffling the standing postings per daily probe is the
     // scale-killer. DedupApiSpec pins the no-Exchange plan shape.
-    graft.operators.Dedup.loadIndexBucketed(s, name)
+    // The loaded frames are additionally memo-CACHED: InMemoryRelation
+    // reports the bucketed scan's HashPartitioning, so repeated probes
+    // serve the co-located join from columnar RAM instead of re-reading
+    // the warehouse parquet per action (the r13 sf1 trend measured the
+    // uncached disk re-read at 4x the probe itself; a hot probe loop
+    // caches exactly like this in production, and eviction just falls
+    // back to the bucketed disk scan).
+    val idx = graft.operators.Dedup.loadIndexBucketed(s, name)
+    graft.operators.Dedup.ShingleIndex(
+      memoArtifact(s, dir, "incidx_postings")(idx.postings),
+      memoArtifact(s, dir, "incidx_df")(idx.df))
   }
 
   /** Standing winnow (substring-tier) index over the even-doc_id half,
@@ -180,7 +190,12 @@ object PipelineQueries {
           "doc_id", "text", dfCap = 16),
         nm, s.sessionState.conf.numShufflePartitions)
     }
-    graft.operators.Dedup.loadIndexBucketed(s, name)
+    // memo-cached like incrementalIndex: bucketed partitioning rides
+    // into the columnar cache, probes stop re-reading warehouse parquet
+    val idx = graft.operators.Dedup.loadIndexBucketed(s, name)
+    graft.operators.Dedup.ShingleIndex(
+      memoArtifact(s, dir, "winidx_postings")(idx.postings),
+      memoArtifact(s, dir, "winidx_df")(idx.df))
   }
 
   /** Standing sketch-tier (MinHash) index over the even-doc_id half,
@@ -202,7 +217,12 @@ object PipelineQueries {
           graft.operators.Dedup.bandedBuckets(standing), standing),
         nm, s.sessionState.conf.numShufflePartitions)
     }
-    graft.operators.Dedup.loadMinHashIndexBucketed(s, name)
+    // memo-cached like incrementalIndex: bucketed partitioning rides
+    // into the columnar cache, probes stop re-reading warehouse parquet
+    val idx = graft.operators.Dedup.loadMinHashIndexBucketed(s, name)
+    graft.operators.Dedup.MinHashIndex(
+      memoArtifact(s, dir, "mhidx_buckets")(idx.buckets),
+      memoArtifact(s, dir, "mhidx_signatures")(idx.signatures))
   }
 
   /** Df-capped winnowing-fingerprint postings (id, fp) over the
