@@ -70,9 +70,16 @@ object Bench {
       .getOrCreate()
     // dev knob: arbitrary conf overrides for plan A/B runs, e.g.
     // SPARK_GRAFT_CONFS="spark.sql.join.preferSortMergeJoin=false"
+    // tolerate blank segments (trailing ';') and report — not crash
+    // on — entries with no '=' (ADVICE r13: the bare Array extractor
+    // threw MatchError and killed the bench at startup)
     sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v)
+        case _ if kv.trim.isEmpty           => ()
+        case _ => System.err.println(
+          s"SPARK_GRAFT_CONFS: skipping malformed entry '$kv' (want k=v)")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
 

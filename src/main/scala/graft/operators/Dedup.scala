@@ -118,9 +118,11 @@ object Dedup {
     *
     * Shape at scale: the fingerprint set is a narrow O(doc) native
     * pass per row (plans.CharGramWinnow, ~1 fingerprint per w chars),
-    * then the SAME df-capped inverted-index dataflow as the shingle
-    * tiers — shuffles on the fingerprint key only, pair fanout
-    * bounded by cap² per fingerprint, never O(n²). The cap scales
+    * then the rank-capped discover-verify dataflow of
+    * [[winnowPairsFromPostings]] — shuffles on the fingerprint key
+    * only, per-group pair fanout bounded by rankCap·g (never g², the
+    * superlinear cliff VERDICT r13 measured on dup-dense corpora),
+    * never O(n²). The df cap scales
     * with the corpus — `greatest(minDfCap, floor(N / capDenominator))`
     * as a broadcast 1-row aggregate — so the candidate space stays
     * proportional at every corpus size instead of silently emptying
@@ -134,7 +136,8 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 16, minDfCap: Int = 16,
-      capDenominator: Int = 31, minShared: Int = 4): DataFrame = {
+      capDenominator: Int = 31, minShared: Int = 4,
+      rankCap: Int = 8): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the RAW explode too: the df-cap branch and the postings
     // join both reference it, so capping alone would re-pay the
@@ -142,7 +145,7 @@ object Dedup {
     val raw = rawWinnowPostings(docs, idCol, textCol, k, w).persist(lvl)
     val pp = capWinnowPostings(raw, docs, minDfCap, capDenominator)
       .persist(lvl)
-    val pairs = winnowPairsFromPostings(pp, minShared).persist(lvl)
+    val pairs = winnowPairsFromPostings(pp, minShared, rankCap).persist(lvl)
     pairs.count()
     pp.unpersist()
     raw.unpersist()
@@ -194,20 +197,94 @@ object Dedup {
   }
 
   /** Substring-level near-dup pairs (a, b, n_shared), a < b, from a
-    * winnowing-postings frame (id, fp): the postings self-join +
-    * shared-fingerprint count. LAZY — the serving-side compute over a
-    * (possibly memoized) postings artifact; shuffles on the
-    * fingerprint key only, pair fanout bounded by the df cap applied
-    * at postings-build time.
+    * winnowing-postings frame (id, fp), in two phases:
+    *
+    *  1. DISCOVERY (rank-capped, the scale bound): within each
+    *     fingerprint group, only members whose rank by ascending id
+    *     is at most `rankCap` enumerate pairs (against every larger
+    *     group member). A naive per-group self-join emits C(g, 2)
+    *     pairs per shared fingerprint — O(Σ c²) over dup-cluster
+    *     sizes c, and real crawl corpora have dup clusters in the
+    *     thousands (VERDICT r13: 0.70 s at sf0.1 → 251 s at sf3 on
+    *     30-way replica clusters). The cap bounds the per-cluster
+    *     pair fanout at ~rankCap·c instead of c²/2.
+    *  2. VERIFY (exact): each discovered pair's `n_shared` is the
+    *     EXACT |fps(a) ∩ fps(b)| — computed by joining the candidate
+    *     set against per-doc sorted fingerprint arrays and
+    *     intersecting in-row, so no per-(pair, fingerprint) row is
+    *     ever materialized — then filtered to `minShared`.
+    *
+    * Disclosed recall bound: the result contains every pair whose
+    * smaller-ranked member is among the `rankCap` smallest ids in
+    * SOME shared fingerprint group. In particular rank 1 — each
+    * group's minimum — always pairs, so every dup cluster keeps a
+    * star around its minima and stays fully discoverable for
+    * component building ([[winnowStarEdges]] is the cheaper operator
+    * when components are ALL the caller wants); what the cap drops is
+    * only pairs BETWEEN two high-ranked members of large clusters,
+    * whose shared runs are already witnessed through the cluster
+    * minima. `rankCap = Int.MaxValue` restores the exhaustive
+    * enumeration (and its quadratic cost) for small corpora.
+    *
+    * LAZY — the serving-side compute over a (possibly memoized)
+    * postings artifact, which this plan references three times
+    * (ranked discovery + both verify arrays): callers should persist
+    * `postings` (the query layer serves it memoized). Shuffles on the
+    * fingerprint key (discovery) and the pair ids (verify) only.
     */
   def winnowPairsFromPostings(postings: DataFrame,
-      minShared: Int = 4): DataFrame =
-    postings
+      minShared: Int = 4, rankCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = postings
+      .withColumn("__graft_rk",
+        row_number().over(Window.partitionBy("fp").orderBy("id")))
+      .filter(col("__graft_rk") <= rankCap)
+      .select(col("id").as("a"), col("fp"))
+    val cand = ranked
       .join(postings.select(col("id").as("b"), col("fp")), Seq("fp"))
-      .filter(col("id") < col("b"))
-      .groupBy(col("id").as("a"), col("b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val fps = docFingerprintSets(postings)
+    cand
+      .join(fps.select(col("id").as("a"), col("fps").as("__graft_fa")), "a")
+      .join(fps.select(col("id").as("b"), col("fps").as("__graft_fb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__graft_fa"), col("__graft_fb")))
+          .cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Per-doc sorted fingerprint-set arrays (id, fps) from a postings
+    * frame (id, fp) — the verify-side artifact of
+    * [[winnowPairsFromPostings]]: postings are distinct per (id, fp),
+    * so the arrays are sets and an in-row `array_intersect` size IS
+    * the exact shared-fingerprint count a per-row join would have
+    * aggregated, without ever materializing a (pair, fingerprint)
+    * row.
+    */
+  def docFingerprintSets(postings: DataFrame): DataFrame =
+    postings.groupBy("id")
+      .agg(sort_array(collect_list(col("fp"))).as("fps"))
+
+  /** Star edges (a, b), a < b, over a winnowing-postings frame: each
+    * fingerprint group contributes (group-min ↔ member) edges only —
+    * O(g) per group instead of the pair enumeration's O(g²), with
+    * IDENTICAL connected components (a group's clique and its star
+    * connect exactly the same nodes; DedupApiSpec proves the label
+    * equality differentially). This is the substring tier's
+    * component/apply path at 100 TB: a dedup pipeline that only needs
+    * cluster labels + keepers never pays for the pair list.
+    * Reference analog: the firmware never re-polls an answered slave
+    * (master/master.ino:218-220) — don't re-enumerate a pair the
+    * component already implies.
+    */
+  def winnowStarEdges(postings: DataFrame): DataFrame = {
+    val mins = postings.groupBy("fp").agg(min("id").as("a"))
+    postings.join(mins, Seq("fp"))
+      .filter(col("id") > col("a"))
+      .select(col("a"), col("id").as("b"))
+      .distinct()
+  }
 
   /** The df-capped inverted index itself, (id, s) one row per (doc,
     * surviving shingle) — the build both `invertedIndexCandidates`
@@ -520,6 +597,28 @@ object Dedup {
     MinHashIndex(spark.table(s"${name}_buckets"),
       spark.table(s"${name}_signatures"))
 
+  /** Append a delta (a new shard's buckets + signatures) to a
+    * standing bucketed index written by [[writeMinHashIndexBucketed]]
+    * — new bucket-aligned part-files beside the old, no rewrite, so
+    * the per-append cost is O(shard) while every later probe still
+    * reads the whole index co-located through the bucket spec. The
+    * bucket counts must match the original write (Spark validates the
+    * spec against the catalog on append). This is the streaming
+    * ingestion's index-extension primitive
+    * (streaming/StreamingDedup.processBatchBucketed).
+    */
+  def appendMinHashIndexBucketed(delta: MinHashIndex, name: String,
+      nBuckets: Int = 32): Unit = {
+    delta.buckets.repartition(nBuckets, col("band"), col("bucket"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${name}_buckets")
+    delta.signatures.repartition(nBuckets, col("id"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_signatures")
+  }
+
   /** Probe a new shard against a standing [[MinHashIndex]]: verified
     * cross near-dup pairs (ida from the index, idb from the shard,
     * jaccard), signing ONLY the shard. Candidate discovery joins the
@@ -749,6 +848,20 @@ object Dedup {
       edges = small
       round += 1
     }
+    // The fixpoint is what LICENSES the extraction below: only at
+    // fixpoint is the graph a disjoint union of stars, where a node's
+    // min downhill neighbour IS its component root. Extracting from
+    // an unconverged edge set would silently return wrong labels
+    // (ADVICE r13) — so an exhausted iteration budget is an error,
+    // never a degraded answer. 40 alternating rounds cover any graph
+    // a 2^40-node corpus could need (SoCC '14 bounds rounds by
+    // O(log² n), ~3 in practice); hitting the bound means the input
+    // or the algorithm is broken, and correctness operators fail
+    // loudly on broken.
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabelsStar did not converge within $maxIterations " +
+          "rounds; labels from an unconverged edge set would be wrong")
     // at fixpoint the graph is a disjoint union of stars centred on
     // component minima (SoCC '14, Thm 1-2): each non-root node holds
     // exactly its parent pointer, roots/singletons hold none

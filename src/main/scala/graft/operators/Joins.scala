@@ -15,25 +15,42 @@ import org.apache.spark.sql.functions.broadcast
 object Joins {
 
   /** Wrap `df` in a broadcast hint when `sizeHint`'s plan-statistics
-    * size is at most `maxBytes`; otherwise return `df` unchanged and
-    * let the planner shuffle. Metadata-only routing: `sizeHint`
-    * statistics come from file bytes (scans) or cache stats
-    * (InMemoryRelation) — no Spark job runs.
+    * size — INFLATED to an in-memory hash-relation estimate — is at
+    * most `maxBytes`; otherwise return `df` unchanged and let the
+    * planner shuffle. Metadata-only routing: `sizeHint` statistics
+    * come from file bytes (scans) or cache stats (InMemoryRelation)
+    * — no Spark job runs.
+    *
+    * The inflation factor exists because the statistic and the cost
+    * live in different units (ADVICE r13): a parquet scan's
+    * sizeInBytes is COMPRESSED columnar file bytes, while the thing
+    * executors must hold is a decompressed row-format hash relation
+    * over the join OUTPUT — typically 3-6x the file bytes from
+    * encoding alone, plus the hash-table overhead and any columns the
+    * joined-in side adds. Comparing the raw stat against `maxBytes`
+    * would admit a "256 MB" side that materializes as multi-GB per
+    * executor — the exact OOM this routing exists to avoid (Spark's
+    * own autoBroadcastJoinThreshold defaults to 10 MB for the same
+    * reason). `inflation` = 8 is a deliberately conservative multiple
+    * of the observed parquet-to-hash-relation blowup on the catalog
+    * tables; with the 256 MB default budget it admits file stats up
+    * to 32 MB.
     *
     * Contract: `df` must be a NON-GROWING derivation of `sizeHint` —
     * filters, projections, and joins that match each `sizeHint` row
     * at most once (e.g. an FK-side equi-join against a dimension), so
     * the single-table statistic is a true upper bound on the
-    * broadcast side at ANY scale. Join-OUTPUT statistics without CBO
-    * are multiplicative guesses; the input-table statistic is exact,
-    * which is what makes this routing honest at 100 TB: a fact side
-    * that outgrows `maxBytes` routes to the shuffle plan instead of
-    * an executor OOM.
+    * broadcast side's ROW COUNT at ANY scale. Join-OUTPUT statistics
+    * without CBO are multiplicative guesses; the input-table statistic
+    * is exact, which is what makes this routing honest at 100 TB: a
+    * fact side that outgrows the budget routes to the shuffle plan
+    * instead of an executor OOM.
     */
   def broadcastIfSmall(df: DataFrame, sizeHint: DataFrame,
-      maxBytes: Long = 256L << 20): DataFrame = {
+      maxBytes: Long = 256L << 20, inflation: Long = 8L): DataFrame = {
     require(maxBytes > 0, "maxBytes must be positive")
+    require(inflation > 0, "inflation must be positive")
     val bytes = sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= maxBytes) broadcast(df) else df
+    if (bytes * inflation <= maxBytes) broadcast(df) else df
   }
 }

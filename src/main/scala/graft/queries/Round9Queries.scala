@@ -231,8 +231,16 @@ object Round9Queries {
     // >= w+k-1 = 20-char run shares a fingerprint; pairs sharing >= 4
     // capped fingerprints are emitted. Shape at scale: narrow O(doc)
     // fingerprint pass (plans/CharGramWinnow, monotone-deque window
-    // minima), then the SAME df-capped inverted-index dataflow as the
-    // n-gram Jaccard tier — postings join only, no all-pairs.
+    // minima), then Dedup.winnowPairsFromPostings' rank-capped
+    // discover-verify dataflow: per fingerprint group only the 8
+    // lowest-id members enumerate pairs (fanout 8·g, not the g²/2
+    // that went superlinear on dup-dense sf3 — VERDICT r13 #1), and
+    // each discovered pair's n_shared is the EXACT fingerprint-set
+    // intersection size. DISCLOSED recall bound (mirrored in the
+    // oracle): pairs between two members BOTH ranked > 8 in every
+    // shared group are dropped; every cluster keeps its star around
+    // the group minima, so components are unaffected (the _star row
+    // below serves component consumers O(g)-cheap).
     QueryDef(
       "ns_dedup_substring",
       // oracle formulation note: the window-function MIN OVER (ROWS 15
@@ -240,7 +248,8 @@ object Round9Queries {
       // per-list [list_min(hs[i:i+15]) ...] comprehension — the oracle
       // gets the fair (fast) formulation, differentially verified
       // equal. The df-cap scales with the corpus (greatest(16, N/31))
-      // so the candidate space stays proportional at every sf.
+      // so the candidate space stays proportional at every sf; the
+      // rank-8 discovery cap mirrors Dedup.winnowPairsFromPostings.
       Some("""WITH n AS (SELECT GREATEST(16, COUNT(*) // 31) cap
                 FROM documents),
               h AS (SELECT doc_id, [(
@@ -264,10 +273,17 @@ object Round9Queries {
               keep AS (SELECT fp FROM p CROSS JOIN n GROUP BY fp, n.cap
                        HAVING COUNT(*) <= n.cap),
               pp AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
-              pairs AS (SELECT a.doc_id a, b.doc_id b,
+              ranked AS (SELECT doc_id, fp, ROW_NUMBER() OVER
+                           (PARTITION BY fp ORDER BY doc_id) rk FROM pp),
+              cand AS (SELECT DISTINCT r.doc_id a, p2.doc_id b
+                       FROM ranked r JOIN pp p2
+                         ON r.fp = p2.fp AND r.doc_id < p2.doc_id
+                       WHERE r.rk <= 8),
+              pairs AS (SELECT c.a, c.b,
                         CAST(COUNT(*) AS BIGINT) n_shared
-                        FROM pp a JOIN pp b
-                          ON a.fp = b.fp AND a.doc_id < b.doc_id
+                        FROM cand c
+                        JOIN pp pa ON pa.doc_id = c.a
+                        JOIN pp pb ON pb.doc_id = c.b AND pb.fp = pa.fp
                         GROUP BY 1, 2 HAVING COUNT(*) >= 4)
               SELECT a, b, n_shared FROM pairs ORDER BY a, b"""),
       (s, dir) =>

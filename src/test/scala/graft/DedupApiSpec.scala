@@ -104,6 +104,79 @@ class DedupApiSpec extends SparkSpec {
     assert(lazyPairs == pairs, s"lazy path drifted: $lazyPairs vs $pairs")
   }
 
+  // the sf3 replica shape that went superlinear (VERDICT r13 #1): one
+  // base text, n near-identical copies differing only in a suffix —
+  // every fingerprint group holds the whole cluster
+  private def dupCluster(n: Int) = {
+    val base = "the winnowing fingerprint window walks a monotone deque " +
+      "across character grams so any run of at least twenty characters " +
+      "shared verbatim between two documents must surface a common " +
+      "minimum hash that lands both documents in one postings group"
+    (0 until n).map(i => (i.toLong, s"$base variant $i"))
+      .toDF("my_id", "body")
+  }
+
+  test("winnow rank cap: star coverage with EXACT n_shared; dropped " +
+      "pairs are only high-rank x high-rank; MaxValue restores all") {
+    val post = Dedup.winnowPostings(dupCluster(12), "my_id", "body")
+      .persist()
+    try {
+      val full = Dedup
+        .winnowPairsFromPostings(post, minShared = 4, rankCap = Int.MaxValue)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+      assert(full.size == 66, // the 12-clique: every pair shares the base
+        s"expected the full clique, got ${full.size} pairs")
+      val capped = Dedup.winnowPairsFromPostings(post, minShared = 4)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+      // capped ⊂ full with IDENTICAL exact counts on survivors
+      assert(capped.keySet.subsetOf(full.keySet))
+      capped.foreach { case (p, n) =>
+        assert(full(p) == n, s"n_shared drifted on $p: $n vs ${full(p)}") }
+      // star coverage: the cluster minimum pairs with every member
+      (1L to 11L).foreach(b => assert(capped.contains((0L, b)),
+        s"star pair (0,$b) must survive the cap"))
+      // what the cap drops is exactly the high-rank x high-rank tail
+      // (ids 8..11 rank 9..12 in every shared fingerprint group)
+      val dropped = full.keySet -- capped.keySet
+      assert(dropped.nonEmpty, "a 12-clique must exceed rankCap 8")
+      assert(dropped.forall { case (a, b) => a >= 8L && b >= 8L },
+        s"only both-high-rank pairs may drop: $dropped")
+    } finally { post.unpersist(); () }
+  }
+
+  test("winnowStarEdges: O(g) edges, components identical to the " +
+      "exhaustive pair graph") {
+    // mixed topology: an 11-dup cluster, a separate shared-run pair,
+    // and isolated docs
+    val shared = "this exact forty-plus character run is copied verbatim into both docs"
+    val corpus = dupCluster(11).union(Seq(
+      (20L, s"alpha prologue $shared and then some trailing words here"),
+      (21L, s"a different opening passage here $shared closing words"),
+      (30L, "nothing in common with the others at all in any respect"),
+      (31L, "likewise dissimilar content that shares no long character runs"))
+      .toDF("my_id", "body"))
+    val post = Dedup.winnowPostings(corpus, "my_id", "body").persist()
+    try {
+      val star = Dedup.winnowStarEdges(post)
+        .select(col("a").as("ida"), col("b").as("idb"))
+      val exhaustive = Dedup
+        .winnowPairsFromPostings(post, minShared = 1, rankCap = Int.MaxValue)
+        .select(col("a").as("ida"), col("b").as("idb"))
+      // star emits strictly fewer edges on the cluster...
+      assert(star.count() < exhaustive.count())
+      val ids = corpus.select(col("my_id").as("id"))
+      val lStar = Dedup.componentLabels(ids, star)
+      val lFull = Dedup.componentLabels(ids, exhaustive)
+      try { // ...with identical component labels
+        val diff = lStar.as[(Long, Long)].collect().toMap
+          .toSet -- lFull.as[(Long, Long)].collect().toMap.toSet
+        assert(diff.isEmpty, s"labels drifted: $diff")
+      } finally { lStar.unpersist(); lFull.unpersist() }
+    } finally { post.unpersist(); () }
+  }
+
   test("probeIncremental against a LOADED index: no corpus re-signing, " +
       "pairs equal the batch rebuild's cross pairs") {
     // a richer corpus: near-dup pairs that cross the halves, one pair

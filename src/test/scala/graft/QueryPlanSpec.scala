@@ -123,8 +123,9 @@ class QueryPlanSpec extends SparkSpec {
       "ns_ann_ivf_kmeans_topk", "ns_ann_lsh_topk", "ns_text_tfidf",
       "ns_text_tfidf_sim", "q34_theta_join",
       // 1-row-by-construction broadcasts: the int8 probe vector and
-      // the corpus-scaled df-cap aggregate
-      "ns_ann_int8_topk", "ns_dedup_substring",
+      // the corpus-scaled df-cap aggregate (the star row shares the
+      // winnow-postings artifact and with it the df-cap broadcast)
+      "ns_ann_int8_topk", "ns_dedup_substring", "ns_dedup_substring_star",
       // PQ rerank: 1-row probe-vector broadcast, same as the ANN tier
       "ns_ann_pq_topk")
     for ((name, fn) <- Registry.queries) {
