@@ -188,11 +188,14 @@ object ExtendedQueries {
             lit("1998-09-02 00:00:00").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2)
+            round(graft.plans.MoneySum.sumDec128(
+                col("l_quantity").cast(DecimalType(18, 6))), 2)
               .cast("double").as("sum_qty"),
-            round(sum(col("l_extendedprice").cast(DecimalType(18, 6))), 2)
+            round(graft.plans.MoneySum.sumDec128(
+                col("l_extendedprice").cast(DecimalType(18, 6))), 2)
               .cast("double").as("sum_base"),
-            round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            round(graft.plans.MoneySum.sumDec128(
+                (col("l_extendedprice") * (lit(1) - col("l_discount")))
               .cast(DecimalType(18, 6))), 2).cast("double").as("sum_disc"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag", "l_linestatus")
@@ -222,7 +225,8 @@ object ExtendedQueries {
           c.join(o, c("c_custkey") === o("o_custkey")), o)
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(o("o_orderkey"))
-          .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .agg(round(graft.plans.MoneySum.sumDec128(
+            (l("l_extendedprice") * (lit(1) - l("l_discount")))
             .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(20)
@@ -260,7 +264,8 @@ object ExtendedQueries {
             .join(o, o("o_custkey") === c("c_custkey")), o)
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(n("n_name"))
-          .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .agg(round(graft.plans.MoneySum.sumDec128(
+            (l("l_extendedprice") * (lit(1) - l("l_discount")))
             .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
           .orderBy("n_name")
       }),

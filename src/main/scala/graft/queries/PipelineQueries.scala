@@ -710,7 +710,7 @@ object PipelineQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             countDistinct("source").as("n_sources"),
-            round(sum(col("n_tok").cast(
+            round(graft.plans.MoneySum.sumDec128(col("n_tok").cast(
               org.apache.spark.sql.types.DecimalType(18, 6))), 1)
               .cast("double").as("total_tokens"),
             round(avg("alpha_r"), 4).as("avg_alpha"))

@@ -118,7 +118,8 @@ object ScalarQueries {
             unix_timestamp(date_trunc("HOUR", col("ts"))).as("wstart"),
             col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("value").cast(DecimalType(18, 6))), 3)
+            round(graft.plans.MoneySum.sumDec128(
+                col("value").cast(DecimalType(18, 6))), 3)
               .cast("double").as("sv"))
           .orderBy("wstart", "event_type")),
 
