@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
   * see [[decodeImageFeatures]]). AUDIO decode is REAL
   * (`javax.sound.sampled`, also in the JDK: WAV/AIFF/AU 16-bit PCM →
   * sample rate / frames / duration / exact energy sum, see
-  * [[decodeAudioFeatures]]). VIDEO decode is REAL for the AVI
-  * container (pure-JVM RIFF demux + per-frame decode: MJPEG frames
-  * via `javax.imageio`, uncompressed DIB frames via a raw BGR24
-  * walk, see [[decodeVideoFeatures]]/[[sampleVideoFrames]]); only
-  * NON-AVI video codecs remain a STUB (no general video library
-  * ships in this environment) producing a deterministic fake so
-  * pipelines exercise end-to-end.
+  * [[decodeAudioFeatures]]). VIDEO is REAL at the container level
+  * for BOTH mainstream containers: AVI (pure-JVM RIFF demux +
+  * per-frame PIXEL decode — MJPEG via `javax.imageio`, uncompressed
+  * DIB via a raw BGR24 walk) and MP4/ISO-BMFF (pure-JVM box walk:
+  * dims, timing, per-sample offsets via stsc/stco/stsz, raw
+  * access-unit extraction — see [[parseMp4]]). The one disclosed gap
+  * is PIXEL decode of mp4 codecs (H.264/H.265): no JVM decoder
+  * exists, so mp4 rows carry luma_fp = -1 / n_frames_decoded = 0
+  * while frame sampling emits the real demuxed access units (what a
+  * GPU decoder downstream consumes). Payloads in neither container
+  * go through the deterministic STUBs so pipelines still exercise
+  * end-to-end.
   *
   * At 100 TB: media rows are large — keep them in their own column
   * family (parquet binary column), repartition by byte-size budget
@@ -73,11 +78,12 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame-sample for NON-AVI payloads: emit every `everyN`-th
-    * 4-KiB block of a video payload as a "frame" — one row per
-    * sampled frame (flatMap shape: a 2 GB video becomes ~500 frame
-    * rows, never one huge row downstream). AVI containers get REAL
-    * demux-based sampling via [[sampleVideoFrames]].
+  /** STUB frame-sample for payloads in NEITHER of the real container
+    * formats (AVI via [[parseAvi]], MP4 via [[parseMp4]] — both get
+    * REAL demux-based sampling in [[sampleVideoFrames]]): emit every
+    * `everyN`-th 4-KiB block of a video payload as a "frame" — one
+    * row per sampled frame (flatMap shape: a 2 GB video becomes ~500
+    * frame rows, never one huge row downstream).
     */
   def frameSampleStub(ds: Dataset[MediaRecord], everyN: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -425,8 +431,22 @@ object Multimodal {
       it.map { rec =>
         parseAvi(rec.payload) match {
           case None =>
-            VideoFeatures(rec.media_id, rec.kind, -1, -1, -1L, -1L, -1L,
-              -1L, -1L, -1L, decode_ok = false)
+            parseMp4(rec.payload) match {
+              case None =>
+                VideoFeatures(rec.media_id, rec.kind, -1, -1, -1L, -1L,
+                  -1L, -1L, -1L, -1L, decode_ok = false)
+              case Some(mp4) =>
+                // REAL demux (dims/timing/counts/bytes from the box
+                // walk, offsets bounds-validated); pixel decode of
+                // mp4 codecs is the disclosed gap: n_frames_decoded
+                // = 0 and luma_fp = -1 (no JVM H.264/H.265 decoder;
+                // a pipeline ships the raw access units to a GPU
+                // decoder — see sampleVideoFrames)
+                VideoFeatures(rec.media_id, rec.kind, mp4.width,
+                  mp4.height, mp4.usPerFrame, mp4.samples.size.toLong,
+                  mp4.samples.size.toLong, 0L,
+                  mp4.samples.map(_._2).sum, -1L, decode_ok = true)
+            }
           case Some(avi) =>
             var decoded = 0L
             var fbytes = 0L
@@ -469,7 +489,19 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.flatMap { rec =>
         parseAvi(rec.payload) match {
-          case None => Iterator.empty
+          case None =>
+            parseMp4(rec.payload) match {
+              case None => Iterator.empty
+              case Some(mp4) =>
+                // real demuxed access units (raw codec bytes, the
+                // unit a downstream GPU decoder consumes), sliced at
+                // the stsc/stco/stsz-resolved offsets
+                mp4.samples.iterator.zipWithIndex.collect {
+                  case ((off, sz), idx) if idx % everyN == 0 =>
+                    Frame(rec.media_id, idx, java.util.Arrays.copyOfRange(
+                      rec.payload, off.toInt, (off + sz).toInt))
+                }
+            }
           case Some(avi) =>
             avi.frames.iterator.zipWithIndex.collect {
               case ((_, bytes), idx) if idx % everyN == 0 =>
@@ -526,6 +558,240 @@ object Multimodal {
       chunk(if (compressed) "00dc" else "00db", f)))
     val body = tag("AVI ") ++ hdrl ++ movi
     tag("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  // ── Video: REAL MP4 (ISO BMFF) demux ────────────────────────────
+  //
+  // The MP4 container is a plain big-endian box walk (ISO/IEC
+  // 14496-12, a public standard): moov carries the sample tables
+  // (stsd codec entry + dims, stts timing, stsz sizes, stsc/stco
+  // chunk layout) and mdat carries the codec bytes. Demux —
+  // dimensions, timing, per-sample offsets/sizes, raw access-unit
+  // extraction — is fully implementable pure-JVM and is REAL below.
+  // PIXEL decode of the dominant mp4 codecs (H.264/H.265) is NOT:
+  // no JVM-shipped decoder exists and writing one is out of scope,
+  // so mp4 rows report n_frames_decoded = 0 and luma_fp = -1 (the
+  // disclosed sentinel), while every other field is demuxed truth.
+  // A training pipeline ships raw access units to a GPU decoder
+  // anyway — container demux IS the Spark-side work at 100 TB.
+
+  /** A demuxed MP4 video track: dims (from the stsd visual sample
+    * entry), codec fourcc, per-frame timing in µs (exact when stts
+    * is uniform, floor-average otherwise), and each sample's
+    * (offset, size) resolved through stsc/stco — all offsets
+    * validated against the payload bounds.
+    */
+  private[graft] final case class Mp4Video(
+      width: Int, height: Int, usPerFrame: Long, handler: String,
+      samples: Vector[(Long, Long)])
+
+  private def u16be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
+
+  /** Parse an MP4 (ISO BMFF) container — a pure-JVM box walk reading
+    * exactly what the feature/sampling tiers need from the FIRST
+    * video ('vide' handler) track: stsd dims + codec fourcc, mdhd
+    * timescale, stts durations, stsz sizes, stsc/stco (or co64)
+    * chunk layout, resolved to absolute (offset, size) per sample.
+    * Returns None on any structural violation (corrupt payload →
+    * decode_ok = false, never a task kill).
+    */
+  private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Video] = {
+    try {
+      // per-track state, reset at each trak
+      var inVideoTrak = false
+      var width = -1; var height = -1; var handler = ""
+      var timescale = -1L
+      var sttsEntries = Vector.empty[(Long, Long)] // (count, delta)
+      var sampleSizes = Vector.empty[Long]
+      var stscEntries = Vector.empty[(Long, Long)] // (firstChunk, perChunk)
+      var chunkOffsets = Vector.empty[Long]
+      var found = false
+
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def walk(from: Long, to: Long): Unit = {
+        var p = from
+        while (p + 8 <= to && !found) {
+          var size = u32be(b, p.toInt)
+          val typ = cc(b, p.toInt + 4)
+          var dataStart = p + 8
+          if (size == 1L) { // 64-bit largesize
+            if (p + 16 > to) throw new IllegalArgumentException("largesize")
+            size = u64be(b, p.toInt + 8); dataStart = p + 16
+          } else if (size == 0L) size = to - p // box extends to end
+          if (size < 8 || p + size > to)
+            throw new IllegalArgumentException("box overruns container")
+          val end = p + size
+          val ds = dataStart.toInt
+          typ match {
+            case t if containers(t) =>
+              val wasVideo = inVideoTrak
+              if (t == "trak") { // reset per-track state
+                inVideoTrak = false; width = -1; height = -1
+                handler = ""; timescale = -1L
+                sttsEntries = Vector.empty; sampleSizes = Vector.empty
+                stscEntries = Vector.empty; chunkOffsets = Vector.empty
+              }
+              walk(dataStart, end)
+              if (t == "trak") {
+                if (inVideoTrak && width > 0 && sampleSizes.nonEmpty &&
+                    chunkOffsets.nonEmpty && timescale > 0) found = true
+                else inVideoTrak = wasVideo
+              }
+            case "hdlr" if end - dataStart >= 12 =>
+              if (cc(b, ds + 8) == "vide") inVideoTrak = true
+            case "mdhd" if end - dataStart >= 4 =>
+              val v = b(ds) & 0xff
+              timescale =
+                if (v == 1 && end - dataStart >= 28) u32be(b, ds + 20)
+                else if (end - dataStart >= 16) u32be(b, ds + 12)
+                else -1L
+            case "stsd" if end - dataStart >= 16 =>
+              // first sample entry: size(4) fourcc(4) reserved(6)
+              // dri(2) predefined/reserved(16) width(2) height(2)
+              val entry = ds + 8
+              if (end - entry >= 36) {
+                handler = cc(b, entry + 4)
+                width = u16be(b, entry + 32)
+                height = u16be(b, entry + 34)
+              }
+            case "stts" =>
+              val n = u32be(b, ds + 4).toInt
+              sttsEntries = (0 until n).map(i =>
+                (u32be(b, ds + 8 + i * 8), u32be(b, ds + 12 + i * 8))).toVector
+            case "stsz" =>
+              val fixed = u32be(b, ds + 4)
+              val n = u32be(b, ds + 8).toInt
+              sampleSizes =
+                if (fixed != 0) Vector.fill(n)(fixed)
+                else (0 until n).map(i => u32be(b, ds + 12 + i * 4)).toVector
+            case "stsc" =>
+              val n = u32be(b, ds + 4).toInt
+              stscEntries = (0 until n).map(i =>
+                (u32be(b, ds + 8 + i * 12), u32be(b, ds + 12 + i * 12))).toVector
+            case "stco" =>
+              val n = u32be(b, ds + 4).toInt
+              chunkOffsets = (0 until n).map(i => u32be(b, ds + 8 + i * 4)).toVector
+            case "co64" =>
+              val n = u32be(b, ds + 4).toInt
+              chunkOffsets = (0 until n).map(i => u64be(b, ds + 8 + i * 8)).toVector
+            case _ => ()
+          }
+          p = end
+        }
+      }
+      walk(0L, b.length.toLong)
+      if (!found) return None
+
+      // resolve each sample's absolute offset through the chunk map:
+      // stsc entry (firstChunk, samplesPerChunk) applies from its
+      // firstChunk until the next entry's; samples pack back-to-back
+      // within a chunk
+      val n = sampleSizes.size
+      val offsets = Vector.newBuilder[(Long, Long)]
+      var sample = 0
+      var chunkIdx = 0
+      while (sample < n && chunkIdx < chunkOffsets.size) {
+        val chunkNo = chunkIdx + 1L
+        val perChunk = stscEntries.takeWhile(_._1 <= chunkNo).lastOption
+          .map(_._2.toInt).getOrElse(0)
+        var off = chunkOffsets(chunkIdx)
+        var i = 0
+        while (i < perChunk && sample < n) {
+          val sz = sampleSizes(sample)
+          if (off < 0 || off + sz > b.length)
+            throw new IllegalArgumentException("sample overruns payload")
+          offsets += ((off, sz))
+          off += sz; sample += 1; i += 1
+        }
+        chunkIdx += 1
+      }
+      if (sample < n) return None // chunk map doesn't cover all samples
+
+      // exact per-frame µs when stts is uniform; floor-average else
+      val usPf =
+        if (sttsEntries.isEmpty || timescale <= 0) -1L
+        else if (sttsEntries.map(_._2).distinct.size == 1)
+          sttsEntries.head._2 * 1000000L / timescale
+        else {
+          val total = sttsEntries.map(e => e._1 * e._2).sum
+          val cnt = sttsEntries.map(_._1).sum
+          if (cnt == 0) -1L else total * 1000000L / timescale / cnt
+        }
+      if (width <= 0 || height <= 0 || usPf < 0) None
+      else Some(Mp4Video(width, height, usPf, handler, offsets.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic MP4 encoder for fixtures/tests: wraps the given
+    * sample payloads (one per frame, e.g. synthetic access units —
+    * the demux never interprets codec bytes) in a minimal ISO BMFF
+    * container: ftyp + mdat + moov(mvhd, trak(tkhd, mdia(mdhd,
+    * hdlr 'vide', minf(stbl(stsd `codec` w×h, stts uniform, stsz,
+    * stsc single-entry, stco))))). mdat precedes moov so chunk
+    * offsets are known at write time; all samples land in one chunk.
+    * [[parseMp4]] must round-trip every field exactly.
+    */
+  def encodeMp4(w: Int, h: Int, usPerFrame: Long,
+      samples: Seq[Array[Byte]], codec: String = "avc1"): Array[Byte] = {
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def tag(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++ tag(typ) ++ body
+    }
+    val n = samples.size
+    val timescale = 1000000L // µs units → stts deltas ARE µs, exact
+    val duration = usPerFrame * n
+    val ftyp = box("ftyp", tag("isom"), be32(512), tag("isom"), tag("avc1"))
+    val mdatPayload = samples.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    val mdatDataOffset = ftyp.length + 8L // first sample byte
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(duration), be32(0x00010000L), be16(0x0100), be16(0),
+      new Array[Byte](8),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      new Array[Byte](24), be32(2))
+    val tkhd = box("tkhd", be32(7) /* version 0, flags enabled */,
+      be32(0), be32(0), be32(1), be32(0), be32(duration),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(duration), be16(0x55c4), be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), tag("vide"),
+      new Array[Byte](12), tag("VideoHandler"), Array(0.toByte))
+    val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
+    val dref = box("dref", be32(0), be32(1), box("url ", be32(1)))
+    val dinf = box("dinf", dref)
+    val sampleEntry = box(codec, new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(w), be16(h),
+      be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+      new Array[Byte](32), be16(0x0018), be16(0xffff))
+    val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+    val stts = box("stts", be32(0), be32(1), be32(n.toLong), be32(usPerFrame))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n.toLong), be32(1))
+    val stsz = box("stsz", be32(0), be32(0), be32(n.toLong),
+      samples.toArray.flatMap(s => be32(s.length.toLong)))
+    val stco = box("stco", be32(0), be32(1), be32(mdatDataOffset))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
   }
 
   /** Raw bottom-up BGR24 DIB frame (rows padded to 4 bytes) from a

@@ -1544,6 +1544,54 @@ object PipelineQueries {
             col("frame_bytes"), col("luma_fp"))
           .orderBy("media_id")
       }),
+
+    // ── Multimodal REAL MP4 (ISO BMFF) demux: the container walk —
+    // dims, timing, sample count/bytes via stsd/stts/stsz/stsc/stco
+    // — plus byte-exact access-unit EXTRACTION, proven by au_sha:
+    // sha256 of the in-order concatenation of every demuxed sample,
+    // which the fixture computed ARITHMETICALLY from the encoder
+    // inputs (tools/MakeMediaFixture). Pixel decode of mp4 codecs is
+    // the disclosed gap (no JVM H.264/H.265 decoder; a production
+    // pipeline ships the extracted access units to a GPU decoder —
+    // the extraction IS the Spark-side work), so unlike the AVI row
+    // there is no luma column by design. Corrupt rows pin the
+    // never-kill-the-task sentinel contract (-1 dims, empty sha).
+    QueryDef(
+      "ns_multimodal_video_mp4",
+      Some("""SELECT media_id, kind,
+              true_width AS width, true_height AS height,
+              true_us_per_frame AS us_per_frame,
+              true_n_frames AS n_frames_declared,
+              true_n_frames AS n_frames_found,
+              true_frame_bytes AS frame_bytes,
+              true_au_sha AS au_sha
+              FROM read_parquet('/root/repo/fixtures/video_mp4/*.parquet')
+              ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val recs = s.read.parquet(mp4FixtureDir)
+          .select("media_id", "kind", "payload")
+          .as[graft.functions.Multimodal.MediaRecord]
+        val feats = graft.functions.Multimodal.decodeVideoFeatures(recs)
+        // demux-extraction proof: every sample, in frame order,
+        // concatenated and hashed — corrupt rows emit no frames and
+        // coalesce to the empty-sha sentinel
+        val shas = graft.functions.Multimodal
+          .sampleVideoFrames(recs, everyN = 1)
+          .groupBy("media_id")
+          .agg(sha2(expr(
+            """aggregate(
+                 transform(array_sort(collect_list(struct(frame_idx, frame))),
+                   x -> x.frame),
+                 CAST('' AS BINARY), (acc, x) -> concat(acc, x))"""),
+            256).as("au_sha"))
+        feats.join(shas, Seq("media_id"), "left")
+          .select(col("media_id"), col("kind"), col("width"),
+            col("height"), col("us_per_frame"), col("n_frames_declared"),
+            col("n_frames_found"), col("frame_bytes"),
+            coalesce(col("au_sha"), lit("")).as("au_sha"))
+          .orderBy("media_id")
+      }),
   )
 
   /** The media fixtures are repo-local (binary payloads can't live in
@@ -1554,4 +1602,6 @@ object PipelineQueries {
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/audio"
   private def videoFixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/video"
+  private def mp4FixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/video_mp4"
 }

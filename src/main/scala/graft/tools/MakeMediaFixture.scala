@@ -177,6 +177,62 @@ object MakeMediaFixture {
     good ++ bad
   }
 
+  // ── MP4 fixture family (`fixtures/video_mp4/`), the input of the
+  // `ns_multimodal_video_mp4` oracle query (round-14: real ISO BMFF
+  // demux). Payloads are minimal MP4 containers from
+  // Multimodal.encodeMp4 holding deterministic synthetic access
+  // units — the demux NEVER interprets codec bytes, so synthetic AUs
+  // prove exactly what a demuxer proves: dims, timing, sample
+  // count/sizes, and byte-exact sample extraction (true_au_sha =
+  // sha256 of the in-order AU concatenation, computed ARITHMETICALLY
+  // from the encoder inputs; the Spark side must demux and extract
+  // the samples to reproduce it). Pixel decode of mp4 codecs is the
+  // disclosed gap (no JVM H.264 decoder) — there is no pixel truth
+  // column, by design. Plus 2 corrupt rows (truncated container,
+  // garbage) pinning the never-kill-the-task sentinel contract.
+
+  case class Mp4FixtureRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      true_width: Int,
+      true_height: Int,
+      true_us_per_frame: Long,
+      true_n_frames: Long,
+      true_frame_bytes: Long,
+      true_au_sha: String,
+      true_ok: Boolean)
+
+  def mp4Sample(i: Int, f: Int): Array[Byte] =
+    Array.tabulate(90 + (i * 13 + f * 7) % 120)(j =>
+      ((j * 31 + f * 17 + i * 5 + 3) % 256).toByte)
+
+  def mp4Row(i: Int): Mp4FixtureRow = {
+    val w = 16 + (i % 7) * 5
+    val h = 12 + (i % 5) * 4
+    val n = 3 + (i % 5)
+    val usPf = 33333L + 111L * i
+    val samples = (0 until n).map(f => mp4Sample(i, f))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(samples.flatten.toArray)
+      .map(b => f"${b & 0xff}%02x").mkString
+    Mp4FixtureRow(i.toLong, "video/mp4-avc1",
+      Multimodal.encodeMp4(w, h, usPf, samples),
+      w, h, usPf, n.toLong, samples.map(_.length.toLong).sum, sha,
+      true_ok = true)
+  }
+
+  def mp4Rows: Seq[Mp4FixtureRow] = {
+    val good = (0 until 14).map(mp4Row)
+    val truncated = good.head.payload.take(60)
+    val garbage = Array.tabulate(400)(j => ((j * 41 + 7) % 256).toByte)
+    val bad = Seq((14L, truncated), (15L, garbage)).map { case (id, p) =>
+      Mp4FixtureRow(id, "video/mp4-corrupt", p,
+        -1, -1, -1L, -1L, -1L, "", true_ok = false)
+    }
+    good ++ bad
+  }
+
   private def stripBookkeeping(outDir: String): Unit = {
     // strip Spark's bookkeeping files so only the .parquet is committed
     val dir = new java.io.File(outDir)
@@ -190,6 +246,7 @@ object MakeMediaFixture {
     val mediaDir = s"$base/media"
     val audioDir = s"$base/audio"
     val videoDir = s"$base/video"
+    val mp4Dir = s"$base/video_mp4"
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -198,12 +255,15 @@ object MakeMediaFixture {
     rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mediaDir)
     audioRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(audioDir)
     videoRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(videoDir)
+    mp4Rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mp4Dir)
     spark.stop()
     stripBookkeeping(mediaDir)
     stripBookkeeping(audioDir)
     stripBookkeeping(videoDir)
+    stripBookkeeping(mp4Dir)
     println(s"wrote ${rows.size} image rows to $mediaDir, " +
       s"${audioRows.size} audio rows to $audioDir, " +
-      s"${videoRows.size} video rows to $videoDir")
+      s"${videoRows.size} video rows to $videoDir, " +
+      s"${mp4Rows.size} mp4 rows to $mp4Dir")
   }
 }

@@ -235,4 +235,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(!_.decode_ok).forall(f =>
       f.width == -1 && f.n_frames_found == -1L && f.luma_fp == -1L))
   }
+
+  test("mp4 demux round-trips container fields and extracts samples " +
+      "byte-exactly; pixel decode stays the disclosed gap") {
+    import spark.implicits._
+    val samples = (0 until 4).map(f =>
+      Array.tabulate(50 + f * 13)(j => ((j * 7 + f * 31) % 256).toByte))
+    val mp4 = encodeMp4(20, 16, 41667L, samples)
+    val f = decodeVideoFeatures(
+      Seq(MediaRecord(1L, "video/mp4-avc1", mp4)).toDS()).head()
+    assert(f.decode_ok && f.width == 20 && f.height == 16)
+    assert(f.us_per_frame == 41667L)
+    assert(f.n_frames_declared == 4 && f.n_frames_found == 4)
+    assert(f.frame_bytes == samples.map(_.length.toLong).sum)
+    // no JVM mp4 pixel decoder: decoded count and luma are sentinels
+    assert(f.n_frames_decoded == 0L && f.luma_fp == -1L)
+    // frame sampling emits the REAL demuxed access units
+    val got = sampleVideoFrames(
+      Seq(MediaRecord(1L, "video/mp4-avc1", mp4)).toDS(), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(got(0).frame.toSeq == samples(0).toSeq)
+    assert(got(1).frame.toSeq == samples(2).toSeq)
+  }
+
+  test("corrupt mp4 payloads yield decode_ok=false, never a task failure") {
+    import spark.implicits._
+    val ok = encodeMp4(8, 8, 40000L,
+      Seq(Array.tabulate(32)(_.toByte), Array.tabulate(40)(_.toByte)))
+    // point stco past the payload end: the sample bounds check must
+    // reject the container, not throw in a task
+    val stcoAt = {
+      // find the stco box and corrupt its single chunk offset
+      val pat = "stco".getBytes("US-ASCII")
+      (0 until ok.length - 4).find(i => ok.slice(i, i + 4).sameElements(pat)).get
+    }
+    val overrun = ok.clone()
+    overrun(stcoAt + 12) = 0x7f.toByte // offset high byte → far past end
+    val recs = Seq(
+      MediaRecord(1L, "video/mp4", ok),
+      MediaRecord(2L, "video/mp4", ok.take(50)),
+      MediaRecord(3L, "video/mp4", overrun)).toDS()
+    val got = decodeVideoFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.map(_.decode_ok).toSeq == Seq(true, false, false))
+  }
+
+  test("committed mp4 fixture parquet matches in-memory generation (no drift)") {
+    import spark.implicits._
+    val disk = spark.read.parquet("/root/repo/fixtures/video_mp4")
+      .select("media_id", "true_au_sha", "true_frame_bytes")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, sha, fb) => id -> ((sha, fb)) }.toMap
+    val mem = graft.tools.MakeMediaFixture.mp4Rows
+      .map(r => r.media_id -> ((r.true_au_sha, r.true_frame_bytes))).toMap
+    assert(disk == mem)
+  }
 }
