@@ -36,6 +36,15 @@ object Joins {
     * tables; with the 256 MB default budget it admits file stats up
     * to 32 MB.
     *
+    * Pass `sizeHint` PROJECTED to the columns the broadcast output
+    * actually carries after pruning (e.g. `o.select("o_orderkey")`
+    * when only the join key survives): plan statistics scale
+    * sizeInBytes by output-row width, so an un-projected hint charges
+    * the broadcast side for columns the optimizer will drop and
+    * pushes borderline sides onto the shuffle plan (q47 at sf1 —
+    * BENCH_TREND r13 measured the shuffle plan 4.5× off the oracle's
+    * hash join).
+    *
     * Contract: `df` must be a NON-GROWING derivation of `sizeHint` —
     * filters, projections, and joins that match each `sizeHint` row
     * at most once (e.g. an FK-side equi-join against a dimension), so

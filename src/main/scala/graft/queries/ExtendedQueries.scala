@@ -220,9 +220,14 @@ object ExtendedQueries {
         val l = t(s, dir, "lineitem")
         // same size-routed shape as q47: (customer⋈orders) is bounded
         // by |orders|, so the orders statistic decides broadcast vs
-        // shuffle — lineitem stays un-shuffled when the stat is small
+        // shuffle — lineitem stays un-shuffled when the stat is small.
+        // Width-honest hint (r13 ADVICE follow-through): after column
+        // pruning the broadcast relation carries ONLY o_orderkey, so
+        // the statistic is the orders scan projected to that column —
+        // same row-count bound, the width the executors actually hold.
         graft.operators.Joins.broadcastIfSmall(
-          c.join(o, c("c_custkey") === o("o_custkey")), o)
+          c.join(o, c("c_custkey") === o("o_custkey")),
+          o.select(col("o_orderkey")))
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(o("o_orderkey"))
           .agg(round(graft.plans.MoneySum.sumDec128(
@@ -257,11 +262,19 @@ object ExtendedQueries {
         // matches one customer), so route it by the ORDERS statistic:
         // small → broadcast into lineitem (lineitem never shuffles),
         // big → declarative shuffle join. AsOf.autoPlan's routing
-        // pattern applied to a star join.
+        // pattern applied to a star join. Width-honest hint: the
+        // pruned broadcast relation carries (o_orderkey, n_name) —
+        // two narrow columns, not the full orders row — so the
+        // statistic is the orders scan projected to two comparable-
+        // width columns. The un-projected hint overstated the side
+        // ~4× and pushed sf1 onto the shuffle plan DuckDB beats 4.5×
+        // (BENCH_TREND r13: ratio_sf1_min 4.49); the row-count bound
+        // |orders| is unchanged, so the 100 TB fallback still fires.
         graft.operators.Joins.broadcastIfSmall(
           broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
             .join(c, c("c_nationkey") === n("n_nationkey"))
-            .join(o, o("o_custkey") === c("c_custkey")), o)
+            .join(o, o("o_custkey") === c("c_custkey")),
+          o.select(col("o_orderkey"), col("o_custkey")))
           .join(l, l("l_orderkey") === o("o_orderkey"))
           .groupBy(n("n_name"))
           .agg(round(graft.plans.MoneySum.sumDec128(
