@@ -50,6 +50,10 @@ TREND_QUERIES = [
     # rows — Spark times unchanged vs r11, but this run's DuckDB
     # medians crossed the 0.15 s floor and admitted them to gating
     "q59_asof_join", "q70_asof_auto_default", "q16_lag_running",
+    # round-14 addition: the r14 oracle capture's fourth floor-
+    # adjacent breach (oracle median 0.17 s, Spark min-rep 2.25x) —
+    # the trend is its floor-vs-data-path adjudication, as for q15
+    "q02_filter_predicates",
 ]
 
 FACTOR = 10
