@@ -45,12 +45,41 @@ object Dedup {
       .filter(size(col("hh")) > 0)
 
   /** MinHash(nHashes) + LSH(bands × rowsPerBand) candidate pairs
-    * (ida < idb) from a signature frame (id, hh).
+    * (ida < idb) from a signature frame (id, hh), RANK-CAPPED within
+    * each (band, bucket) group — the same scale bound
+    * [[winnowPairsFromPostings]] applies to fingerprint groups: a
+    * naive per-bucket self-join emits C(g, 2) pairs per bucket, and a
+    * dup cluster of size c lands intact in EVERY one of its `bands`
+    * buckets, so the candidate volume is O(bands · Σ c²) — the
+    * round-14 sf3 trend measured 6.3× Spark time for 3× data purely
+    * from 30-way replica clusters, and real crawl corpora have
+    * clusters in the thousands. With the cap, only members whose
+    * rank by ascending id within the bucket is ≤ `rankCap` enumerate
+    * pairs (against every higher-id member): O(rankCap · g) per
+    * bucket.
+    *
+    * Disclosed recall bound (mirrors the winnowing tier's): a pair
+    * survives iff its smaller-ranked member is among the `rankCap`
+    * smallest ids of SOME shared bucket. Rank 1 — the bucket minimum
+    * — always pairs, so every dup cluster keeps a star around its
+    * bucket minima and stays fully discoverable for component
+    * building; what the cap drops is only pairs between two
+    * high-ranked members of a large cluster, whose duplication the
+    * cluster minima already witness. `rankCap = Int.MaxValue`
+    * restores the exhaustive enumeration.
     */
   def minhashCandidates(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, rankCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = bandedBuckets(sh, nHashes, bands, rowsPerBand)
-    banded.as("a")
+    val ranked =
+      if (rankCap == Int.MaxValue) banded
+      else banded
+        .withColumn("__graft_rk", row_number().over(
+          Window.partitionBy("band", "bucket").orderBy("id")))
+        .filter(col("__graft_rk") <= rankCap)
+        .drop("__graft_rk")
+    ranked.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&

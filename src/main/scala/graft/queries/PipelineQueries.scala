@@ -410,8 +410,12 @@ object PipelineQueries {
          FROM toks WHERE len(tk) >= 3)"""
 
   /** Shared DuckDB CTE suffix: MinHash(32) signatures → LSH(8×4)
-    * bands → distinct candidate pairs (mirrors the Spark dataflow in
-    * `minhashCandidates`). Appended after `shingleCte`.
+    * bands → distinct candidate pairs, rank-capped at 8 within each
+    * (band, bucket) group (mirrors the Spark dataflow in
+    * `minhashCandidates` incl. its round-14 per-bucket rank cap — a
+    * dup cluster of size c otherwise lands intact in every band
+    * bucket and the self-join emits O(bands·c²) pairs; see the
+    * operator's disclosed recall bound). Appended after `shingleCte`.
     */
   private[queries] val minhashCandCte = """,
         seeds AS (SELECT seed,
@@ -431,10 +435,14 @@ object PipelineQueries {
                       list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))
                     bucket
                   FROM sigs, range(8) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-                 FROM bands a JOIN bands b
-                   ON a.b = b.b AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id)"""
+        rkb AS (SELECT doc_id, b, bucket, ROW_NUMBER() OVER
+                  (PARTITION BY b, bucket ORDER BY doc_id) rk
+                FROM bands),
+        cand AS (SELECT DISTINCT r.doc_id da, b2.doc_id db
+                 FROM rkb r JOIN bands b2
+                   ON r.b = b2.b AND r.bucket = b2.bucket
+                   AND r.doc_id < b2.doc_id
+                 WHERE r.rk <= 8)"""
 
   /** Spark twin of `minhashCandCte` + verify, via the PUBLIC operator
     * API (graft.operators.Dedup) — the query contract is a thin demo

@@ -142,6 +142,43 @@ class DedupApiSpec extends SparkSpec {
       .toDF("my_id", "body")
   }
 
+  test("minhash LSH rank cap: deterministic on an exact-clone cluster — " +
+      "star coverage, only high-rank tail drops, components preserved") {
+    // 12 exact clones: identical signatures, so every band bucket
+    // holds the whole cluster and the uncapped self-join emits the
+    // full C(12,2)=66 clique per band — the O(bands·c²) blowup the
+    // round-14 sf3 trend measured (6.3× time for 3× data on 30-way
+    // replicas). With rankCap 8 only ranks 1-8 enumerate: the 6
+    // pairs among ranks 9-12 drop, everything else survives.
+    val base = "the winnowing fingerprint window walks a monotone deque " +
+      "across character grams so any run of at least twenty characters " +
+      "shared verbatim between two documents must surface a common " +
+      "minimum hash that lands both documents in one postings group"
+    val clones = (0 until 12).map(i => (i.toLong, base)).toDF("my_id", "body")
+    val sh = Dedup.shingleSignatures(clones, "my_id", "body").persist()
+    try {
+      val full = Dedup.minhashCandidates(sh, rankCap = Int.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      assert(full.size == 66, s"expected the full clique, got ${full.size}")
+      val capped = Dedup.minhashCandidates(sh)
+        .as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(full))
+      assert(capped.size == 60, s"rank cap 8 on a 12-clique keeps " +
+        s"66 - C(4,2) = 60 pairs, got ${capped.size}")
+      // star coverage: the bucket minimum pairs with every member
+      (1L to 11L).foreach(b => assert(capped.contains((0L, b)),
+        s"star pair (0,$b) must survive the cap"))
+      // the drop is exactly the high-rank x high-rank tail
+      assert((full -- capped).forall { case (a, b) => a >= 8L && b >= 8L })
+      // and the VERIFIED component structure is unchanged
+      val ids = sh.select(col("id"))
+      def labels(cand: Set[(Long, Long)]) = Dedup.componentLabels(ids,
+          cand.toSeq.toDF("ida", "idb"))
+        .as[(Long, Long)].collect().toMap
+      assert(labels(capped) == labels(full))
+    } finally { sh.unpersist(); () }
+  }
+
   test("winnow rank cap: star coverage with EXACT n_shared; dropped " +
       "pairs are only high-rank x high-rank; MaxValue restores all") {
     val post = Dedup.winnowPostings(dupCluster(12), "my_id", "body")
