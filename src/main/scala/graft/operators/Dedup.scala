@@ -702,21 +702,56 @@ object Dedup {
   def probeIncrementalMinhash(newDocs: DataFrame, idCol: String,
       textCol: String, index: MinHashIndex, k: Int = 3,
       nHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame =
+      minJaccard: Double = 0.8, standingRankCap: Int = 8): DataFrame =
     probeMinhashFromSignatures(
       shingleSignatures(newDocs, idCol, textCol, k), index,
-      nHashes, bands, rowsPerBand, minJaccard)
+      nHashes, bands, rowsPerBand, minJaccard, standingRankCap)
 
   /** Signer-agnostic core of [[probeIncrementalMinhash]]: probe a
     * shard's signature frame (id, hh) against a standing index (lets
     * a caller that already holds signatures — e.g. the query layer's
     * memoized artifact — skip re-tokenizing the shard).
+    *
+    * `standingRankCap` bounds the STANDING side of each bucket the
+    * same way [[minhashCandidates]] bounds the self-join: a standing
+    * dup cluster of size c sits intact in every one of its band
+    * buckets, so an uncapped cross join charges every colliding shard
+    * doc O(c) candidate pairs per band — O(bands·c·|shard∩bucket|)
+    * total, unbounded in the standing corpus. With the cap, only the
+    * `standingRankCap` lowest-id standing members of a bucket
+    * enumerate. Disclosed recall bound: a shard doc still meets each
+    * shared bucket's standing MINIMA (rank 1 always pairs), so "is
+    * this new doc a duplicate of the standing corpus" and "which
+    * canonical (min-id) representative does it fold into" stay
+    * answerable; what the cap can drop is a match witnessed ONLY by
+    * high-ranked members of a large standing cluster. The
+    * increment-equals-rebuild theorem holds in capped form: the probe
+    * equals the batch formulation whose cross pairs rank the STANDING
+    * half per bucket (ns_dedup_incremental_minhash pins exactly that
+    * formulation oracle-side). `Int.MaxValue` restores the exhaustive
+    * cross join and the uncapped theorem.
+    *
+    * Plan shape: on a bucketed standing index
+    * ([[writeMinHashIndexBucketed]] — bucketed on (band, bucket)) the
+    * rank window's partitioning is satisfied by the bucket spec and
+    * Catalyst plants a partial+final WindowGroupLimit, so the
+    * standing side is capped in place with no exchange and no full
+    * per-bucket sort.
     */
   def probeMinhashFromSignatures(shNew: DataFrame, index: MinHashIndex,
       nHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
-    val cand = index.buckets
+      minJaccard: Double = 0.8, standingRankCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val standing = index.buckets
       .select(col("id").as("ida"), col("band"), col("bucket"))
+    val capped =
+      if (standingRankCap == Int.MaxValue) standing
+      else standing
+        .withColumn("__graft_rk", row_number().over(
+          Window.partitionBy("band", "bucket").orderBy("ida")))
+        .filter(col("__graft_rk") <= standingRankCap)
+        .drop("__graft_rk")
+    val cand = capped
       .join(bandedBuckets(shNew, nHashes, bands, rowsPerBand)
           .select(col("id").as("idb"), col("band"), col("bucket")),
         Seq("band", "bucket"))

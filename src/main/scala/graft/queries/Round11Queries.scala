@@ -75,18 +75,27 @@ object Round11Queries {
     // sketches never depend on other docs), so neither side is
     // re-tokenized; production loads the same two frames via
     // Dedup.loadMinHashIndex. The ORACLE is deliberately the
-    // BATCH-GLOBAL banding restricted to cross-half pairs: MinHash
-    // band buckets are corpus-independent, so a hash match verifies
-    // that probe-against-index equals the batch rebuild's cross
-    // pairs — the tier's increment-equals-rebuild theorem.
+    // BATCH-GLOBAL banding restricted to cross-half pairs, with the
+    // STANDING (even) half rank-capped at 8 per band bucket — the
+    // same formulation the probe's standingRankCap computes (r14:
+    // an uncapped cross join charges every colliding shard doc
+    // O(cluster) pairs per band, unbounded in the standing corpus).
+    // MinHash band buckets are corpus-independent, so a hash match
+    // verifies that probe-against-index equals the capped batch
+    // rebuild's cross pairs — the tier's increment-equals-rebuild
+    // theorem, in the capped form both sides now share.
     QueryDef(
       "ns_dedup_incremental_minhash",
       Some(PipelineQueries.shingleCte + PipelineQueries.minhashCandCte +
         """,
         candx AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
-                  FROM bands a JOIN bands b
+                  FROM (SELECT doc_id, b, bucket, ROW_NUMBER() OVER
+                          (PARTITION BY b, bucket ORDER BY doc_id) rk
+                        FROM bands WHERE doc_id % 2 = 0) a
+                  JOIN bands b
                     ON a.b = b.b AND a.bucket = b.bucket
-                   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+                   AND b.doc_id % 2 = 1
+                  WHERE a.rk <= 8),
         jac AS (SELECT c.ida, c.idb,
                   len(list_intersect(x.hh, y.hh))::DOUBLE /
                   len(list_distinct(list_concat(x.hh, y.hh))) j

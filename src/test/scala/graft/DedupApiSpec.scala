@@ -179,6 +179,29 @@ class DedupApiSpec extends SparkSpec {
     } finally { sh.unpersist(); () }
   }
 
+  test("minhash incremental standingRankCap: a shard clone meets exactly " +
+      "the 8 lowest-id standing members incl. the minimum; MaxValue all") {
+    // standing = 12 exact clones (even ids 0..22): identical
+    // signatures put the whole cluster in every band bucket. A shard
+    // doc with the same text collides with all 12; the cap keeps the
+    // 8 lowest standing ids per bucket — deterministic.
+    val base = "the winnowing fingerprint window walks a monotone deque " +
+      "across character grams so any run of at least twenty characters " +
+      "shared verbatim between two documents must surface a common " +
+      "minimum hash that lands both documents in one postings group"
+    val standing = (0 until 12).map(i => (2L * i, base)).toDF("my_id", "body")
+    val shard = Seq((99L, base)).toDF("my_id", "body")
+    val index = Dedup.buildMinHashIndex(standing, "my_id", "body")
+    val got = Dedup.probeIncrementalMinhash(shard, "my_id", "body", index)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got == (0 until 8).map(i => (2L * i, 99L)).toSet,
+      s"cap 8 keeps the 8 lowest standing ids: $got")
+    val full = Dedup.probeIncrementalMinhash(shard, "my_id", "body", index,
+        standingRankCap = Int.MaxValue)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(full == (0 until 12).map(i => (2L * i, 99L)).toSet, full.toString)
+  }
+
   test("winnow rank cap: star coverage with EXACT n_shared; dropped " +
       "pairs are only high-rank x high-rank; MaxValue restores all") {
     val post = Dedup.winnowPostings(dupCluster(12), "my_id", "body")
