@@ -612,9 +612,16 @@ object Dedup {
     * Unlike the shingle/winnow tiers there is NO df table to carry: a
     * doc's MinHash signature and band buckets depend only on its own
     * text, so increment-equals-rebuild holds with no combined-df
-    * bookkeeping at all — probing a shard against this index finds
-    * exactly the cross pairs a batch [[minhashCandidates]] +
-    * [[verifiedPairs]] over (corpus ∪ shard) would.
+    * bookkeeping at all. With caps disabled (`standingRankCap =
+    * Int.MaxValue` on the probe, `rankCap = Int.MaxValue` on the
+    * batch side) probing a shard against this index finds exactly
+    * the cross pairs a batch [[minhashCandidates]] +
+    * [[verifiedPairs]] over (corpus ∪ shard) would. Under the capped
+    * defaults the two formulations differ: the probe caps only the
+    * STANDING half of each bucket (every shard doc still pairs with
+    * those survivors — see [[probeMinhashFromSignatures]]), while
+    * batch [[minhashCandidates]] ranks over the combined bucket with
+    * shard ids included, so the capped pair sets are not identical.
     */
   final case class MinHashIndex(buckets: DataFrame, signatures: DataFrame)
 
@@ -1011,15 +1018,20 @@ object Dedup {
 
   /** End-to-end: the surviving ids after transitive near-dup removal
     * (one representative — the min id — per component). Converges to
-    * fixpoint regardless of chain length. EAGER like componentLabels;
+    * fixpoint regardless of chain length. `rankCap` flows to
+    * [[minhashCandidates]]; pass `Int.MaxValue` for exhaustive
+    * bucket enumeration (Jaccard is not transitive, so the capped
+    * default can miss a pair whose only witness outranks the cap).
+    * EAGER like componentLabels;
     * the returned frame itself is persisted and materialized (the
     * intermediate labels cache is released here) — callers own
     * releasing it via `.unpersist()`.
     */
   def dedupTransitive(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, rankCap: Int = 8): DataFrame = {
     val sh = shingleSignatures(docs, idCol, textCol)
-    val pairs = verifiedPairs(sh, minhashCandidates(sh), threshold)
+    val pairs = verifiedPairs(sh, minhashCandidates(sh, rankCap = rankCap),
+      threshold)
     // star contraction, not propagation: identical labels at
     // fixpoint, O(log n) rounds even on snapshot-chain dup graphs
     val labels = componentLabelsStar(docs.select(col(idCol).as("id")), pairs)

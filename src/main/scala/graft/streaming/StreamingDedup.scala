@@ -47,17 +47,26 @@ object StreamingDedup {
     * outputs derive from that cache (single-pay); the caller owns
     * releasing the third element via `.unpersist()` after its writes
     * (unpersisting a derived select would be a no-op on the cache).
+    *
+    * `standingRankCap` bounds the standing half of each probed index
+    * bucket, `rankCap` the batch-internal candidate enumeration (both
+    * default to the batch tiers' 8). Jaccard is not transitive, so
+    * under the caps a batch doc whose only >=minJaccard match sits
+    * beyond the cap in a crowded bucket is admitted as a duplicate
+    * into the streamed corpus — pass `Int.MaxValue` for either cap to
+    * restore exhaustive recall at O(Σc²) candidate cost.
     */
   def dedupBatchWithSignatures(batch: DataFrame, idCol: String,
       textCol: String, index: Dedup.MinHashIndex,
-      minJaccard: Double = 0.8): (DataFrame, DataFrame, DataFrame) = {
+      minJaccard: Double = 0.8, rankCap: Int = 8,
+      standingRankCap: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = Dedup.shingleSignatures(batch, idCol, textCol).persist(lvl)
     val crossDrop = Dedup.probeMinhashFromSignatures(sh, index,
-        minJaccard = minJaccard)
+        minJaccard = minJaccard, standingRankCap = standingRankCap)
       .select(col("idb").as("__graft_drop"))
     val innerDrop = Dedup.verifiedPairs(sh,
-        Dedup.minhashCandidates(sh), minJaccard)
+        Dedup.minhashCandidates(sh, rankCap = rankCap), minJaccard)
       .select(col("idb").as("__graft_drop"))
     val drops = crossDrop.union(innerDrop).distinct()
     val survivors = batch.join(drops,
@@ -73,11 +82,13 @@ object StreamingDedup {
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, corpusDir: String,
-      minJaccard: Double = 0.8): Unit = {
+      minJaccard: Double = 0.8, rankCap: Int = 8,
+      standingRankCap: Int = 8): Unit = {
     val spark = batch.sparkSession
     val index = Dedup.loadMinHashIndex(spark, indexDir)
     val (survivors, shKept, shHandle) =
-      dedupBatchWithSignatures(batch, idCol, textCol, index, minJaccard)
+      dedupBatchWithSignatures(batch, idCol, textCol, index, minJaccard,
+        rankCap, standingRankCap)
     try {
       survivors.write.mode("append").parquet(corpusDir)
       // the index append derives from the SAME cached signatures the
@@ -103,11 +114,13 @@ object StreamingDedup {
     */
   def processBatchBucketed(batch: DataFrame, idCol: String,
       textCol: String, indexName: String, corpusDir: String,
-      minJaccard: Double = 0.8, nBuckets: Int = 32): Unit = {
+      minJaccard: Double = 0.8, nBuckets: Int = 32, rankCap: Int = 8,
+      standingRankCap: Int = 8): Unit = {
     val spark = batch.sparkSession
     val index = Dedup.loadMinHashIndexBucketed(spark, indexName)
     val (survivors, shKept, shHandle) =
-      dedupBatchWithSignatures(batch, idCol, textCol, index, minJaccard)
+      dedupBatchWithSignatures(batch, idCol, textCol, index, minJaccard,
+        rankCap, standingRankCap)
     try {
       survivors.write.mode("append").parquet(corpusDir)
       Dedup.appendMinHashIndexBucketed(
@@ -125,11 +138,12 @@ object StreamingDedup {
     */
   def dedupedIngestWriter(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String, corpusDir: String,
-      minJaccard: Double = 0.8): DataStreamWriter[Row] =
+      minJaccard: Double = 0.8, rankCap: Int = 8,
+      standingRankCap: Int = 8): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         processBatch(batch, idCol, textCol, indexDir, corpusDir,
-          minJaccard)
+          minJaccard, rankCap, standingRankCap)
     }
 
   /** Bucketed-index twin of [[dedupedIngestWriter]] — the scale
@@ -139,10 +153,11 @@ object StreamingDedup {
     */
   def dedupedIngestWriterBucketed(docs: DataFrame, idCol: String,
       textCol: String, indexName: String, corpusDir: String,
-      minJaccard: Double = 0.8, nBuckets: Int = 32): DataStreamWriter[Row] =
+      minJaccard: Double = 0.8, nBuckets: Int = 32, rankCap: Int = 8,
+      standingRankCap: Int = 8): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         processBatchBucketed(batch, idCol, textCol, indexName, corpusDir,
-          minJaccard, nBuckets)
+          minJaccard, nBuckets, rankCap, standingRankCap)
     }
 }

@@ -170,4 +170,30 @@ class StreamingDedupSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(corpus == Set(1L, 4L), s"corpus: $corpus")
   }
+
+  test("rank caps plumb through dedupBatchWithSignatures: the default " +
+      "plants the rank window, Int.MaxValue restores exhaustive plans") {
+    // Cap SEMANTICS (what each cap keeps/drops, star coverage,
+    // MaxValue recall) are pinned at the Dedup layer in DedupApiSpec;
+    // this pins the FORWARDING — the streaming wrapper must hand both
+    // caps down, or a caller opting into exhaustive recall silently
+    // keeps the capped defaults (ADVICE r14).
+    val seed = Seq((10L, txt10)).toDF("id", "text")
+    val index = Dedup.buildMinHashIndex(seed, "id", "text")
+    val batch = Seq((11L, txt11), (12L, txt12)).toDF("id", "text")
+    def planOf(rankCap: Int, standingRankCap: Int): String = {
+      val (survivors, _, sh) = StreamingDedup.dedupBatchWithSignatures(
+        batch, "id", "text", index, minJaccard = 0.5,
+        rankCap = rankCap, standingRankCap = standingRankCap)
+      try survivors.queryExecution.optimizedPlan.toString
+      finally sh.unpersist()
+    }
+    // capped default: both the probe's standing side and the batch-
+    // internal candidate stage rank-filter on the window column
+    assert(planOf(8, 8).contains("__graft_rk"),
+      "capped default must plant the rank window")
+    // exhaustive opt-out: no rank window anywhere in the plan
+    assert(!planOf(Int.MaxValue, Int.MaxValue).contains("__graft_rk"),
+      "Int.MaxValue caps must remove the rank windows")
+  }
 }
