@@ -393,6 +393,134 @@ object Curate {
     decontaminateWithIndex(docs, idCol, textCol, isEval,
       buildContamIndex(docs, textCol, isEval, n, fpp), n)
 
+  // ──── Hashed-signature decontamination — the scale formulation ────
+  //
+  // The string tier above joins on the n-gram STRINGS (~40 B each,
+  // materialized by an explode over the whole corpus on every probe).
+  // This tier is the signature-table formulation every dedup tier
+  // already uses: each doc carries its DISTINCT hex60-hashed n-gram
+  // set as one array<long> built natively from tokens (shingle
+  // strings never exist in the plan), the standing artifact is ~8 B
+  // per n-gram, and the contamination join runs on longs. A 60-bit
+  // hash stands in for the n-gram itself — collisions are
+  // deterministic and engine-identical (same md5-based hash both
+  // sides), with ~1e-9 of the key space occupied even at 1e9 distinct
+  // n-grams.
+
+  /** Hashed contamination signature table `(id, is_eval, hh)`: the
+    * distinct hex60-hashed word n-gram set per doc, eval flag carried
+    * so one write-once artifact feeds both sides of every later
+    * probe. NULL `isEval` counts as train, as in [[decontaminate]].
+    * Empty-shingle docs (fewer than n tokens) are dropped — they can
+    * neither contaminate nor be contaminated.
+    */
+  def contamSignatures(docs: DataFrame, idCol: String, textCol: String,
+      isEval: org.apache.spark.sql.Column, n: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        coalesce(isEval, lit(false)).as("is_eval"),
+        graft.plans.ShingleHash60(TF.tokens(col(textCol)), n).as("hh"))
+      .filter(size(col("hh")) > 0)
+
+  /** Bloom over a long-hash column `h` — bits set with `putLong` on
+    * the raw hex60 values, the keying [[graft.plans.BloomFilterArrayLong]]
+    * probes with `mightContainLong`. NOT interchangeable with
+    * [[bloomOver]]'s string-keyed xxhash64 scheme.
+    */
+  def bloomOverHashes(evalHashes: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    evalHashes.stat.bloomFilter("h",
+      math.max(evalHashes.count(), 1L), fpp)
+
+  /** Standing index of the hashed tier: the distinct eval hash set
+    * (verify side) plus a long-keyed bloom over it (in-row prefilter
+    * side). Same artifact contract as [[ContamIndex]].
+    */
+  final case class ContamIndexHashed(evalHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+
+  /** Build the hashed index from a [[contamSignatures]] table. The
+    * eval hash frame is persisted for the index's lifetime (sizing
+    * count, bloom populate, verify join — single-pay); callers own
+    * the release via [[releaseContamIndexHashed]].
+    */
+  def buildContamIndexHashed(sig: DataFrame,
+      fpp: Double = 0.01): ContamIndexHashed = {
+    val evalH = sig.filter(col("is_eval"))
+      .select(explode(col("hh")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ContamIndexHashed(evalH, bloomOverHashes(evalH, fpp))
+  }
+
+  def releaseContamIndexHashed(index: ContamIndexHashed): Unit =
+    index.evalHashes.unpersist()
+
+  /** Persist/load the hashed index — parquet hash set + portable
+    * bloom binary, the same standing-artifact layout as
+    * [[writeContamIndex]].
+    */
+  def writeContamIndexHashed(index: ContamIndexHashed, dir: String): Unit = {
+    index.evalHashes.write.mode("overwrite").parquet(s"$dir/eval_hashes")
+    new java.io.File(dir).mkdirs()
+    val os = new java.io.FileOutputStream(s"$dir/bloom.bin")
+    try index.bloom.writeTo(os) finally os.close()
+  }
+
+  def loadContamIndexHashed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ContamIndexHashed = {
+    val is = new java.io.FileInputStream(s"$dir/bloom.bin")
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+      finally is.close()
+    ContamIndexHashed(spark.read.parquet(s"$dir/eval_hashes"), bloom)
+  }
+
+  /** Exact hashed contamination check: train-side signatures
+    * `(id, hh)` against a standing eval hash set `(h)`. Returns
+    * (id, n_shared) — n_shared counts distinct shared hashed n-grams,
+    * the hashed-tier analog of [[decontaminate]]'s contract.
+    */
+  def decontaminateHashedExact(trainSig: DataFrame,
+      evalHashes: DataFrame): DataFrame =
+    trainSig.select(col("id"), explode(col("hh")).as("h"))
+      .join(evalHashes, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Bloom-prefiltered probe of train-side signatures against the
+    * hashed index — same result as [[decontaminateHashedExact]] (the
+    * verify join removes every bloom false positive). The scale path:
+    * the bloom prunes each doc's hash array IN-ROW
+    * ([[graft.plans.BloomFilterArrayLong]]), so the plan's only
+    * explode is over the candidate hits — the clean bulk of the
+    * corpus never materializes a shingle row, and the verify join's
+    * probe side is candidate-sized.
+    */
+  def probeContamHashed(trainSig: DataFrame,
+      index: ContamIndexHashed): DataFrame =
+    trainSig
+      .select(col("id"),
+        graft.plans.BloomFilterArrayLong(col("hh"), index.bloom)
+          .as("__graft_cand"))
+      .filter(size(col("__graft_cand")) > 0)
+      .select(col("id"), explode(col("__graft_cand")).as("h"))
+      .join(index.evalHashes, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Self-contained hashed contamination check over a raw frame —
+    * API parity with [[decontaminate]]; production builds the
+    * signature artifact once and uses the signature forms above.
+    */
+  def decontaminateHashed(docs: DataFrame, idCol: String,
+      textCol: String, isEval: org.apache.spark.sql.Column,
+      n: Int = 4): DataFrame = {
+    val sig = contamSignatures(docs, idCol, textCol, isEval, n)
+    decontaminateHashedExact(
+      sig.filter(!col("is_eval")).select("id", "hh"),
+      sig.filter(col("is_eval")).select(explode(col("hh")).as("h"))
+        .distinct())
+  }
+
   /** Token-budget WATERFILLING across strata — the mixture solver
     * behind "hit these domain proportions within a B-token budget":
     * each stratum s with capacity `nCol` tokens and target weight

@@ -301,29 +301,18 @@ object Round9Queries {
     // ── Train/eval contamination check (the benchmark-decontamination
     // pass every training pipeline runs): eval split = deterministic
     // content-hash bucket (never rand()); a train doc is contaminated
-    // when it shares any distinct word 4-gram with any eval doc.
-    // Shape: per-doc distinct shingles (native WordNgrams), inverted-
-    // index join on the shingle against the SMALL eval side — the
-    // optimizer may broadcast it; nothing forces O(corpus) either way.
+    // when it shares any distinct hashed word 4-gram with any eval
+    // doc. Round 15: the hashed-signature formulation
+    // (Curate.decontaminateHashedExact) — train side served from the
+    // standing contamSignatures artifact (no per-run corpus string
+    // explode), eval side from the standing hash set, join on longs.
     QueryDef(
       "ns_decontaminate",
-      Some("""WITH tk AS (SELECT doc_id,
-                ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
-                list_filter(string_split(lower(text), ' '), x -> x <> '') tk
-                FROM documents),
-              sh AS (SELECT doc_id, bucket,
-                     UNNEST(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' ||
-                       tk[i+2] || ' ' || tk[i+3]
-                       for i in range(1, len(tk)-2)])) s
-                     FROM tk WHERE len(tk) >= 4),
-              e AS (SELECT DISTINCT s FROM sh WHERE bucket < 5)
-              SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-              FROM sh JOIN e USING (s) WHERE sh.bucket >= 5
-              GROUP BY 1 ORDER BY doc_id"""),
+      Some(Round11Queries.contamOracleSql),
       (s, dir) =>
-        graft.operators.Curate.decontaminate(
-            t(s, dir, "documents"), "doc_id", "text",
-            isEval = TF.hex60(col("text")) % 100 < 5)
+        graft.operators.Curate.decontaminateHashedExact(
+            Round11Queries.contamTrain(s, dir),
+            Round11Queries.evalHashes(s, dir))
           .select(col("id").as("doc_id"), col("n_shared"))
           .orderBy("doc_id")),
 

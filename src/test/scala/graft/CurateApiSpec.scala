@@ -175,6 +175,68 @@ class CurateApiSpec extends SparkSpec {
     assert(bloomed.contains(2L) && !bloomed.contains(3L))
   }
 
+  test("hashed decontamination tier: equals the string formulation, " +
+      "bloom probe exact at absurd fpp, in-row prune in the plan") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true), // eval
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false),
+      (4L, "another clean doc with nothing shared at all here", false))
+      .toDF("id0", "body", "ev")
+    val strings = Curate.decontaminate(corpus, "id0", "body", col("ev"))
+      .as[(Long, Long)].collect().toMap
+    // the 60-bit hash is collision-free at this size: identical result
+    val hashed = Curate.decontaminateHashed(corpus, "id0", "body",
+        col("ev")).as[(Long, Long)].collect().toMap
+    assert(hashed == strings, s"$hashed vs $strings")
+    // bloom-prefiltered probe: fpp 0.5 passes plenty of clean hashes —
+    // the verify join must still reduce to exactly the exact answer
+    val sig = Curate.contamSignatures(corpus, "id0", "body", col("ev"))
+    val idx = Curate.buildContamIndexHashed(sig, fpp = 0.5)
+    val train = sig.filter(!col("ev")).select("id", "hh")
+    val probed = Curate.probeContamHashed(train, idx)
+      .as[(Long, Long)].collect().toMap
+    assert(probed == strings, s"$probed vs $strings")
+    // the scale property: the bloom prunes IN-ROW (the native
+    // graft_bloom_filter_array expression), before any explode — on a
+    // parquet-backed signature table (a local Seq constant-folds the
+    // whole projection into a LocalTableScan)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-contamsig-").toString + "/sig"
+    train.write.parquet(dir)
+    val plan = Curate.probeContamHashed(spark.read.parquet(dir), idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_filter_array"), plan)
+    val genIdx = plan.indexOf("Generate explode")
+    val bloomIdx = plan.indexOf("graft_bloom_filter_array")
+    assert(genIdx >= 0 && bloomIdx > genIdx,
+      s"bloom prune must sit below the explode:\n$plan")
+    Curate.releaseContamIndexHashed(idx)
+  }
+
+  test("hashed contam index round-trips through disk: probing the " +
+      "LOADED index equals the direct probe") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false))
+      .toDF("id0", "body", "ev")
+    val sig = Curate.contamSignatures(corpus, "id0", "body", col("ev"))
+    val train = sig.filter(!col("ev")).select("id", "hh")
+    val built = Curate.buildContamIndexHashed(sig)
+    val direct = Curate.probeContamHashed(train, built)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-contamh-").toString
+    Curate.writeContamIndexHashed(built, dir)
+    Curate.releaseContamIndexHashed(built)
+    val loaded = Curate.loadContamIndexHashed(spark, dir)
+    assert(loaded.evalHashes.inputFiles.exists(_.contains("eval_hashes")))
+    val viaDisk = Curate.probeContamHashed(train, loaded)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDisk == direct && viaDisk.contains(2L), s"$viaDisk")
+  }
+
   test("contam index round-trips through disk: probing the LOADED " +
       "index equals the direct probe, eval docs never re-read") {
     val corpus = Seq(
