@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+object IntersectSumSupport {
+  /** Two-pointer walk over two ASC-sorted long key arrays: sum of
+    * `weightsA[i]` at every position i where `keysA[i]` also occurs in
+    * `keysB`. Keys are assumed distinct within each array (a doc's
+    * term set); exact BIGINT accumulation, order-free by construction.
+    */
+  def sortedIntersectSum(keysA: ArrayData, weightsA: ArrayData,
+      keysB: ArrayData): Long = {
+    val na = keysA.numElements()
+    val nb = keysB.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val ka = keysA.getLong(i)
+      val kb = keysB.getLong(j)
+      if (ka == kb) { s += weightsA.getLong(i); i += 1; j += 1 }
+      else if (ka < kb) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+/** Native in-row verify primitive for signature-array similarity: the
+  * exact weighted intersection Σ weightsA[i] · [keysA[i] ∈ keysB] over
+  * two ASC-sorted key arrays — one O(|a|+|b|) merge inside whole-stage
+  * codegen, replacing the (pair, shared-term) row enumeration + groupBy
+  * that the postings self-join formulation pays (the same
+  * rows-to-in-row restructure that took the winnowing verify from a
+  * join-shaped n_shared count to `array_intersect` in-row).
+  * Identical BIGINT total as SUM over the shared-term join — summation
+  * order cannot change an exact integer sum.
+  */
+case class SortedIntersectWeightSum(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with TernaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_wsum"
+
+  override protected def nullSafeEval(a: Any, w: Any, b: Any): Any =
+    IntersectSumSupport.sortedIntersectSum(a.asInstanceOf[ArrayData],
+      w.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, w, b) =>
+      s"${ev.value} = graft.plans.IntersectSumSupport" +
+        s".sortedIntersectSum($a, $w, $b);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): SortedIntersectWeightSum =
+    copy(first = f, second = s, third = t)
+}
+
+object SortedIntersectWeightSum {
+  def apply(keysA: Column, weightsA: Column, keysB: Column): Column =
+    Bridge.column(SortedIntersectWeightSum(Bridge.expression(keysA),
+      Bridge.expression(weightsA), Bridge.expression(keysB)))
+}

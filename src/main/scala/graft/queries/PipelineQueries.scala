@@ -117,6 +117,8 @@ object PipelineQueries {
     ivfKmeansAssignments(s, dir)
     cappedInvertedIndex(s, dir)
     tfidfWeights(s, dir)
+    tfidfPrefix(s, dir)
+    tfidfSig(s, dir)
     winnowPostings(s, dir)
     incrementalIndex(s, dir)
     winnowIncIndex(s, dir)
@@ -257,7 +259,7 @@ object PipelineQueries {
     * join (2× per query). At 100 TB this is the posting-list file a
     * search index ships; queries read it.
     */
-  private[queries] def tfidfWeights(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "tfidfw") {
       val inv = cappedInvertedIndex(s, dir)
       val nn = inv.agg(countDistinct("doc_id").as("n"))
@@ -268,6 +270,27 @@ object PipelineQueries {
           floor((col("n").cast("double") / col("df")) *
             (col("n").cast("double") / col("df")) * 1e6)
             .cast("long").as("wq"))
+    }
+
+  /** The tf-idf tier's Bayardo prefix-postings index — the discovery
+    * half of the all-pairs similarity index (operators/TextSim),
+    * memoized beside the weight postings it derives from: at 100 TB
+    * the prefix index is written once per corpus next to the posting
+    * lists (it IS the index structure of Bayardo et al., WWW '07) and
+    * every similarity job probes it.
+    */
+  private[queries] def tfidfPrefix(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "tfidfpre") {
+      graft.operators.TextSim.prefixPostings(tfidfWeights(s, dir), 0.5)
+    }
+
+  /** The tf-idf tier's verify half: per-doc sorted signature arrays
+    * (term hashes + weights) + the exact norm — the in-row-verify
+    * twin of the prefix index above, same write-once contract.
+    */
+  private[queries] def tfidfSig(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "tfidfsig") {
+      graft.operators.TextSim.signatures(tfidfWeights(s, dir))
     }
 
   /** Document-frequency-capped inverted shingle index (doc_id, s):
@@ -1559,11 +1582,15 @@ object PipelineQueries {
     // — plus byte-exact access-unit EXTRACTION, proven by au_sha:
     // sha256 of the in-order concatenation of every demuxed sample,
     // which the fixture computed ARITHMETICALLY from the encoder
-    // inputs (tools/MakeMediaFixture). Pixel decode of mp4 codecs is
-    // the disclosed gap (no JVM H.264/H.265 decoder; a production
-    // pipeline ships the extracted access units to a GPU decoder —
-    // the extraction IS the Spark-side work), so unlike the AVI row
-    // there is no luma column by design. Corrupt rows pin the
+    // inputs (tools/MakeMediaFixture). PIXEL decode (round 15): the
+    // photo-JPEG rows ('jpeg' sample entries, real JPEG samples)
+    // route through javax.imageio — n_frames_decoded = n on those
+    // rows proves demux + per-sample pixel decode; H.264/H.265 rows
+    // stay n_frames_decoded = 0, the disclosed env-blocked gap (a
+    // production pipeline ships the extracted access units to a GPU
+    // decoder — the extraction IS the Spark-side work). No luma
+    // column by design (lossy pixel values are decoder-defined, as
+    // in the AVI MJPG family). Corrupt rows pin the
     // never-kill-the-task sentinel contract (-1 dims, empty sha).
     QueryDef(
       "ns_multimodal_video_mp4",
@@ -1572,6 +1599,7 @@ object PipelineQueries {
               true_us_per_frame AS us_per_frame,
               true_n_frames AS n_frames_declared,
               true_n_frames AS n_frames_found,
+              true_n_frames_decoded AS n_frames_decoded,
               true_frame_bytes AS frame_bytes,
               true_au_sha AS au_sha
               FROM read_parquet('/root/repo/fixtures/video_mp4/*.parquet')
@@ -1597,7 +1625,8 @@ object PipelineQueries {
         feats.join(shas, Seq("media_id"), "left")
           .select(col("media_id"), col("kind"), col("width"),
             col("height"), col("us_per_frame"), col("n_frames_declared"),
-            col("n_frames_found"), col("frame_bytes"),
+            col("n_frames_found"), col("n_frames_decoded"),
+            col("frame_bytes"),
             coalesce(col("au_sha"), lit("")).as("au_sha"))
           .orderBy("media_id")
       }),

@@ -419,23 +419,21 @@ object Round3Queries {
         SELECT da AS doc_a, db AS doc_b, ROUND(sim, 3) AS sim FROM simt
         WHERE sim >= 0.5 ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        // the weight postings are the memoized write-once artifact
-        // (PipelineQueries.tfidfWeights) — both self-join sides below
-        // probe ONE cached table instead of each re-paying the df
-        // groupBy + join + weight projection
-        val w = PipelineQueries.tfidfWeights(s, dir)
-        val nrm = w.groupBy("doc_id").agg(sum("wq").as("s2"))
-        val sab = w.as("a")
-          .join(w.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(sum(col("a.wq")).as("sab"))
-        sab
-          .join(nrm.select(col("doc_id").as("da"), col("s2").as("na")), "da")
-          .join(nrm.select(col("doc_id").as("db"), col("s2").as("nb")), "db")
+        // the pair stage is the exact Bayardo-prefix-filtered +
+        // in-row-verified restructure (operators/TextSim — VERDICT
+        // r14 next-round #4: the naive self-join enumerated Σ c_s²
+        // (pair, term) rows, 138 M at sf1, and was the engine's most
+        // expensive op). Served from the tier's memoized standing
+        // index halves (prefix postings + signature arrays, the
+        // write-once artifacts beside tfidfWeights). Result set
+        // provably identical, so the oracle SQL keeps the reference
+        // formulation.
+        graft.operators.TextSim.cosinePairsFromIndex(
+            PipelineQueries.tfidfPrefix(s, dir),
+            PipelineQueries.tfidfSig(s, dir), 0.5)
           .withColumn("sim", col("sab").cast("double") /
-            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-          .filter(col("sim") >= 0.5)
+            (sqrt(col("s2a").cast("double")) *
+              sqrt(col("s2b").cast("double"))))
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("sim"), 3).as("sim"))
           .orderBy("doc_a", "doc_b")
