@@ -78,15 +78,27 @@ object Catalog {
       // single-row-group file can still be split (after the read).
       // Applied to the large tables only, before the cache, so the
       // one-time shuffle happens at warm time, not per query.
+      //
+      // Round 15: the repartition is a CRUTCH for unsplittable files
+      // and is now applied only there. A single-file table with
+      // MULTIPLE row groups is natively splittable — Spark's own
+      // split sizing (maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes / defaultParallelism)))
+      // already yields ~core-count scan tasks with zero shuffle,
+      // which is exactly what a real multi-file 100 TB layout gives a
+      // cluster. Forcing the round-robin Exchange on such files paid
+      // a full write+read of the fact table per cold scan (the sf1
+      // trend replicas: 733 row groups in lineitem, yet every q47
+      // probe shuffled 6 M rows before touching the join).
       val par = spark.conf.getOption("spark.graft.local.scanParallelism")
         .map(_.toInt).getOrElse(0)
       if (par > 0 && largeTables(name)) {
+        val f = new java.io.File(s"$dir/$name.parquet")
         // directory-style parquet: File.length() on a directory is
         // the inode size (~4 KiB), which silently disabled the split
         // for multi-file layouts — sum the contained part files
         val bytes =
           try {
-            val f = new java.io.File(s"$dir/$name.parquet")
             if (f.isDirectory)
               f.listFiles().iterator
                 .filter(x => x.isFile && !x.getName.startsWith("_")
@@ -94,8 +106,19 @@ object Catalog {
                 .map(_.length()).sum
             else f.length()
           } catch { case _: Throwable => 0L }
+        val rowGroups =
+          try {
+            if (f.isDirectory) Int.MaxValue // multi-file: splittable
+            else {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.toURI),
+                  spark.sessionState.newHadoopConf())
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRowGroups.size finally r.close()
+            }
+          } catch { case _: Throwable => 1 }
         val n = math.min(par.toLong, math.max(1L, bytes >> 19)).toInt
-        if (n > 1) df.repartition(n) else df
+        if (n > 1 && rowGroups <= 1) df.repartition(n) else df
       } else df
     })
 

@@ -258,28 +258,47 @@ object ExtendedQueries {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        // the filtered-orders side is bounded by |orders| (each order
-        // matches one customer), so route it by the ORDERS statistic:
-        // small → broadcast into lineitem (lineitem never shuffles),
-        // big → declarative shuffle join. AsOf.autoPlan's routing
-        // pattern applied to a star join. Width-honest hint: the
-        // pruned broadcast relation carries (o_orderkey, n_name) —
-        // two narrow columns, not the full orders row — so the
-        // statistic is the orders scan projected to two comparable-
-        // width columns. The un-projected hint overstated the side
-        // ~4× and pushed sf1 onto the shuffle plan DuckDB beats 4.5×
-        // (BENCH_TREND r13: ratio_sf1_min 4.49); the row-count bound
-        // |orders| is unchanged, so the 100 TB fallback still fires.
-        graft.operators.Joins.broadcastIfSmall(
+        // Build-side LADDER (round 15, VERDICT r14 what's-wrong #3):
+        // the sf1 profile showed the right join ORDER but the wrong
+        // build sides — Spark's static threshold chose the 10×-bigger
+        // ORDERS scan as the c⋈o build side (a 4.5 M-row driver
+        // collect + hash build; at cluster scale an OOM shape), so
+        // the query serialized on three driver-side broadcast builds.
+        // Every level now routes the DIM-BOUNDED side as the build
+        // via broadcastIfSmall, so the fact tables (orders, lineitem)
+        // only ever STREAM:
+        //   r⋈n (broadcast, ≤|nation|) → ⋈c builds on the customer
+        //   side (hint = customer table; c_mktsegment proxies n_name's
+        //   string width) → ⋈o builds on the matched-customers output
+        //   → ⋈l builds on the (o_orderkey, n_name) output (hint =
+        //   orders projected; o_orderpriority proxies n_name — a
+        //   bigint proxy's 8 B stat width understated the string and
+        //   consumed part of broadcastIfSmall's inflation margin,
+        //   ADVICE r14). Row-count bounds |customer| / |orders| are
+        //   table statistics, so the 100 TB shuffle fallback still
+        //   fires level by level.
+        // The broadcast ladder carries the INT nation key, not the
+        // n_name string: the fact-side probe rows, the broadcast
+        // build bytes, and the 6 M-row partial-agg hash keys all
+        // shrink to 4 B, and n_name is joined back AFTER aggregation
+        // against the 25-row nation dim (5 post-agg rows ⋈ 25).
+        val custSide = graft.operators.Joins.broadcastIfSmall(
           broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
             .join(c, c("c_nationkey") === n("n_nationkey"))
-            .join(o, o("o_custkey") === c("c_custkey")),
+            .select(c("c_custkey"), n("n_nationkey")),
+          c.select(col("c_custkey"), col("c_nationkey")))
+        val ordSide = graft.operators.Joins.broadcastIfSmall(
+          custSide.join(o, o("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("n_nationkey")),
           o.select(col("o_orderkey"), col("o_custkey")))
-          .join(l, l("l_orderkey") === o("o_orderkey"))
-          .groupBy(n("n_name"))
+        ordSide.join(l, l("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_nationkey"))
           .agg(round(graft.plans.MoneySum.sumDec128(
             (l("l_extendedprice") * (lit(1) - l("l_discount")))
             .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))), Seq("n_nationkey"))
+          .select(col("n_name"), col("revenue"))
           .orderBy("n_name")
       }),
 
