@@ -437,14 +437,33 @@ object Multimodal {
                   -1L, -1L, -1L, -1L, decode_ok = false)
               case Some(mp4) =>
                 // REAL demux (dims/timing/counts/bytes from the box
-                // walk, offsets bounds-validated); pixel decode of
-                // mp4 codecs is the disclosed gap: n_frames_decoded
-                // = 0 and luma_fp = -1 (no JVM H.264/H.265 decoder;
-                // a pipeline ships the raw access units to a GPU
-                // decoder — see sampleVideoFrames)
+                // walk, offsets bounds-validated). PIXEL decode
+                // (round 15): photo-JPEG sample entries ('jpeg' /
+                // 'mjpa', and the MJPG fourcc some muxers write) are
+                // ordinary JPEG images — route each demuxed sample
+                // through the same javax.imageio path the AVI MJPG
+                // frames take (luma stays -1: lossy pixel values are
+                // decoder-defined, as in the AVI family). H.264/H.265
+                // remain the disclosed gap: n_frames_decoded = 0 (no
+                // JVM decoder; a pipeline ships the raw access units
+                // to a GPU decoder — see sampleVideoFrames).
+                val jpegInMp4 = Set("jpeg", "mjpa", "mjpg", "MJPG")
+                  .contains(mp4.handler)
+                val decoded =
+                  if (!jpegInMp4) 0L
+                  else mp4.samples.count { case (off, sz) =>
+                    val img =
+                      try javax.imageio.ImageIO.read(
+                        new java.io.ByteArrayInputStream(
+                          java.util.Arrays.copyOfRange(rec.payload,
+                            off.toInt, (off + sz).toInt)))
+                      catch { case _: java.io.IOException => null }
+                    img != null && img.getWidth == mp4.width &&
+                      img.getHeight == mp4.height
+                  }.toLong
                 VideoFeatures(rec.media_id, rec.kind, mp4.width,
                   mp4.height, mp4.usPerFrame, mp4.samples.size.toLong,
-                  mp4.samples.size.toLong, 0L,
+                  mp4.samples.size.toLong, decoded,
                   mp4.samples.map(_._2).sum, -1L, decode_ok = true)
             }
           case Some(avi) =>

@@ -199,6 +199,7 @@ object MakeMediaFixture {
       true_height: Int,
       true_us_per_frame: Long,
       true_n_frames: Long,
+      true_n_frames_decoded: Long,
       true_frame_bytes: Long,
       true_au_sha: String,
       true_ok: Boolean)
@@ -207,19 +208,45 @@ object MakeMediaFixture {
     Array.tabulate(90 + (i * 13 + f * 7) % 120)(j =>
       ((j * 31 + f * 17 + i * 5 + 3) % 256).toByte)
 
+  private def mp4RowFrom(id: Long, kind: String, codec: String, w: Int,
+      h: Int, usPf: Long, samples: Seq[Array[Byte]],
+      decoded: Long): Mp4FixtureRow = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(samples.flatten.toArray)
+      .map(b => f"${b & 0xff}%02x").mkString
+    Mp4FixtureRow(id, kind,
+      Multimodal.encodeMp4(w, h, usPf, samples, codec),
+      w, h, usPf, samples.size.toLong, decoded,
+      samples.map(_.length.toLong).sum, sha, true_ok = true)
+  }
+
   def mp4Row(i: Int): Mp4FixtureRow = {
     val w = 16 + (i % 7) * 5
     val h = 12 + (i % 5) * 4
     val n = 3 + (i % 5)
     val usPf = 33333L + 111L * i
-    val samples = (0 until n).map(f => mp4Sample(i, f))
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(samples.flatten.toArray)
-      .map(b => f"${b & 0xff}%02x").mkString
-    Mp4FixtureRow(i.toLong, "video/mp4-avc1",
-      Multimodal.encodeMp4(w, h, usPf, samples),
-      w, h, usPf, n.toLong, samples.map(_.length.toLong).sum, sha,
-      true_ok = true)
+    // synthetic access units — avc1 rows prove demux only
+    // (true_n_frames_decoded = 0: H.264 pixel decode is the
+    // disclosed env-blocked gap)
+    mp4RowFrom(i.toLong, "video/mp4-avc1", "avc1", w, h, usPf,
+      (0 until n).map(f => mp4Sample(i, f)), decoded = 0L)
+  }
+
+  /** Photo-JPEG-in-MP4 rows (round 15): samples are REAL JPEGs (the
+    * image fixture's pixel formulas), so the Spark side must demux
+    * AND pixel-decode every sample — true_n_frames_decoded = n.
+    * luma truth stays out by design (lossy pixel values are
+    * decoder-defined, as in the AVI MJPG family).
+    */
+  def mp4JpegRow(id: Long, i: Int): Mp4FixtureRow = {
+    val w = 32 + (i % 5) * 8
+    val h = 24 + (i % 3) * 8
+    val n = 2 + (i % 4)
+    val usPf = 40000L + 97L * i
+    val samples = (0 until n).map(f =>
+      Multimodal.encodeImage(w, h, rgbPx(i * 7 + f) _, "jpg"))
+    mp4RowFrom(id, "video/mp4-jpeg", "jpeg", w, h, usPf, samples,
+      decoded = n.toLong)
   }
 
   def mp4Rows: Seq[Mp4FixtureRow] = {
@@ -228,9 +255,10 @@ object MakeMediaFixture {
     val garbage = Array.tabulate(400)(j => ((j * 41 + 7) % 256).toByte)
     val bad = Seq((14L, truncated), (15L, garbage)).map { case (id, p) =>
       Mp4FixtureRow(id, "video/mp4-corrupt", p,
-        -1, -1, -1L, -1L, -1L, "", true_ok = false)
+        -1, -1, -1L, -1L, -1L, -1L, "", true_ok = false)
     }
-    good ++ bad
+    val jpeg = (0 until 6).map(i => mp4JpegRow(16L + i, i))
+    good ++ bad ++ jpeg
   }
 
   private def stripBookkeeping(outDir: String): Unit = {

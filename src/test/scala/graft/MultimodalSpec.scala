@@ -259,6 +259,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).frame.toSeq == samples(2).toSeq)
   }
 
+  test("photo-JPEG-in-mp4: every demuxed sample pixel-decodes via " +
+      "imageio with header dims; avc1 rows stay demux-only") {
+    import spark.implicits._
+    val w = 24; val h = 16
+    val jpegs = (0 until 3).map(f => encodeImage(w, h,
+      (x, y) => ((x * 3 + f) % 256, (y * 5 + f) % 256, (x + y) % 256),
+      "jpg"))
+    val mp4 = encodeMp4(w, h, 40000L, jpegs, codec = "jpeg")
+    val f = decodeVideoFeatures(
+      Seq(MediaRecord(1L, "video/mp4-jpeg", mp4)).toDS()).head()
+    assert(f.decode_ok && f.width == w && f.height == h)
+    assert(f.n_frames_found == 3 && f.n_frames_decoded == 3,
+      s"decoded ${f.n_frames_decoded} of ${f.n_frames_found}")
+    // luma stays the lossy sentinel, as in the AVI MJPG family
+    assert(f.luma_fp == -1L)
+    // a jpeg-fourcc container whose samples are NOT valid JPEGs
+    // decodes zero frames (demux still succeeds)
+    val fake = encodeMp4(w, h, 40000L,
+      Seq(Array.tabulate(64)(_.toByte)), codec = "jpeg")
+    val g = decodeVideoFeatures(
+      Seq(MediaRecord(2L, "video/mp4-jpeg", fake)).toDS()).head()
+    assert(g.decode_ok && g.n_frames_found == 1 && g.n_frames_decoded == 0)
+  }
+
   test("corrupt mp4 payloads yield decode_ok=false, never a task failure") {
     import spark.implicits._
     val ok = encodeMp4(8, 8, 40000L,

@@ -71,6 +71,11 @@ TREND3_QUERIES = [
     "ns_decontaminate", "ns_decontaminate_bloom",
     "ns_dedup_minhash_lsh", "ns_dedup_substring", "ns_dedup_containment",
     "q47_tpch_local_volume",
+    # round-15 additions (VERDICT r14 next-round #6): close the
+    # floor-artifact adjudication of the two remaining gate breaches
+    # with a 3-point curve, and carry the prefix-filtered tfidf tier's
+    # third point alongside its restructure
+    "q02_filter_predicates", "q15_rank_ntile_seq", "ns_text_tfidf_sim",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -207,18 +212,23 @@ def load_caps(path_csv):
 
 
 def best_q(caps, name):
-    """(median, rep_min) from the capture with the lowest median for
-    `name`; the rep_min is taken from that same capture."""
+    """(median, rep_min, all_medians) — median/rep_min come from the
+    capture with the lowest median for `name`; all_medians lists EVERY
+    capture's median for that query (ADVICE r14: the best-of selection
+    systematically favors the Spark side of the recorded ratios, so the
+    spread it selects from must be in the record for readers to judge)."""
     best = (None, None)
+    medians = []
     for c in caps:
         m = c["json"].get("queries_isolated", {}).get(name)
         if m is None or m < 0:
             continue
+        medians.append(round(m, 4))
         rmin = (c["json"].get("isolated_reps_detail", {}).get(name)
                 or [None])[0]
         if best[0] is None or m < best[0]:
             best = (m, rmin)
-    return best
+    return best[0], best[1], medians
 
 
 def cap_meta(caps):
@@ -246,11 +256,13 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
         # queries pay is a per-run lottery (load_caps docstring).
         # Median stays the headline; the min column shows what the
         # same plan does on a clean heap.
-        s01, _ = best_q(caps["sf0.1"], name)
-        s1, s1min = best_q(caps["sf1"], name)
+        s01, _, s01all = best_q(caps["sf0.1"], name)
+        s1, s1min, s1all = best_q(caps["sf1"], name)
         row = {
             "spark_sf01_sec": s01, "spark_sf1_sec": s1,
             "spark_sf1_min_sec": s1min,
+            "spark_sf01_capture_medians": s01all,
+            "spark_sf1_capture_medians": s1all,
             "oracle_sf01_sec": d01.get(name), "oracle_sf1_sec": d1.get(name),
         }
         if s01 and d01.get(name, 0) > 0 and s01 > 0:
@@ -286,7 +298,12 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
         "capture_policy": ("per-query best-of-captures median (and that "
                            "capture's best rep) when several captures are "
                            "supplied — robust to the shared-JVM GC-debris "
-                           "lottery; every capture's sha/flags recorded"),
+                           "lottery; every capture's sha/flags recorded. "
+                           "NOTE the selection is one-sided (the DuckDB "
+                           "oracle is timed once, live) — the per-capture "
+                           "medians the best was chosen FROM are in each "
+                           "row's spark_*_capture_medians so the hidden "
+                           "spread is readable (ADVICE r14)"),
         "spark_captures": {t: cap_meta(c) for t, c in caps.items()},
         "n_improved_of_trended": [len(conv),
                                   len([r for r in queries.values()
@@ -319,9 +336,10 @@ def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
     queries = record["queries"]
     for name in TREND3_QUERIES:
         row = queries.setdefault(name, {})
-        s3, s3min = best_q(caps3, name)
+        s3, s3min, s3all = best_q(caps3, name)
         row["spark_sf3_sec"] = s3
         row["spark_sf3_min_sec"] = s3min
+        row["spark_sf3_capture_medians"] = s3all
         row["oracle_sf3_sec"] = d3.get(name)
         if s3 and d3.get(name, 0) > 0 and s3 > 0:
             row["ratio_sf3"] = round(s3 / d3[name], 3)
