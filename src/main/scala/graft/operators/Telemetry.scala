@@ -91,4 +91,47 @@ object Telemetry {
     * master/master.ino:156,162 re-polls instead of averaging zeros).
     */
   def nullifZero(c: Column): Column = nullif(c, lit(0.0))
+
+  /** MERGE-style upsert of dimension rows — the §3.3 calibration
+    * lifecycle's write step (hx711_calibration/hx711_calibration
+    * .ino:28-47: the REPL loop converges a per-S/N factor, then the
+    * factor ROW is upserted into the standing calibration dim):
+    * rows of `updates` replace same-key rows of `target` (WHEN
+    * MATCHED UPDATE), unmatched keys insert (WHEN NOT MATCHED
+    * INSERT), everything else unchanged — expressed declaratively as
+    * anti-join + union, the plain-parquet MERGE (the dim is
+    * dimension-sized; Delta/Iceberg MERGE replaces this on table
+    * formats with transactions). `updates` must be key-unique;
+    * schemas must match by name.
+    */
+  def upsertRows(target: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    target.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Persisted twin of [[upsertRows]] for the parquet-backed dim the
+    * lifecycle reads between sessions: merge, materialize on the
+    * driver (dimension-sized by contract — this also severs the
+    * read-lineage so the overwrite of the SAME path is safe), rewrite,
+    * reload. The full-rewrite IS the plain-parquet MERGE mechanics;
+    * on a transactional table format the same call becomes MERGE INTO.
+    * Returns the reloaded frame so callers re-run their join against
+    * the updated dim.
+    */
+  def upsertCalibrationTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val merged = upsertRows(spark.read.parquet(dir), updates, keys)
+      .collect() // dimension-sized by contract; severs input lineage
+    val schema = updates.schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(merged: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // the session's FileStatusCache still lists the pre-overwrite
+    // part files for this path (no TTL by default) — refresh, or the
+    // next read fails on the deleted files
+    spark.catalog.refreshByPath(dir)
+    spark.read.parquet(dir)
+  }
 }
