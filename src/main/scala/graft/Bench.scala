@@ -67,6 +67,16 @@ object Bench {
       // inside a row group on the same file, a cluster gets this from
       // file count)
       .config("spark.graft.local.scanParallelism", cpus)
+      // Round 15: multi-row-group single files now split in the SCAN
+      // (Catalog skips the repartition crutch). Spark's split size is
+      // max(openCostInBytes, totalBytes/defaultParallelism) — with
+      // the 4 MB default openCost a compressed-but-CPU-heavy table
+      // (sf3 documents: 17 MB parquet, MD5-per-shingle work) planned
+      // only ~4 tasks and the dedup tiers serialized. 128 KB lets
+      // bytesPerCore drive the count to ~core parallelism; on a real
+      // cluster file count provides this and the default stands.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .getOrCreate()
     // dev knob: arbitrary conf overrides for plan A/B runs, e.g.
     // SPARK_GRAFT_CONFS="spark.sql.join.preferSortMergeJoin=false"

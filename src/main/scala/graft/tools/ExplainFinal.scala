@@ -26,6 +26,7 @@ object ExplainFinal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.local.scanParallelism", "32")
+      .config("spark.sql.files.openCostInBytes", "131072") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
