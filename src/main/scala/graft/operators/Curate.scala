@@ -486,6 +486,51 @@ object Curate {
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Driver-side materialization of the distinct eval hash set as a
+    * sorted array — the in-row tier's probe object. O(eval suite), the
+    * same "driver touches models, never data" budget as the PQ
+    * codebook: eval suites are benchmark-sized (thousands of docs ⇒
+    * ~10⁴-10⁶ distinct n-gram hashes, ≤ a few MB at 8 B each) while
+    * the corpus side never leaves the executors.
+    */
+  def evalHashSet(evalHashes: DataFrame): Array[Long] = {
+    val set = evalHashes.select(col("h")).collect().map(_.getLong(0))
+    java.util.Arrays.sort(set)
+    set
+  }
+
+  /** In-row EXACT contamination check — the small-eval tier: the
+    * sorted eval hash set rides into a codegen expression
+    * ([[graft.plans.LongArraySetCount]]) and n_shared is computed
+    * inside each signature row. No join, no broadcast exchange, no
+    * explode: the plan is scan→project→filter, one job. Same result
+    * contract as [[decontaminateHashedExact]] (hh is distinct per doc,
+    * so the membership count is the distinct intersection size).
+    */
+  def decontaminateHashedInRow(trainSig: DataFrame,
+      evalSet: Array[Long]): DataFrame =
+    trainSig
+      .select(col("id"),
+        graft.plans.LongArraySetCount(col("hh"), evalSet).as("n_shared"))
+      .filter(col("n_shared") > 0)
+
+  /** Size-gated routing across the decontamination ladder: the
+    * in-row exact-set tier while the distinct eval hash set fits
+    * comfortably in a task (default 16 MB ≈ 2M hashes at 8 B — the
+    * same order as the bloom BITS the next tier ships), the bloom +
+    * candidate-verify tier beyond. The count comes from the index's
+    * persisted eval-hash artifact (production reads it off the
+    * artifact's parquet metadata).
+    */
+  def decontaminateHashedAuto(trainSig: DataFrame,
+      index: ContamIndexHashed,
+      maxInRowSetBytes: Long = 16L << 20): DataFrame = {
+    val n = index.evalHashes.count()
+    if (n * 8 <= maxInRowSetBytes)
+      decontaminateHashedInRow(trainSig, evalHashSet(index.evalHashes))
+    else probeContamHashed(trainSig, index)
+  }
+
   /** Bloom-prefiltered probe of train-side signatures against the
     * hashed index — same result as [[decontaminateHashedExact]] (the
     * verify join removes every bloom false positive). The scale path:

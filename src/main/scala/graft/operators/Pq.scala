@@ -97,6 +97,51 @@ object Pq {
     nearest(distances(longForm(vecs, idCol, vecCol, subDim),
       codebook, idCol), idCol)
 
+  /** Driver-side materialization of a codebook frame (s, cid, d, cx)
+    * into the in-row encode layout — O(model) = k·dims rows, the same
+    * "driver touches models, never data" budget as the serving tier's
+    * ADC table. Codeword ids sort ascending within each subspace so
+    * the in-row first-min scan reproduces the `ORDER BY dist, cid`
+    * tie-break.
+    */
+  def collectModel(codebook: DataFrame, subDim: Int = 16): graft.plans.PqModel = {
+    val rows = codebook.select(col("s").cast("int"),
+        col("cid").cast("long"), col("d").cast("int"),
+        col("cx").cast("double")).collect()
+    val nSub = rows.map(_.getInt(0)).max + 1
+    val cidsBySub = rows.map(r => (r.getInt(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val k = cidsBySub.values.map(_.length).max
+    require(cidsBySub.values.forall(_.length == k),
+      "ragged codebook: unequal codewords per subspace")
+    val cids = new Array[Long](nSub * k)
+    val cx = new Array[Double](nSub * k * subDim)
+    for (s <- 0 until nSub; ci <- 0 until k)
+      cids(s * k + ci) = cidsBySub(s)(ci)
+    val cidIdx = cidsBySub.map { case (s, xs) =>
+      s -> xs.zipWithIndex.toMap }
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      val ci = cidIdx(s)(r.getLong(1))
+      val j = r.getInt(2) - s * subDim
+      cx((s * k + ci) * subDim + j) = r.getDouble(3)
+    }
+    graft.plans.PqModel(subDim, nSub, k, cids, cx)
+  }
+
+  /** In-row encode against a driver-held codebook model — the
+    * serving-scale twin of [[encode]]: the whole probe is one
+    * map-only projection ([[graft.plans.PqEncodeVec]]), no explode,
+    * no shuffle, no window; identical codes (differential-tested).
+    * At 100 TB an incremental shard encode is a linear scan.
+    */
+  def encodeInRow(vecs: DataFrame, idCol: String, vecCol: String,
+      model: graft.plans.PqModel): DataFrame =
+    vecs.select(col(idCol),
+        posexplode(graft.plans.PqEncodeVec(
+          col(vecCol).cast("array<double>"), model)).as(Seq("s", "cid")))
+      .select(col(idCol), col("s").cast("long").as("s"), col("cid"))
+
   /** Codes in serving layout — one row per vector, `cw[s]` = the
     * subspace-s codeword id (array_sort over (s, cid) structs, so
     * collect_list order can't matter).

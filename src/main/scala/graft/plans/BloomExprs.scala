@@ -81,3 +81,61 @@ object BloomFilterArrayLong {
       bos.toByteArray))
   }
 }
+
+object SortedSetSupport {
+  /** Count of `arr` elements present in the sorted long array (binary
+    * search per element — ~log2(|set|) probes, branch-free inner
+    * loop). Caller guarantees `sorted` is ascending and duplicate-free
+    * and `arr` is duplicate-free (ShingleHash60 emits distinct
+    * hashes), so the count IS the intersection size.
+    */
+  def countIn(sorted: Array[Long], arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
+/** In-row EXACT set-membership count over an array<long> of shingle
+  * hashes: how many elements appear in a driver-held sorted eval hash
+  * set. The small-eval tier of the decontamination ladder (the common
+  * case — eval suites are benchmark-sized while the corpus is not):
+  * when the distinct eval hash set fits comfortably in a task
+  * (8 B/hash ⇒ 2M hashes ≈ 16 MB), shipping the SET itself costs the
+  * same order as shipping bloom bits, and the probe needs no join, no
+  * broadcast exchange, and no explode — n_shared is computed inside
+  * the row and the plan is scan→project→filter. Beyond that size the
+  * bloom tier ([[BloomFilterArrayLong]] + candidate verify join)
+  * takes over; `Curate.decontaminateHashedAuto` picks.
+  *
+  * The set rides to executors once per task via `addReferenceObj`
+  * (codegen) — the same lifecycle as the bloom bits above — not as a
+  * per-row literal.
+  */
+case class LongArraySetCount(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_set_intersect_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SortedSetSupport.countIn(sorted, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftEvalSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SortedSetSupport.countIn($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongArraySetCount =
+    copy(child = c)
+}
+
+object LongArraySetCount {
+  def apply(arr: Column, sorted: Array[Long]): Column =
+    Bridge.column(LongArraySetCount(Bridge.expression(arr), sorted))
+}

@@ -126,6 +126,7 @@ object PipelineQueries {
     Round12Queries.pqCodebook(s, dir)
     Round12Queries.pqCodesWide(s, dir)
     Round12Queries.pqCodebookEven(s, dir)
+    Round12Queries.pqModelEven(s, dir)
     Round11Queries.warmContam(s, dir)
     ()
   }

@@ -74,6 +74,21 @@ object Round11Queries {
         String, org.apache.spark.util.sketch.BloomFilter]())
       .computeIfAbsent(dir, _ => Curate.bloomOverHashes(evalHashes(s, dir)))
 
+  /** The in-row tier's probe object — the sorted distinct eval hash
+    * set, memoized per (session, dir) beside the bloom above. Same
+    * write-once budget: production ships it with the index artifact
+    * (it IS the eval_hashes parquet, collected once, model-sized).
+    */
+  private val evalSetCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]())
+
+  private[queries] def contamEvalSet(s: SparkSession,
+      dir: String): Array[Long] =
+    evalSetCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]())
+      .computeIfAbsent(dir, _ => Curate.evalHashSet(evalHashes(s, dir)))
+
   /** Shared oracle for ns_decontaminate / ns_decontaminate_bloom:
     * distinct hex60-hashed word 4-grams (the same md5-based hash as
     * ShingleHash60, mirrored like shingleCte), eval split = the
@@ -101,7 +116,7 @@ object Round11Queries {
     * bloom outside the timed region, like every other index tier.
     */
   private[queries] def warmContam(s: SparkSession, dir: String): Unit = {
-    contamBloom(s, dir); ()
+    contamBloom(s, dir); contamEvalSet(s, dir); ()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -90,6 +90,23 @@ object Round12Queries {
         "vec_id", "v")
     }
 
+  /** The incremental codebook in the in-row encode layout, memoized
+    * driver-side per (session, dir) beside the frame artifact above —
+    * O(model) = k·dims, the same budget as the serving ADC table
+    * (production ships it with the codebook parquet).
+    */
+  private val pqModelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, graft.plans.PqModel]]())
+
+  private[queries] def pqModelEven(s: SparkSession,
+      dir: String): graft.plans.PqModel =
+    pqModelCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, graft.plans.PqModel]())
+      .computeIfAbsent(dir,
+        _ => graft.operators.Pq.collectModel(pqCodebookEven(s, dir)))
+
   /** Shared oracle CTE chain for the PQ tier (embeddings → long form →
     * seed codebook → one Lloyd step → codes) — mirrors the Spark
     * dataflow stage for stage with the same fixed-point quantum.
@@ -243,9 +260,13 @@ object Round12Queries {
     // lowest ids, contiguous ids make that vec_id < 16); a new shard
     // (odd half) encodes against it without retraining — and because
     // codes depend only on (vector, codebook), increment-equals-
-    // rebuild holds exactly; the hash match pins the theorem. The
-    // timed path is the ENCODE probe: one narrow explode of the shard
-    // + a broadcast codebook join + the argmin window.
+    // rebuild holds exactly; the hash match pins the theorem. Round
+    // 15: the timed ENCODE probe is the in-row tier (Pq.encodeInRow)
+    // — codes are row-local given the O(model) codebook, so the plan
+    // is a map-only scan with the model in a codegen expression: no
+    // 64× explode, no broadcast join, no argmin window. Pq.encode
+    // (the long-form join formulation) stays as the general API and
+    // the differential-test anchor.
     QueryDef(
       "ns_pq_encode_incremental",
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
@@ -279,10 +300,10 @@ object Round12Queries {
               WHERE rn = 1)
        SELECT vec_id, s, cid FROM codes ORDER BY vec_id, s"""),
       (s, dir) =>
-        graft.operators.Pq.encode(
+        graft.operators.Pq.encodeInRow(
             PipelineQueries.normEmbeddings(s, dir)
               .filter(col("vec_id") % 2 === 1).select("vec_id", "v"),
-            "vec_id", "v", pqCodebookEven(s, dir))
+            "vec_id", "v", pqModelEven(s, dir))
           .orderBy("vec_id", "s")),
   )
 }

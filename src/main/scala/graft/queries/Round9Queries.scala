@@ -302,17 +302,22 @@ object Round9Queries {
     // pass every training pipeline runs): eval split = deterministic
     // content-hash bucket (never rand()); a train doc is contaminated
     // when it shares any distinct hashed word 4-gram with any eval
-    // doc. Round 15: the hashed-signature formulation
-    // (Curate.decontaminateHashedExact) — train side served from the
-    // standing contamSignatures artifact (no per-run corpus string
-    // explode), eval side from the standing hash set, join on longs.
+    // doc. Round 15: the small-eval in-row tier
+    // (Curate.decontaminateHashedInRow) — train side served from the
+    // standing contamSignatures artifact, eval side the sorted hash
+    // SET held in a codegen expression: n_shared is computed inside
+    // the signature row, so the plan is scan→project→filter with no
+    // join/broadcast/explode at all. The bloom row below exercises
+    // the big-eval tier of the same ladder
+    // (Curate.decontaminateHashedAuto routes between them by set
+    // size); both match this one oracle SQL.
     QueryDef(
       "ns_decontaminate",
       Some(Round11Queries.contamOracleSql),
       (s, dir) =>
-        graft.operators.Curate.decontaminateHashedExact(
+        graft.operators.Curate.decontaminateHashedInRow(
             Round11Queries.contamTrain(s, dir),
-            Round11Queries.evalHashes(s, dir))
+            Round11Queries.contamEvalSet(s, dir))
           .select(col("id").as("doc_id"), col("n_shared"))
           .orderBy("doc_id")),
 

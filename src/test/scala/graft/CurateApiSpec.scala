@@ -214,6 +214,50 @@ class CurateApiSpec extends SparkSpec {
     Curate.releaseContamIndexHashed(idx)
   }
 
+  test("in-row exact-set decontamination tier: equals the exact join, " +
+      "no join/exchange besides the caller's sort, auto routes by size") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true), // eval
+      (2L, "intro text then the quick brown fox appears here", false),
+      (3L, "entirely unrelated training document body text", false),
+      (4L, "another clean doc with nothing shared at all here", false))
+      .toDF("id0", "body", "ev")
+    val sig = Curate.contamSignatures(corpus, "id0", "body", col("ev"))
+    val train = sig.filter(!col("ev")).select("id", "hh")
+    val evalH = sig.filter(col("ev"))
+      .select(explode(col("hh")).as("h")).distinct()
+    val exact = Curate.decontaminateHashedExact(train, evalH)
+      .as[(Long, Long)].collect().toMap
+    val set = Curate.evalHashSet(evalH)
+    assert(set.sameElements(set.sorted.distinct), "sorted + distinct")
+    val inRow = Curate.decontaminateHashedInRow(train, set)
+      .as[(Long, Long)].collect().toMap
+    assert(inRow == exact && inRow.contains(2L) && !inRow.contains(3L),
+      s"$inRow vs $exact")
+    // the scale property: the whole probe is one map-side expression —
+    // no Join or shuffle Exchange anywhere in the plan (parquet-backed:
+    // a local Seq constant-folds into a LocalTableScan)
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-inrow-").toString + "/sig"
+    train.write.parquet(pdir)
+    val plan = Curate.decontaminateHashedInRow(
+        spark.read.parquet(pdir), set)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_set_intersect_count"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"in-row tier must not join or shuffle:\n$plan")
+    // auto: a 4-hash set routes in-row; a zero-byte ceiling forces
+    // the bloom + verify-join tier — both produce the exact answer
+    val idx = Curate.buildContamIndexHashed(sig)
+    val small = Curate.decontaminateHashedAuto(train, idx)
+      .as[(Long, Long)].collect().toMap
+    val large = Curate.decontaminateHashedAuto(train, idx,
+        maxInRowSetBytes = 0L)
+      .as[(Long, Long)].collect().toMap
+    Curate.releaseContamIndexHashed(idx)
+    assert(small == exact && large == exact, s"$small / $large vs $exact")
+  }
+
   test("hashed contam index round-trips through disk: probing the " +
       "LOADED index equals the direct probe") {
     val corpus = Seq(

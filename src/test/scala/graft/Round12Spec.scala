@@ -70,6 +70,35 @@ class Round12Spec extends SparkSpec {
       Seq(0L, 1L, 2L, 3L)))
   }
 
+  test("Pq: in-row encode equals the long-form join formulation, " +
+      "and its plan is map-only (no join, no shuffle)") {
+    import graft.operators.Pq
+    val e = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = Pq.trainCodebook(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "v")
+    val model = Pq.collectModel(cb)
+    assert(model.nSub == 4 && model.k == 8 &&
+      model.cids.length == model.nSub * model.k)
+    // cids ascend within each subspace — the tie-break contract
+    assert((0 until model.nSub).forall { s =>
+      val xs = model.cids.slice(s * model.k, (s + 1) * model.k)
+      xs.sameElements(xs.sorted)
+    })
+    val shard = e.filter(col("vec_id") % 2 === 1)
+    val joinForm = Pq.encode(shard, "vec_id", "v", cb)
+      .as[(Long, Long, Long)].collect().sorted
+    val inRow = Pq.encodeInRow(shard, "vec_id", "v", model)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(inRow.nonEmpty && inRow.toSeq == joinForm.toSeq)
+    // scale property: the whole encode is one projection over the scan
+    val plan = Pq.encodeInRow(shard, "vec_id", "v", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_encode"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"in-row encode must not join or shuffle:\n$plan")
+  }
+
   test("ns_ann_pq_topk: 10 results, cosines in [-1,1] descending; " +
       "probe itself excluded") {
     val df = graft.queries.Registry.queries("ns_ann_pq_topk")(spark, sfDir)
