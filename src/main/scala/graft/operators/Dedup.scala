@@ -527,6 +527,73 @@ object Dedup {
       dfCap: Int, minShared: Int): DataFrame =
     probeFromPostings(newPost, index, dfCap, minShared)
 
+  /** Rank-capped incremental shingle probe — the
+    * [[winnowPairsFromPostings]] discover-verify shape applied to the
+    * standing-index probe (the r15 trend still measured the uncapped
+    * probe enumerating 63M (shingle, ida, idb) rows at sf1 on the
+    * dup-dense replica corpus: per shared shingle the pair fanout is
+    * df_standing × df_shard, O(Σ c²) over cluster sizes):
+    *
+    *  1. DISCOVERY: within each surviving shingle (combined standing
+    *     + shard document frequency ≤ `dfCap`, as in
+    *     [[probeFromPostings]]), only the `standingRankCap` lowest-id
+    *     STANDING members pair with the shingle's shard members —
+    *     O(cap · df_shard) per shingle — then pairs deduplicate.
+    *  2. VERIFY (exact): each candidate pair's `n_shared` is the
+    *     EXACT surviving-shingle intersection, computed in-row over
+    *     per-doc sorted surviving-shingle arrays — no per-(pair,
+    *     shingle) row materializes.
+    *
+    * Disclosed recall bound (the winnowing tier's, restated for the
+    * cross-pair shape): a (standing, shard) pair is discovered iff
+    * the standing doc ranks ≤ `standingRankCap` by id in SOME shared
+    * surviving shingle. Rank 1 — each shingle's standing minimum —
+    * always pairs, so every dup cluster keeps a star around its
+    * shingle minima; what the cap drops is pairs whose standing side
+    * is a high-ranked member of crowded shingles, duplication the
+    * minima already witness. `standingRankCap = Int.MaxValue`
+    * restores the exhaustive pair set of [[probeFromPostings]]
+    * (every discovered pair's n_shared is exact under ANY cap).
+    *
+    * LAZY; the plan references `index.postings` and `newPost` twice
+    * each (discovery + verify arrays) — serve both from persisted
+    * artifacts, as the query layer does.
+    */
+  def probeFromPostingsCapped(newPost: DataFrame, index: ShingleIndex,
+      dfCap: Int = 256, minShared: Int = 1,
+      standingRankCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val surviving = index.df
+      .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
+      .filter(col("df") + col("__graft_dfb") <= dfCap)
+      .select("s")
+    val standPost = index.postings.join(surviving, Seq("s"))
+    val shardPost = newPost.join(surviving, Seq("s"))
+    val ranked =
+      if (standingRankCap == Int.MaxValue) standPost
+      else standPost
+        .withColumn("__graft_rk",
+          row_number().over(Window.partitionBy("s").orderBy("id")))
+        .filter(col("__graft_rk") <= standingRankCap)
+        .drop("__graft_rk")
+    val cand = ranked.select(col("id").as("ida"), col("s"))
+      .join(shardPost.select(col("id").as("idb"), col("s")), Seq("s"))
+      .select("ida", "idb").distinct()
+    val standSets = standPost.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("__graft_ss"))
+    val shardSets = shardPost.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("__graft_ss"))
+    cand
+      .join(standSets.select(col("id").as("ida"),
+        col("__graft_ss").as("__graft_sa")), "ida")
+      .join(shardSets.select(col("id").as("idb"),
+        col("__graft_ss").as("__graft_sb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("__graft_sa"), col("__graft_sb")))
+          .cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Standing index for the SUBSTRING (winnowing) tier: df-capped
     * fingerprint postings + COMPLETE fingerprint df table. The
     * incremental contract pins an ABSOLUTE `dfCap` — the batch tier's

@@ -38,6 +38,14 @@ object Round10Queries {
     // corpus, capped at 256, pairs sharing >= 4 surviving shingles —
     // a hash match therefore verifies the increment-equals-rebuild
     // equivalence empirically, not just the Spark implementation.
+    // Round 15: the probe adopts the winnow tier's discover-verify
+    // shape (Dedup.probeFromPostingsCapped) — per surviving shingle
+    // only the 8 lowest-id STANDING members discover pairs (the
+    // uncapped probe enumerated 63M (shingle, ida, idb) rows at sf1
+    // on the dup-dense replica corpus), and each candidate's
+    // n_shared is the EXACT surviving-shingle intersection computed
+    // in-row. The oracle mirrors the capped discovery + exact-verify
+    // formulation, so the hash match pins the capped theorem.
     QueryDef(
       "ns_dedup_incremental",
       Some(PipelineQueries.shingleCte + """,
@@ -45,30 +53,35 @@ object Round10Queries {
               dfx AS (SELECT s, COUNT(*) df FROM inv GROUP BY 1),
               pi AS (SELECT doc_id, i.s FROM inv i
                      JOIN (SELECT s FROM dfx WHERE df <= 256) k
-                       ON i.s = k.s)
-              SELECT a.doc_id AS ida, b.doc_id AS idb,
+                       ON i.s = k.s),
+              rka AS (SELECT doc_id, s, ROW_NUMBER() OVER
+                        (PARTITION BY s ORDER BY doc_id) rk
+                      FROM pi WHERE doc_id % 2 = 0),
+              cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
+                       FROM rka a JOIN pi b
+                         ON a.s = b.s AND b.doc_id % 2 = 1
+                       WHERE a.rk <= 8)
+              SELECT c.ida, c.idb,
                 CAST(COUNT(*) AS BIGINT) AS n_shared
-              FROM pi a JOIN pi b
-                ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              FROM cand c
+              JOIN pi a ON a.doc_id = c.ida
+              JOIN pi b ON b.doc_id = c.idb AND b.s = a.s
               GROUP BY 1, 2 HAVING COUNT(*) >= 4
               ORDER BY ida, idb"""),
       (s, dir) => {
         // shard postings from the memoized per-doc signature artifact
         // (hashedShingled): production ingest writes signatures once;
         // a probe must not pay MD5 over the shard on every action —
-        // the probe plan references the shard postings three times
-        // (df branch + both joins), so signing from raw text inline
-        // tripled the hash cost inside the timed region (~1.4 s of
-        // the sf1 probe). packPairs: catalog doc_ids are dense small
-        // ints, disclosed < 2^31 (guarded in-plan), so the pair
-        // aggregate groups on one packed long (sf1: 7.1 s -> 5.1 s
-        // on the 63M-row candidate volume).
+        // the probe plan references the shard postings multiple times
+        // (df branch + discovery + verify arrays), so signing from
+        // raw text inline multiplied the hash cost inside the timed
+        // region (~1.4 s of the sf1 probe).
         val shardPost = PipelineQueries.hashedShingled(s, dir)
           .filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"), explode(col("hh")).as("s"))
-        graft.operators.Dedup.probeFromPostings(
+        graft.operators.Dedup.probeFromPostingsCapped(
             shardPost, PipelineQueries.incrementalIndex(s, dir),
-            minShared = 4, packPairs = true)
+            minShared = 4)
           .orderBy("ida", "idb")
       }),
 

@@ -130,6 +130,42 @@ class DedupApiSpec extends SparkSpec {
     }
   }
 
+  test("probeFromPostingsCapped: MaxValue cap equals the uncapped probe " +
+      "exactly; default cap keeps exact n_shared and the standing-min star") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota nu"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (3L, "one two three four five six seven eight nine ten twelve")
+    ).toDF("my_id", "body")
+    val post = Dedup.shingleSignatures(corpus, "my_id", "body")
+      .select(col("id"), explode(col("hh")).as("s"))
+    val idx = Dedup.buildIndex(corpus.filter($"my_id" % 2 === 0),
+      "my_id", "body")
+    val shard = post.filter($"id" % 2 === 1)
+    val exact = Dedup.probeFromPostings(shard, idx, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = Dedup.probeFromPostingsCapped(shard, idx,
+      minShared = 2, standingRankCap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped == exact && exact.nonEmpty, s"$uncapped vs $exact")
+    // cap 1: only each shingle's standing MINIMUM discovers — but every
+    // discovered pair still carries the exact full n_shared, and every
+    // shard doc with any standing match stays discoverable through the
+    // min (the star bound)
+    val capped = Dedup.probeFromPostingsCapped(shard, idx,
+      minShared = 2, standingRankCap = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), s"$capped vs $exact")
+    val exactByPair = exact.map(t => (t._1, t._2) -> t._3).toMap
+    capped.foreach { case (a, b, n) =>
+      assert(exactByPair((a, b)) == n, s"n_shared drifted for ($a,$b)")
+    }
+    assert(capped.map(_._2) == exact.map(_._2),
+      "every discoverable shard doc must survive the cap via a standing min")
+  }
+
   // the sf3 replica shape that went superlinear (VERDICT r13 #1): one
   // base text, n near-identical copies differing only in a suffix —
   // every fingerprint group holds the whole cluster
