@@ -143,7 +143,20 @@ class QueryPlanSpec extends SparkSpec {
     // in a headline query must fail the suite, not hide in bench noise.
     // Regenerate with: GRAFT_REGEN_PLANS=1 sbt "testOnly graft.QueryPlanSpec"
     import java.nio.file.{Files, Paths}
-    // plans must not depend on what earlier specs happened to cache
+    // Fingerprints must capture the RAW operator shape, independent of
+    // which specs (or none — a `-z golden` run) executed earlier in
+    // this JVM: memoArtifact persists + materializes shared artifacts
+    // at query-CONSTRUCTION time, so a pick that is the first-ever
+    // reference to an artifact would register a cache entry mid-loop
+    // and every later pick would fingerprint an InMemoryRelation
+    // substitution instead of its own operator tree (the r15 poisoned
+    // regen). Construct every pick once to force all artifact
+    // creation, THEN clear the cache — the memo map survives, so the
+    // fingerprint pass below rebuilds no artifact and substitutes no
+    // cache, whatever ran before.
+    graft.tools.PlanGolden.picks.foreach { name =>
+      Registry.queries(name)(spark, sfDir); ()
+    }
     spark.catalog.clearCache()
     val dir = Paths.get(
       sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo"), "docs", "plan_golden")

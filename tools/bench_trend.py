@@ -76,6 +76,12 @@ TREND3_QUERIES = [
     # with a 3-point curve, and carry the prefix-filtered tfidf tier's
     # third point alongside its restructure
     "q02_filter_predicates", "q15_rank_ntile_seq", "ns_text_tfidf_sim",
+    # round-15 late additions: q52's ratio WORSENED sf0.1→sf1
+    # (1.97→3.5 on a 0.17 s oracle — floor-straddler or real, the
+    # third point decides), and ns_dedup_paragraph was this round's
+    # gate breach and got the min-aggregate restructure — its curve
+    # must be re-based on the new shape
+    "q52_calibration_dim_join", "ns_dedup_paragraph",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
