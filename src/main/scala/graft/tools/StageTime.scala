@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop stage profiler: run one registered query and print each
+  * stage's executor-side cost, so "where do the seconds go" is a
+  * measurement, not a guess over the plan. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.tools.StageTime ns_dedup_incremental"
+  *
+  * Prints one line per completed stage — executor run time (sum over
+  * tasks), GC time, shuffle read/write bytes, task count, and the
+  * stage's callsite name — then the total wall time of the action.
+  * Diagnostic only; the bench record stays graft.Bench.
+  */
+object StageTime {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StageTime <queryName> [reps]")
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 1
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // mirror graft.Bench's session confs — a profile under different
+    // join thresholds / split sizes diagnoses a plan the bench never
+    // runs (first cut of this tool "found" an AQE broadcast pathology
+    // that only existed because AQE_BC was not -1 here)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_BC", "-1"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.windowExec.buffer.spill.threshold", "4194304")
+      .config("spark.graft.local.scanParallelism", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v)
+        case _                              => ()
+      }
+    })
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query: $name"))
+
+    case class Row(id: Int, name: String, runMs: Long, gcMs: Long,
+        shRead: Long, shWrite: Long, tasks: Int)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val m = i.taskMetrics
+        stages.add(Row(i.stageId, i.name.takeWhile(_ != '\n'),
+          m.executorRunTime, m.jvmGCTime,
+          m.shuffleReadMetrics.remoteBytesRead +
+            m.shuffleReadMetrics.localBytesRead,
+          m.shuffleWriteMetrics.bytesWritten, i.numTasks))
+      }
+    })
+
+    for (r <- 1 to reps) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      val qe = fn(spark, sfDir).queryExecution
+      val n = qe.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (r == reps && sys.env.contains("GRAFT_STAGETIME_PLAN"))
+        println(qe.executedPlan.treeString)
+      // listener events are posted asynchronously; give the bus a
+      // moment to drain (listenerBus.waitUntilEmpty is private[spark])
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val rows = stages.asScala.toSeq.sortBy(-_.runMs)
+      println(f"== $name rep $r: wall $wall%.2f s, rows $n, " +
+        f"${rows.size} stages, exec-sum ${rows.map(_.runMs).sum / 1e3}%.2f s")
+      rows.take(20).foreach { s =>
+        println(f"  stage ${s.id}%4d run ${s.runMs / 1e3}%8.2f s  gc " +
+          f"${s.gcMs / 1e3}%6.2f s  shR ${s.shRead / 1e6}%8.1f MB  shW " +
+          f"${s.shWrite / 1e6}%8.1f MB  tasks ${s.tasks}%4d  ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}
