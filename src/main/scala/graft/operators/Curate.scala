@@ -182,73 +182,36 @@ object Curate {
     * blocks.
     *
     * Returns (id, n_par, n_kept, text_kept); zero-token docs survive
-    * with n_par = 0 and empty text.
-    *
-    * Shape at scale (the r15 restructure — the original shape ran a
-    * `row_number` window over the paragraph text, which shuffles AND
-    * sorts every block row twice, text bytes included): the keep-first
-    * decision is MIN(id, pid) per distinct block, an aggregate, not a
-    * window — partial min combines map-side, so the only corpus-wide
-    * exchange carries one 16-byte block fingerprint per distinct block
-    * per map partition, never the block text. `n_par` is computed
-    * in-row from the token count (no shuffle at all), and reassembly
-    * rebuilds the kept text from the doc's OWN in-row block array given
-    * just the kept positions. Block identity is the 128-bit md5 of the
-    * block text — the same fingerprint discipline as the document-level
-    * exact tier (ns_dedup_exact_*); 2^-64-scale collision odds stand in
-    * for exact string comparison, as everywhere md5 keys a decision.
-    *
-    * Two plan details matter enough to encode explicitly:
-    *  - the keep key is (id, pid) packed into one DECIMAL(38,0)
-    *    ((id + 2^63)·2^32 + pid — monotone in the (id, pid) order for
-    *    the FULL bigint id range, and 2^96 < 10^38 so the arithmetic
-    *    is exact). `min(struct(...))` would plan as a SortAggregate
-    *    (struct buffers are not hash-aggregable) and sort the whole
-    *    exploded fingerprint stream twice; a decimal min is a plain
-    *    HashAggregate — no sort anywhere in the operator.
-    *  - the explode is `posexplode_outer` + an explicit
-    *    `pt IS NOT NULL` above it: a non-outer Generate lets Catalyst
-    *    infer `size(blocks) > 0` and push it below the projections,
-    *    where it re-evaluates the tokenize+block-build expression
-    *    (higher-order functions — interpreted, no codegen subexpression
-    *    elimination) several extra times per row.
+    * with n_par = 0 and empty text. Shape at scale: one explode, one
+    * window keyed on the paragraph text (shuffles each paragraph
+    * once — the keep-first decision needs exactly one exchange), one
+    * groupBy(id) reassembly. Linear, no self-joins, no collect.
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       parTokens: Int = 20): DataFrame = {
     require(parTokens > 0, s"parTokens must be positive, got $parTokens")
-    val withBlocks = docs
+    val blocks = docs
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__graft_tk"))
+      .withColumn("__graft_n", size(col("__graft_tk")))
+      .filter(col("__graft_n") > 0)
+      .withColumn("pid", explode(sequence(lit(0),
+        floor((col("__graft_n") - 1) / parTokens).cast("int"))))
+      .select(col("id"), col("pid"),
+        concat_ws(" ", slice(col("__graft_tk"),
+          col("pid") * parTokens + 1, lit(parTokens))).as("ptext"))
+    val marked = blocks.withColumn("__graft_rn", row_number().over(
+      Window.partitionBy("ptext").orderBy("id", "pid")))
+    val perDoc = marked.groupBy("id").agg(
+      count(lit(1)).as("n_par"),
+      sum(when(col("__graft_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(array_sort(collect_list(
+        when(col("__graft_rn") === 1, struct(col("pid"), col("ptext"))))),
+        x => x.getField("ptext"))).as("text_kept"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id"),
-        when(size(col("__graft_tk")) > 0,
-          transform(
-            sequence(lit(0),
-              floor((size(col("__graft_tk")) - 1) / parTokens).cast("int")),
-            i => concat_ws(" ", slice(col("__graft_tk"),
-              i * parTokens + 1, lit(parTokens)))))
-          .otherwise(array().cast("array<string>")).as("__graft_bl"))
-    val blocks = withBlocks
-      .select(col("id"), posexplode_outer(col("__graft_bl")).as(Seq("pid", "pt")))
-      .filter(col("pt").isNotNull)
-      .select(col("id"), col("pid"), unhex(md5(col("pt").cast("binary"))).as("bh"))
-    // keep-first = the global minimum (id, pid) per block fingerprint,
-    // packed into one hash-aggregable decimal (see scaladoc)
-    val base = lit(4294967296L) // 2^32 > any pid
-    val shift = lit("9223372036854775808").cast("decimal(20,0)") // 2^63
-    val keepers = blocks
-      .groupBy("bh").agg(min(
-        (col("id").cast("decimal(20,0)") + shift) * base + col("pid")).as("k"))
-      .select(
-        (((col("k") - pmod(col("k"), base)) / base) - shift).cast("long").as("id"),
-        pmod(col("k"), base).cast("int").as("pid"))
-    val keptPerDoc = keepers.groupBy("id")
-      .agg(sort_array(collect_list(col("pid"))).as("__graft_keep"))
-    withBlocks.join(keptPerDoc, Seq("id"), "left")
-      .select(col("id"),
-        size(col("__graft_bl")).cast("long").as("n_par"),
-        coalesce(size(col("__graft_keep")), lit(0)).cast("long").as("n_kept"),
-        concat_ws(" ", transform(
-          coalesce(col("__graft_keep"), array().cast("array<int>")),
-          p => element_at(col("__graft_bl"), p + 1))).as("text_kept"))
+        coalesce(col("n_par"), lit(0L)).as("n_par"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
   /** Train/eval contamination check — the benchmark-decontamination

@@ -540,13 +540,9 @@ object Dedup {
     *     STANDING members pair with the shingle's shard members —
     *     O(cap · df_shard) per shingle — then pairs deduplicate.
     *  2. VERIFY (exact): each candidate pair's `n_shared` is the
-    *     EXACT surviving-shingle intersection — postings are distinct
-    *     (id, s), so it is a COUNT over the postings s-join restricted
-    *     (broadcast semi-join on the increment-scaled candidate set)
-    *     to discovered pairs, streamed through a map-side partial
-    *     count: the per-(pair, shingle) enumeration never
-    *     materializes, and no per-doc array payload is ever
-    *     exchanged.
+    *     EXACT surviving-shingle intersection, computed in-row over
+    *     per-doc sorted surviving-shingle arrays — no per-(pair,
+    *     shingle) row materializes.
     *
     * Disclosed recall bound (the winnowing tier's, restated for the
     * cross-pair shape): a (standing, shard) pair is discovered iff
@@ -560,7 +556,7 @@ object Dedup {
     * (every discovered pair's n_shared is exact under ANY cap).
     *
     * LAZY; the plan references `index.postings` and `newPost` twice
-    * each (discovery + verify count) — serve both from persisted
+    * each (discovery + verify arrays) — serve both from persisted
     * artifacts, as the query layer does.
     */
   def probeFromPostingsCapped(newPost: DataFrame, index: ShingleIndex,
@@ -583,28 +579,18 @@ object Dedup {
     val cand = ranked.select(col("id").as("ida"), col("s"))
       .join(shardPost.select(col("id").as("idb"), col("s")), Seq("s"))
       .select("ida", "idb").distinct()
-    // Verify WITHOUT per-doc arrays: postings are DISTINCT (id, s), so
-    // a candidate pair's exact surviving-shingle intersection is a
-    // COUNT over the postings s-join restricted to that pair. The
-    // first formulation here aggregated per-doc sorted arrays and
-    // joined them per pair (array_intersect in-row); measured at sf1
-    // that shape's exchanges dominated the probe — 370 MB of per-doc
-    // arrays, then pairs x arrays (4 GB) for the second join, with GC
-    // storms from sorting/hashing array rows. This shape exchanges
-    // nothing new: the s-join below is the discovery join's inputs
-    // re-read (same exchanges, reused), its per-(pair, shingle)
-    // enumeration STREAMS inside one codegen stage — never
-    // materialized — through a broadcast semi-join on the candidate
-    // set into a map-side partial count, and the only new exchange is
-    // the partial (ida, idb, count) rows: O(pairs), 24 bytes each.
-    // The broadcast is the CANDIDATE PAIR set — O(bands-free here:
-    // rankCap x surviving shard postings), increment-scaled, never
-    // O(corpus) — same class as the tier's other cap aggregates.
-    standPost.select(col("id").as("ida"), col("s"))
-      .join(shardPost.select(col("id").as("idb"), col("s")), Seq("s"))
-      .join(broadcast(cand), Seq("ida", "idb"), "leftsemi")
-      .groupBy("ida", "idb")
-      .agg(count(lit(1)).as("n_shared"))
+    val standSets = standPost.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("__graft_ss"))
+    val shardSets = shardPost.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("__graft_ss"))
+    cand
+      .join(standSets.select(col("id").as("ida"),
+        col("__graft_ss").as("__graft_sa")), "ida")
+      .join(shardSets.select(col("id").as("idb"),
+        col("__graft_ss").as("__graft_sb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("__graft_sa"), col("__graft_sb")))
+          .cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
