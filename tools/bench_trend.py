@@ -82,6 +82,10 @@ TREND3_QUERIES = [
     # gate breach and got the min-aggregate restructure — its curve
     # must be re-based on the new shape
     "q52_calibration_dim_join", "ns_dedup_paragraph",
+    # the r15 oracle-bench straddler: ~2-2.5x at every scale point,
+    # small absolutes - carries its own sf3 row from a disclosed
+    # single-query capture
+    "ns_score_lm",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
