@@ -764,9 +764,32 @@ object Curate {
     // ~(distinct grams)²/2⁶⁵, ~1e-8 at the tested scales and vanishing
     // relative to corpus effects at any scale; the oracle compares
     // OUTPUT, so this stays a pure internal representation choice.
-    scoreFromNgramPairs(
-      ngramPairCounts(docs, idCol, textCol, n)
-        .withColumn("g", xxhash64(col("g"))))
+    // TEMP A/B knob (round 16): SPARK_GRAFT_SCORELM_SHAPE ∈
+    // {str, hash, reuse} — paired timing of the string-key baseline,
+    // the hashed-key two-pass shape, and the hashed-key single-pass
+    // exchange-reuse shape. Hardcoded to the winner once measured.
+    sys.env.getOrElse("SPARK_GRAFT_SCORELM_SHAPE", "hash") match {
+      case "str" => scoreFromNgramPairs(
+        ngramPairCounts(docs, idCol, textCol, n))
+      case "reuse" =>
+        // single n-gram pass: an explicit repartition on the hashed
+        // gram key makes BOTH consumers (the corpus-count aggregate
+        // and the join-back probe) read the SAME shuffle output
+        // (ReusedExchange) — the explode+tokenize pass runs once,
+        // with the shuffle files as the materialization (no memory
+        // cache; the right 100 TB shape too).
+        val ex = ngramPairCounts(docs, idCol, textCol, n)
+          .withColumn("g", xxhash64(col("g")))
+          .repartition(col("g"))
+        val counts = ex.groupBy("g").agg(sum("c").as("__graft_cnt"))
+        ex.join(counts, Seq("g"))
+          .groupBy("id")
+          .agg(sum("c").as("n_ngrams"),
+            expr("sum(c * __graft_cnt) * 1000000L div sum(c)").as("score"))
+      case _ => scoreFromNgramPairs(
+        ngramPairCounts(docs, idCol, textCol, n)
+          .withColumn("g", xxhash64(col("g"))))
+    }
 
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,

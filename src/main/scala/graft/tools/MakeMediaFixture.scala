@@ -261,6 +261,96 @@ object MakeMediaFixture {
     good ++ bad ++ jpeg
   }
 
+  // ── MP4 audio fixture family (`fixtures/audio_mp4/`), the input of
+  // the `ns_multimodal_audio_mp4` oracle query (round-16, VERDICT r15
+  // missing #4: a multimodal corpus is mostly MP4/AAC — the audio
+  // tier must read the container the corpus has, not only WAV).
+  // Truth columns mirror the WAV contract shape exactly. 12 PCM rows
+  // ('sowt' little-endian on even ids, 'twos' big-endian on odd —
+  // the QuickTime PCM fourccs, fully decodable pure-JVM, so the
+  // truth is the EXACT per-sample energy/peak from the same
+  // audioSample formula as the WAV family), 2 AAC rows (synthetic
+  // mp4a packets — no JVM decoder, so truth is the demux level:
+  // header rate/channels, packet count, stts duration, energy
+  // sentinels -1), and 2 corrupt rows (full -1 sentinel).
+
+  case class AudioMp4FixtureRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      true_sample_rate: Int,
+      true_channels: Int,
+      true_n_frames: Long,
+      true_duration_us: Long,
+      true_sq_sum: Long,
+      true_peak: Int,
+      true_ok: Boolean)
+
+  def audioMp4Row(j: Int): AudioMp4FixtureRow = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val rate = rates(j % rates.length)
+    val channels = if (j % 3 == 2) 2 else 1
+    val nFrames = 600 + 331 * j
+    val shorts = Array.tabulate(nFrames * channels)(audioSample(100 + j))
+    var sqSum = 0L
+    var peak = 0
+    shorts.foreach { s =>
+      sqSum += s.toLong * s
+      val a = math.abs(s.toInt)
+      if (a > peak) peak = a
+    }
+    val big = j % 2 == 1 // 'twos' big-endian; 'sowt' little-endian
+    val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      val a = new Array[Byte](2 * channels)
+      var c = 0
+      while (c < channels) {
+        val s = shorts(f * channels + c)
+        if (big) { a(2 * c) = (s >> 8).toByte; a(2 * c + 1) = s.toByte }
+        else { a(2 * c) = s.toByte; a(2 * c + 1) = (s >> 8).toByte }
+        c += 1
+      }
+      a
+    }
+    AudioMp4FixtureRow(j.toLong,
+      if (big) "audio/mp4-twos" else "audio/mp4-sowt",
+      Multimodal.encodeMp4Audio(rate, channels, 16,
+        if (big) "twos" else "sowt", frames, sttsDelta = 1L,
+        timescale = rate.toLong, samplesPerChunk = 256),
+      rate, channels, nFrames.toLong, nFrames.toLong * 1000000L / rate,
+      sqSum, peak, true_ok = true)
+  }
+
+  /** Synthetic AAC packet — the demux never interprets codec bytes
+    * (same discipline as [[mp4Sample]] for video access units). */
+  def aacPacket(j: Int, p: Int): Array[Byte] =
+    Array.tabulate(60 + (j * 11 + p * 5) % 90)(i =>
+      ((i * 29 + p * 13 + j * 7 + 1) % 256).toByte)
+
+  def audioMp4AacRow(id: Long, j: Int): AudioMp4FixtureRow = {
+    val rate = if (j % 2 == 0) 44100 else 48000
+    val channels = 2
+    val nPackets = 20 + 7 * j
+    val packets = (0 until nPackets).map(p => aacPacket(j, p))
+    AudioMp4FixtureRow(id, "audio/mp4-aac",
+      Multimodal.encodeMp4Audio(rate, channels, 16, "mp4a", packets,
+        sttsDelta = 1024L, timescale = rate.toLong, samplesPerChunk = 16),
+      rate, channels, nPackets.toLong,
+      nPackets.toLong * 1024L * 1000000L / rate,
+      -1L, -1, true_ok = false)
+  }
+
+  def audioMp4Rows: Seq[AudioMp4FixtureRow] = {
+    val pcm = (0 until 12).map(audioMp4Row)
+    val aac = (0 until 2).map(j => audioMp4AacRow(12L + j, j))
+    val truncated = pcm.head.payload.take(50)
+    val garbage = Array.tabulate(300)(j => ((j * 43 + 19) % 256).toByte)
+    val bad = Seq((14L, truncated), (15L, garbage)).map { case (id, p) =>
+      AudioMp4FixtureRow(id, "audio/mp4-corrupt", p,
+        -1, -1, -1L, -1L, -1L, -1, true_ok = false)
+    }
+    pcm ++ aac ++ bad
+  }
+
   private def stripBookkeeping(outDir: String): Unit = {
     // strip Spark's bookkeeping files so only the .parquet is committed
     val dir = new java.io.File(outDir)
@@ -275,6 +365,7 @@ object MakeMediaFixture {
     val audioDir = s"$base/audio"
     val videoDir = s"$base/video"
     val mp4Dir = s"$base/video_mp4"
+    val audioMp4Dir = s"$base/audio_mp4"
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -284,14 +375,18 @@ object MakeMediaFixture {
     audioRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(audioDir)
     videoRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(videoDir)
     mp4Rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mp4Dir)
+    audioMp4Rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(audioMp4Dir)
     spark.stop()
     stripBookkeeping(mediaDir)
     stripBookkeeping(audioDir)
     stripBookkeeping(videoDir)
     stripBookkeeping(mp4Dir)
+    stripBookkeeping(audioMp4Dir)
     println(s"wrote ${rows.size} image rows to $mediaDir, " +
       s"${audioRows.size} audio rows to $audioDir, " +
       s"${videoRows.size} video rows to $videoDir, " +
-      s"${mp4Rows.size} mp4 rows to $mp4Dir")
+      s"${mp4Rows.size} mp4 rows to $mp4Dir, " +
+      s"${audioMp4Rows.size} mp4-audio rows to $audioMp4Dir")
   }
 }

@@ -76,9 +76,20 @@ object StageTime {
       val wall = (System.nanoTime() - t0) / 1e9
       if (r == reps && sys.env.contains("GRAFT_STAGETIME_PLAN"))
         println(qe.executedPlan.treeString)
-      // listener events are posted asynchronously; give the bus a
-      // moment to drain (listenerBus.waitUntilEmpty is private[spark])
-      Thread.sleep(500)
+      // listener events are posted asynchronously and waitUntilEmpty
+      // is private[spark]; a fixed sleep is racy on a loaded box
+      // (ADVICE r15: late events drop from rep N or leak into rep
+      // N+1's cleared queue). Poll until the completion count has
+      // been stable for a full grace window, bounded so a wedged bus
+      // cannot hang the tool.
+      var seen = -1
+      var stableMs = 0
+      val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stableMs < 500 && System.nanoTime() < drainDeadline) {
+        Thread.sleep(100)
+        val now = stages.size()
+        if (now == seen) stableMs += 100 else { stableMs = 0; seen = now }
+      }
       import scala.jdk.CollectionConverters._
       val rows = stages.asScala.toSeq.sortBy(-_.runMs)
       println(f"== $name rep $r: wall $wall%.2f s, rows $n, " +

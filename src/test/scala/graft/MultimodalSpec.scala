@@ -314,4 +314,56 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.media_id -> ((r.true_au_sha, r.true_frame_bytes))).toMap
     assert(disk == mem)
   }
+
+  test("mp4 audio: PCM tracks decode to exact WAV-contract features; " +
+      "AAC rows carry demux truth with -1 energy; corrupt rows sentinel") {
+    import spark.implicits._
+    val rows = MakeMediaFixture.audioMp4Rows
+    val recs = rows.map(r => MediaRecord(r.media_id, r.kind, r.payload)).toDS()
+    val got = decodeMp4AudioFeatures(recs).collect().sortBy(_.media_id)
+    assert(got.length == rows.length)
+    got.zip(rows.sortBy(_.media_id)).foreach { case (f, truth) =>
+      assert(f.decode_ok == truth.true_ok,
+        s"mp4 audio ${truth.media_id}: decode_ok ${f.decode_ok}")
+      assert(f.sample_rate == truth.true_sample_rate &&
+        f.channels == truth.true_channels,
+        s"mp4 audio ${truth.media_id}: fmt ${f.sample_rate}/${f.channels}")
+      assert(f.n_frames == truth.true_n_frames &&
+        f.duration_us == truth.true_duration_us,
+        s"mp4 audio ${truth.media_id}: frames ${f.n_frames} dur ${f.duration_us}")
+      assert(f.sq_sum == truth.true_sq_sum && f.peak == truth.true_peak,
+        s"mp4 audio ${truth.media_id}: sq_sum ${f.sq_sum} peak ${f.peak}")
+    }
+  }
+
+  test("mp4 audio encoder exercises fixed-stsz and multi-chunk stsc/stco " +
+      "resolution (PCM) and explicit-stsz (AAC)") {
+    // PCM: 600 frames at 256/chunk → 3 chunks, last partial (88) —
+    // the two-entry stsc path; fixed-size stsz (2 B mono frames)
+    val pcm = MakeMediaFixture.audioMp4Row(0)
+    val parsed = Multimodal.parseMp4Audio(pcm.payload).get
+    assert(parsed.codec == "sowt" && parsed.sampleSize == 16)
+    assert(parsed.samples.size.toLong == pcm.true_n_frames)
+    assert(parsed.samples.forall(_._2 == 2L)) // mono s16 frame
+    // AAC: variable packet sizes → explicit stsz
+    val aac = MakeMediaFixture.audioMp4AacRow(12L, 0)
+    val ap = Multimodal.parseMp4Audio(aac.payload).get
+    assert(ap.codec == "mp4a" && ap.samples.size.toLong == aac.true_n_frames)
+    assert(ap.samples.map(_._2).distinct.size > 1)
+    assert(ap.durationUs == aac.true_duration_us)
+  }
+
+  test("committed mp4-audio fixture parquet matches in-memory generation " +
+      "(no drift)") {
+    import spark.implicits._
+    val disk = spark.read.parquet(sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+        "/root/repo/fixtures") + "/audio_mp4")
+      .select("media_id", "true_sq_sum", "true_duration_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, sq, du) => id -> ((sq, du)) }.toMap
+    val mem = MakeMediaFixture.audioMp4Rows
+      .map(r => r.media_id -> ((r.true_sq_sum, r.true_duration_us))).toMap
+    assert(disk == mem,
+      "committed fixtures/audio_mp4 diverges from MakeMediaFixture — rerun the generator")
+  }
 }

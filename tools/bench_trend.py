@@ -78,9 +78,10 @@ TREND3_QUERIES = [
     "q02_filter_predicates", "q15_rank_ntile_seq", "ns_text_tfidf_sim",
     # round-15 late additions: q52's ratio WORSENED sf0.1→sf1
     # (1.97→3.5 on a 0.17 s oracle — floor-straddler or real, the
-    # third point decides), and ns_dedup_paragraph was this round's
-    # gate breach and got the min-aggregate restructure — its curve
-    # must be re-based on the new shape
+    # third point decides), and ns_dedup_paragraph was the r15 gate
+    # breach — the min-aggregate restructure it got was REVERTED
+    # (6c59ae2, A/B said no), so its curve stands on the original
+    # shape and remains worth the 3-point adjudication
     "q52_calibration_dim_join", "ns_dedup_paragraph",
     # the r15 oracle-bench straddler: ~2-2.5x at every scale point,
     # small absolutes - carries its own sf3 row from a disclosed
@@ -238,7 +239,11 @@ def best_q(caps, name):
                 or [None])[0]
         if best[0] is None or m < best[0]:
             best = (m, rmin)
-    return best[0], best[1], medians
+    # median-of-medians: the selection-neutral statistic (VERDICT r15
+    # what's-wrong #5 — best-of is one-sided because DuckDB is timed
+    # once, live). Reported ALONGSIDE best-of in every row.
+    mom = round(statistics.median(medians), 4) if medians else None
+    return best[0], best[1], medians, mom
 
 
 def cap_meta(caps):
@@ -266,19 +271,24 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
         # queries pay is a per-run lottery (load_caps docstring).
         # Median stays the headline; the min column shows what the
         # same plan does on a clean heap.
-        s01, _, s01all = best_q(caps["sf0.1"], name)
-        s1, s1min, s1all = best_q(caps["sf1"], name)
+        s01, _, s01all, s01mom = best_q(caps["sf0.1"], name)
+        s1, s1min, s1all, s1mom = best_q(caps["sf1"], name)
         row = {
             "spark_sf01_sec": s01, "spark_sf1_sec": s1,
             "spark_sf1_min_sec": s1min,
+            "spark_sf01_mom_sec": s01mom, "spark_sf1_mom_sec": s1mom,
             "spark_sf01_capture_medians": s01all,
             "spark_sf1_capture_medians": s1all,
             "oracle_sf01_sec": d01.get(name), "oracle_sf1_sec": d1.get(name),
         }
         if s01 and d01.get(name, 0) > 0 and s01 > 0:
             row["ratio_sf01"] = round(s01 / d01[name], 3)
+        if s01mom and d01.get(name, 0) > 0 and s01mom > 0:
+            row["ratio_sf01_mom"] = round(s01mom / d01[name], 3)
         if s1 and d1.get(name, 0) > 0 and s1 > 0:
             row["ratio_sf1"] = round(s1 / d1[name], 3)
+        if s1mom and d1.get(name, 0) > 0 and s1mom > 0:
+            row["ratio_sf1_mom"] = round(s1mom / d1[name], 3)
         if s1min and d1.get(name, 0) > 0 and s1min > 0:
             row["ratio_sf1_min"] = round(s1min / d1[name], 3)
         if "ratio_sf01" in row and "ratio_sf1" in row and row["ratio_sf01"] > 0:
@@ -309,11 +319,12 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
                            "capture's best rep) when several captures are "
                            "supplied — robust to the shared-JVM GC-debris "
                            "lottery; every capture's sha/flags recorded. "
-                           "NOTE the selection is one-sided (the DuckDB "
-                           "oracle is timed once, live) — the per-capture "
-                           "medians the best was chosen FROM are in each "
-                           "row's spark_*_capture_medians so the hidden "
-                           "spread is readable (ADVICE r14)"),
+                           "The selection is one-sided (the DuckDB oracle "
+                           "is timed once, live), so each row ALSO carries "
+                           "the selection-neutral median-of-medians "
+                           "(spark_*_mom_sec / ratio_*_mom, VERDICT r15 "
+                           "what's-wrong #5) beside the per-capture "
+                           "medians it derives from"),
         "spark_captures": {t: cap_meta(c) for t, c in caps.items()},
         "n_improved_of_trended": [len(conv),
                                   len([r for r in queries.values()
@@ -346,13 +357,16 @@ def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
     queries = record["queries"]
     for name in TREND3_QUERIES:
         row = queries.setdefault(name, {})
-        s3, s3min, s3all = best_q(caps3, name)
+        s3, s3min, s3all, s3mom = best_q(caps3, name)
         row["spark_sf3_sec"] = s3
         row["spark_sf3_min_sec"] = s3min
+        row["spark_sf3_mom_sec"] = s3mom
         row["spark_sf3_capture_medians"] = s3all
         row["oracle_sf3_sec"] = d3.get(name)
         if s3 and d3.get(name, 0) > 0 and s3 > 0:
             row["ratio_sf3"] = round(s3 / d3[name], 3)
+        if s3mom and d3.get(name, 0) > 0 and s3mom > 0:
+            row["ratio_sf3_mom"] = round(s3mom / d3[name], 3)
         if row.get("ratio_sf3") and row.get("ratio_sf1"):
             row["ratio_trend_3pt"] = round(
                 row["ratio_sf3"] / row["ratio_sf1"], 3)
