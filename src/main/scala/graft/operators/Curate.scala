@@ -746,50 +746,46 @@ object Curate {
   }
 
   /** Convenience build-and-score form of the corpus-LM scorer: counts
-    * n-gram occurrences, derives corpus frequencies, scores every doc.
-    * The two consumers RECOMPUTE the narrow pair pass rather than
-    * persist it — measured at sf0.1, re-running the fused
-    * scan+count pass is cheaper than materializing and re-reading
-    * the cache; and at 100 TB the intermediate would not be cached
-    * either (scan-twice is the standard shape when the intermediate
-    * is corpus-sized and the pass is narrow).
+    * n-gram occurrences via the HASHED-key kernel
+    * ([[graft.plans.NgramHashCounts]] — tokens xxhash64'd once each,
+    * window keys mixed from token hashes, primitive open-addressing
+    * counter; no gram string ever materializes), derives corpus
+    * frequencies, scores every doc. The gram key never reaches the
+    * output (only per-doc sums do), so both shuffles on g (corpus
+    * counts, join-back) carry 8-byte longs end to end. A collision
+    * would merge two grams' corpus counts — probability ~(distinct
+    * grams)²/2⁶⁵ — a pure internal representation choice the oracle
+    * (which compares OUTPUT) is insensitive to.
+    *
+    * Shape decision (round-16 paired same-box A/B, medians of
+    * interleaved captures, seconds):
+    * {{{
+    *   shape                 sf0.1   sf1    sf3
+    *   string key, 2-pass    0.737   0.929  2.27
+    *   hashed key, 2-pass    0.706   0.803  1.56
+    *   hashed KERNEL, 2-pass 0.595   —      1.44   ← shipped
+    *   hashed kernel, window 0.594   —      1.26
+    * }}}
+    * The single-pass window formulation (corpus count as
+    * `sum(c) over (partition by g)`) ties at sf0.1 and wins sf3 by
+    * ~13%, but is NOT skew-safe: WindowExec buffers one partition-key
+    * group per task and AQE cannot split it, so the Zipfian head
+    * gram ("of the"-class, ~0.1-1% of all occurrences) pins one
+    * reducer at crawl scale. The join-back shape's skewed exchange is
+    * AQE-skew-splittable — the property the plan audit relies on —
+    * so the 2-pass join ships. (A ReusedExchange single-pass was
+    * also tried: column pruning differentiates the two consumers'
+    * exchange subtrees, nothing fuses.) The two consumers RECOMPUTE
+    * the narrow kernel pass rather than persist it — measured
+    * cheaper at sf0.1, and at 100 TB the corpus-sized intermediate
+    * would not be cached either.
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
-    // The gram key never reaches the output (only per-doc sums do), so
-    // exchange a 64-bit xxhash of it instead of the gram string: both
-    // shuffles on g (corpus counts, join-back) carry 8-byte longs, and
-    // the aggregate/join compares are long-equality instead of string.
-    // A collision would merge two grams' corpus counts — probability
-    // ~(distinct grams)²/2⁶⁵, ~1e-8 at the tested scales and vanishing
-    // relative to corpus effects at any scale; the oracle compares
-    // OUTPUT, so this stays a pure internal representation choice.
-    // TEMP A/B knob (round 16): SPARK_GRAFT_SCORELM_SHAPE ∈
-    // {str, hash, reuse} — paired timing of the string-key baseline,
-    // the hashed-key two-pass shape, and the hashed-key single-pass
-    // exchange-reuse shape. Hardcoded to the winner once measured.
-    sys.env.getOrElse("SPARK_GRAFT_SCORELM_SHAPE", "hash") match {
-      case "str" => scoreFromNgramPairs(
-        ngramPairCounts(docs, idCol, textCol, n))
-      case "reuse" =>
-        // single n-gram pass: an explicit repartition on the hashed
-        // gram key makes BOTH consumers (the corpus-count aggregate
-        // and the join-back probe) read the SAME shuffle output
-        // (ReusedExchange) — the explode+tokenize pass runs once,
-        // with the shuffle files as the materialization (no memory
-        // cache; the right 100 TB shape too).
-        val ex = ngramPairCounts(docs, idCol, textCol, n)
-          .withColumn("g", xxhash64(col("g")))
-          .repartition(col("g"))
-        val counts = ex.groupBy("g").agg(sum("c").as("__graft_cnt"))
-        ex.join(counts, Seq("g"))
-          .groupBy("id")
-          .agg(sum("c").as("n_ngrams"),
-            expr("sum(c * __graft_cnt) * 1000000L div sum(c)").as("score"))
-      case _ => scoreFromNgramPairs(
-        ngramPairCounts(docs, idCol, textCol, n)
-          .withColumn("g", xxhash64(col("g"))))
-    }
+    scoreFromNgramPairs(
+      docs.select(col(idCol).as("id"),
+        explode(graft.plans.NgramHashCounts(col(textCol), n)).as("gc"))
+        .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c")))
 
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,

@@ -344,9 +344,11 @@ object Round11Queries {
     // exact BIGINT arithmetic) — the model-free stand-in for LM
     // perplexity quality signals: high = boilerplate-stereotyped,
     // low = rare constructions. Two-pass shape: corpus counts, join
-    // back on the (Zipfian — AQE skew territory) gram key, one
-    // groupBy(doc). Both passes derive from ONE per-(doc, gram)
-    // count intermediate via the operator's single-pay persist.
+    // back on the (Zipfian — AQE-skew-splittable) gram key, one
+    // groupBy(doc). Both passes run the hashed n-gram kernel
+    // (NgramHashCounts — 8-byte gram keys end to end, no persist:
+    // recompute measured cheaper than cache at every tested scale;
+    // shape A/B table in Curate.scoreByNgramFreq's scaladoc).
     QueryDef(
       "ns_score_lm",
       Some("""WITH toks AS (SELECT doc_id,

@@ -560,6 +560,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 30, "not linear")
   }
 
+  test("NgramHashCounts mirrors NgramCounts: same per-row count " +
+      "multiset and distinct-gram count, deterministic keys, no " +
+      "collisions on a real-vocabulary corpus") {
+    val docs = Seq(
+      "the quick  brown fox   the quick brown fox",
+      "", "one", "a a a a a", "x  y",
+      (1 to 400).map(i => s"w$i").mkString(" ")).toDF("text")
+    // per-row: distinct count and count-multiset must match the
+    // string-keyed kernel exactly (the hash only renames keys)
+    val str = docs.select(graft.plans.NgramCounts($"text", 2).as("a"))
+      .as[Seq[(String, Long)]].collect()
+    val hsh = docs.select(graft.plans.NgramHashCounts($"text", 2).as("a"))
+      .as[Seq[(Long, Long)]].collect()
+    str.zip(hsh).foreach { case (s, h) =>
+      assert(s.size == h.size, s"distinct-gram count: ${s.size} vs ${h.size}")
+      assert(s.map(_._2).sorted == h.map(_._2).sorted, "count multiset")
+      // same gram string → same hash key, across rows
+    }
+    // determinism + injectivity on this corpus: equal gram strings
+    // hash equal, distinct gram strings hash distinct
+    val pairs = str.flatten.map(_._1).zip(hsh.flatten.map(_._1))
+    val byStr = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byStr.values.forall(_.size == 1), "same gram, different hash")
+    assert(byStr.map(_._2.head).toSeq.distinct.size == byStr.size,
+      "hash collision on a small real vocabulary")
+  }
+
   test("routeFor maps tags to the gateway endpoints") {
     val out = Seq("D", "S", "E", "X").toDF("t")
       .select(Telemetry.routeFor($"t")).as[Option[String]].collect()
