@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -55,8 +56,6 @@ case class NgramHashCounts(child: Expression, n: Int)
 
 object NgramHashCounts {
 
-  private val SEP = UTF8String.fromString(" ")
-
   /** murmur3 fmix64 — the standard 64-bit avalanche finalizer. */
   private def fmix64(x0: Long): Long = {
     var x = x0
@@ -69,24 +68,29 @@ object NgramHashCounts {
   }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val parts = text.toLowerCase.split(SEP, -1)
+    // tokens(): lowercase, split on single space, drop empties — the
+    // split(lower(text), " ") + filter contract, walked directly over
+    // the UTF-8 bytes (0x20 never occurs inside a multi-byte
+    // sequence, so byte-splitting IS space-splitting); each token
+    // span is XXH64'd in place — no per-token UTF8String allocates.
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val len = bytes.length
+    val tokHash = new Array[Long](len / 2 + 1)
     var nTok = 0
     var i = 0
-    while (i < parts.length) {
-      if (parts(i).numBytes() > 0) { parts(nTok) = parts(i); nTok += 1 }
-      i += 1
+    while (i < len) {
+      if (bytes(i) == 0x20) i += 1
+      else {
+        val start = i
+        while (i < len && bytes(i) != 0x20) i += 1
+        tokHash(nTok) = XXH64.hashUnsafeBytes(bytes,
+          Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        nTok += 1
+      }
     }
     val m = nTok - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-
-    // hash every token ONCE (an n-gram window re-uses n-1 of them)
-    val tokHash = new Array[Long](nTok)
-    i = 0
-    while (i < nTok) {
-      tokHash(i) = XxHash64Function.hash(parts(i),
-        org.apache.spark.sql.types.StringType, 42L)
-      i += 1
-    }
 
     // open-addressing long→count table; capacity = next pow2 ≥ 2m so
     // load factor stays ≤ 0.5; key 0 remapped (0 is the empty slot)
