@@ -587,6 +587,33 @@ class ScaleOpsSpec extends SparkSpec {
       "hash collision on a small real vocabulary")
   }
 
+  test("NgramHashCounts byte-walk handles multibyte UTF-8 and Unicode " +
+      "lowercasing identically to the string kernel") {
+    // the byte-walk splits on 0x20 bytes AFTER UTF8String.toLowerCase —
+    // multibyte sequences (which never contain 0x20) must tokenize
+    // exactly like the split(" ") kernel, including case folding that
+    // CHANGES byte length (ß, İ) and repeated non-ASCII grams
+    val docs = Seq(
+      "Ärger Straße ÄRGER straße Ärger Straße",
+      "İstanbul  deniz İSTANBUL deniz",
+      "日本語 テスト 日本語 テスト",
+      "mixed Ähnlich tokens ähnlich MIXED tokens").toDF("text")
+    val str = docs.select(graft.plans.NgramCounts($"text", 2).as("a"))
+      .as[Seq[(String, Long)]].collect()
+    val hsh = docs.select(graft.plans.NgramHashCounts($"text", 2).as("a"))
+      .as[Seq[(Long, Long)]].collect()
+    str.zip(hsh).foreach { case (s, h) =>
+      assert(s.size == h.size,
+        s"distinct grams: ${s.map(_._1)} vs ${h.size} hashed")
+      assert(s.map(_._2).sorted == h.map(_._2).sorted,
+        s"count multiset drifted on ${s.map(_._1)}")
+    }
+    val pairs = str.flatten.map(_._1).zip(hsh.flatten.map(_._1))
+    val byStr = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byStr.values.forall(_.size == 1),
+      "same unicode gram, different hash")
+  }
+
   test("routeFor maps tags to the gateway endpoints") {
     val out = Seq("D", "S", "E", "X").toDF("t")
       .select(Telemetry.routeFor($"t")).as[Option[String]].collect()
