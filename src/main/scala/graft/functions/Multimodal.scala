@@ -612,6 +612,22 @@ object Multimodal {
   private def u64be(b: Array[Byte], off: Int): Long =
     (u32be(b, off) << 32) | u32be(b, off + 4)
 
+  /** Declared entry count of an stbl table box (stts/stsz/stsc/stco/
+    * co64), validated against the box's own extent: a short box with
+    * an inflated count would otherwise silently read SIBLING-box
+    * bytes as table entries — wrong demux features instead of the
+    * contracted None sentinel. Throws (→ the walk's NonFatal→None
+    * path) when the declared entries overrun `end`; the bound also
+    * caps the subsequent allocation at the payload's own size.
+    */
+  private def boxedCount(b: Array[Byte], countAt: Int, tableAt: Int,
+      entrySize: Int, end: Long): Int = {
+    val n = u32be(b, countAt)
+    if (tableAt + n * entrySize > end)
+      throw new IllegalArgumentException("table overruns box")
+    n.toInt
+  }
+
   /** Parse an MP4 (ISO BMFF) container — a pure-JVM box walk reading
     * exactly what the feature/sampling tiers need from the FIRST
     * video ('vide' handler) track: stsd dims + codec fourcc, mdhd
@@ -680,24 +696,36 @@ object Multimodal {
                 height = u16be(b, entry + 34)
               }
             case "stts" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 8, end)
               sttsEntries = (0 until n).map(i =>
                 (u32be(b, ds + 8 + i * 8), u32be(b, ds + 12 + i * 8))).toVector
             case "stsz" =>
               val fixed = u32be(b, ds + 4)
-              val n = u32be(b, ds + 8).toInt
               sampleSizes =
-                if (fixed != 0) Vector.fill(n)(fixed)
-                else (0 until n).map(i => u32be(b, ds + 12 + i * 4)).toVector
+                if (fixed != 0) {
+                  // fixed-form count sanity: total sample bytes can't
+                  // exceed the payload — an unvalidated count would
+                  // Vector.fill a multi-GB allocation whose
+                  // OutOfMemoryError is NOT NonFatal (task kill, not
+                  // the contracted sentinel row)
+                  val n = u32be(b, ds + 8)
+                  if (n > b.length / fixed)
+                    throw new IllegalArgumentException(
+                      "stsz fixed-form count overruns payload")
+                  Vector.fill(n.toInt)(fixed)
+                } else {
+                  val n = boxedCount(b, ds + 8, ds + 12, 4, end)
+                  (0 until n).map(i => u32be(b, ds + 12 + i * 4)).toVector
+                }
             case "stsc" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 12, end)
               stscEntries = (0 until n).map(i =>
                 (u32be(b, ds + 8 + i * 12), u32be(b, ds + 12 + i * 12))).toVector
             case "stco" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 4, end)
               chunkOffsets = (0 until n).map(i => u32be(b, ds + 8 + i * 4)).toVector
             case "co64" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 8, end)
               chunkOffsets = (0 until n).map(i => u64be(b, ds + 8 + i * 8)).toVector
             case _ => ()
           }
@@ -828,30 +856,51 @@ object Multimodal {
               // reserved(2) samplerate(4, 16.16 fixed)
               val entry = ds + 8
               if (end - entry >= 36) {
+                // QuickTime version-2 sound descriptions use a
+                // different field layout entirely — channels/rate at
+                // the v0/v1 offsets would be garbage, and a garbage
+                // parse could report decode_ok=true on mis-decoded
+                // PCM. Route v2+ to the sentinel instead. (v1 keeps
+                // the v0 base-field offsets; only appends.)
+                if (u16be(b, entry + 16) >= 2)
+                  throw new IllegalArgumentException(
+                    "v2 sound sample entry")
                 codec = cc(b, entry + 4)
                 channels = u16be(b, entry + 24)
                 sampleSize = u16be(b, entry + 26)
                 rate = (u32be(b, entry + 32) >> 16).toInt
               }
             case "stts" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 8, end)
               sttsEntries = (0 until n).map(i =>
                 (u32be(b, ds + 8 + i * 8), u32be(b, ds + 12 + i * 8))).toVector
             case "stsz" =>
               val fixed = u32be(b, ds + 4)
-              val n = u32be(b, ds + 8).toInt
               sampleSizes =
-                if (fixed != 0) Vector.fill(n)(fixed)
-                else (0 until n).map(i => u32be(b, ds + 12 + i * 4)).toVector
+                if (fixed != 0) {
+                  // fixed-form count sanity: total sample bytes can't
+                  // exceed the payload — an unvalidated count would
+                  // Vector.fill a multi-GB allocation whose
+                  // OutOfMemoryError is NOT NonFatal (task kill, not
+                  // the contracted sentinel row)
+                  val n = u32be(b, ds + 8)
+                  if (n > b.length / fixed)
+                    throw new IllegalArgumentException(
+                      "stsz fixed-form count overruns payload")
+                  Vector.fill(n.toInt)(fixed)
+                } else {
+                  val n = boxedCount(b, ds + 8, ds + 12, 4, end)
+                  (0 until n).map(i => u32be(b, ds + 12 + i * 4)).toVector
+                }
             case "stsc" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 12, end)
               stscEntries = (0 until n).map(i =>
                 (u32be(b, ds + 8 + i * 12), u32be(b, ds + 12 + i * 12))).toVector
             case "stco" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 4, end)
               chunkOffsets = (0 until n).map(i => u32be(b, ds + 8 + i * 4)).toVector
             case "co64" =>
-              val n = u32be(b, ds + 4).toInt
+              val n = boxedCount(b, ds + 4, ds + 8, 8, end)
               chunkOffsets = (0 until n).map(i => u64be(b, ds + 8 + i * 8)).toVector
             case _ => ()
           }

@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Curate.scoreByNgramFreq): a collision merges two grams' corpus
   * counts, probability ~(distinct grams)²/2⁶⁵ — the key never
   * reaches the output, so this stays an internal representation
-  * choice. The A/B evidence for the hashed-key exchange is in
-  * docs/plan_golden/ns_score_lm.txt's round-16 commit.
+  * choice. The A/B evidence for the hashed-key exchange is the
+  * shape table in [[graft.operators.Curate.scoreByNgramFreq]]'s
+  * scaladoc (paired same-box medians at sf0.1/sf1/sf3).
   */
 case class NgramHashCounts(child: Expression, n: Int)
     extends UnaryExpression {
@@ -91,6 +92,13 @@ object NgramHashCounts {
     }
     val m = nTok - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // `cap` sizing below is Int pow-2 arithmetic: past 2^29 windows
+    // (a single row holding ~1 GiB of text) `m * 2` would overflow
+    // and the probe loop could spin on a full table — fail fast with
+    // a diagnosable error instead of hanging the task.
+    require(m < (1 << 29),
+      s"NgramHashCounts: $m n-gram windows in one row exceeds the " +
+        "2^29 single-row bound; split the document upstream")
 
     // open-addressing long→count table; capacity = next pow2 ≥ 2m so
     // load factor stays ≤ 0.5; key 0 remapped (0 is the empty slot)

@@ -353,6 +353,57 @@ class MultimodalSpec extends SparkSpec {
     assert(ap.durationUs == aac.true_duration_us)
   }
 
+  test("hardened box walks: inflated fixed-stsz counts, table overruns " +
+      "and v2 sound entries sentinel instead of task-killing") {
+    import spark.implicits._
+    def find4(b: Array[Byte], fourcc: String): Int = {
+      val pat = fourcc.getBytes("US-ASCII")
+      (0 until b.length - 4).find(i =>
+        b.slice(i, i + 4).sameElements(pat)).get
+    }
+    val pcm = MakeMediaFixture.audioMp4Row(0).payload
+    // fixed-form stsz declaring ~2^30 samples: must be rejected
+    // BEFORE allocating (OutOfMemoryError is not NonFatal — it
+    // would task-kill, violating the sentinel contract)
+    val inflated = pcm.clone()
+    val szAt = find4(inflated, "stsz") + 4 // box dataStart
+    inflated(szAt + 8) = 0x40.toByte; inflated(szAt + 9) = 0
+    inflated(szAt + 10) = 0; inflated(szAt + 11) = 0
+    // v2 sound sample entry: different layout — channels/rate at the
+    // v0 offsets would be garbage; must sentinel, never a garbage
+    // parse reporting decode_ok=true
+    val v2 = pcm.clone()
+    val sdAt = find4(v2, "stsd") + 4
+    v2(sdAt + 8 + 16) = 0; v2(sdAt + 8 + 17) = 2
+    // stts declaring more entries than its box holds: must hit the
+    // sentinel, not read sibling-box bytes as (count, delta) pairs
+    val badStts = pcm.clone()
+    val ttAt = find4(badStts, "stts") + 4
+    badStts(ttAt + 5) = 0x7f.toByte
+    // explicit-stsz overrun on the AAC (variable-size) container
+    val badAac = MakeMediaFixture.audioMp4AacRow(99L, 0).payload.clone()
+    val aAt = find4(badAac, "stsz") + 4
+    badAac(aAt + 9) = 0x01.toByte
+    val recs = Seq(
+      MediaRecord(1L, "audio/mp4", inflated),
+      MediaRecord(2L, "audio/mp4", v2),
+      MediaRecord(3L, "audio/mp4", badStts),
+      MediaRecord(4L, "audio/mp4", badAac)).toDS()
+    val got = decodeMp4AudioFeatures(recs).collect()
+    assert(got.length == 4)
+    got.foreach(f => assert(!f.decode_ok && f.sample_rate == -1,
+      s"media ${f.media_id}: expected full sentinel, got $f"))
+    // same guards in the video walk: inflated fixed/explicit stsz
+    val vid = Multimodal.encodeMp4(8, 8, 40000L,
+      Seq(Array.tabulate(32)(_.toByte), Array.tabulate(40)(_.toByte)))
+    val vBad = vid.clone()
+    val vAt = find4(vBad, "stsz") + 4
+    vBad(vAt + 9) = 0x01.toByte
+    val vg = decodeVideoFeatures(
+      Seq(MediaRecord(5L, "video/mp4", vBad)).toDS()).head()
+    assert(!vg.decode_ok)
+  }
+
   test("committed mp4-audio fixture parquet matches in-memory generation " +
       "(no drift)") {
     import spark.implicits._
