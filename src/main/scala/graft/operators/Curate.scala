@@ -182,14 +182,83 @@ object Curate {
     * blocks.
     *
     * Returns (id, n_par, n_kept, text_kept); zero-token docs survive
-    * with n_par = 0 and empty text. Shape at scale: one explode, one
-    * window keyed on the paragraph text (shuffles each paragraph
-    * once — the keep-first decision needs exactly one exchange), one
-    * groupBy(id) reassembly. Linear, no self-joins, no collect.
+    * with n_par = 0 and empty text. Shape at scale: one single-pass
+    * block kernel ([[graft.plans.TokenBlocks]]) + explode, one window
+    * keyed on the paragraph text (shuffles each paragraph once — the
+    * keep-first decision needs exactly one exchange), one groupBy(id)
+    * reassembly. One pass over `docs`, linear, no self-joins, no
+    * collect.
+    *
+    * Key-shape decision (round-17 paired same-box A/B, 3 interleaved
+    * rounds, median-of-medians of per-run medians, seconds): the
+    * hashed-key lever that won ns_score_lm (partition the window by
+    * `unhex(md5(ptext))`, 16-byte binary, collision contract mirrored
+    * in the oracle) was tried and REJECTED with data:
+    * {{{
+    *   key shape        sf0.1   sf1    sf3
+    *   ptext (string)   0.619   0.934  1.328   ← kept
+    *   md5-128 binary   0.677   1.091  1.362
+    * }}}
+    * (Measured on the compositional shape; the shipped kernel shape
+    * keeps the string key for the same reason.)
+    * It does not transfer because the window rows must carry `ptext`
+    * for the reassembly step REGARDLESS of the key, so the hash
+    * removes no shuffle bytes (it adds 16/row plus the md5 CPU), and
+    * Spark's sort already resolves most string comparisons from the
+    * 8-byte UnsafeRow sort prefix — high-entropy paragraph heads make
+    * the full-string compare rare. `SPARK_GRAFT_PARDEDUP_SHAPE=hash`
+    * reproduces the rejected variant (its collision semantics are NOT
+    * mirrored by the shipped oracle; dev-only).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       parTokens: Int = 20): DataFrame = {
     require(parTokens > 0, s"parTokens must be positive, got $parTokens")
+    if (sys.env.getOrElse("SPARK_GRAFT_PARDEDUP_SHAPE", "kernel") == "kernel")
+      dedupParagraphsKernel(docs, idCol, textCol, parTokens)
+    else
+      dedupParagraphsCompose(docs, idCol, textCol, parTokens)
+  }
+
+  /** The shipped (round-17) shape: [[graft.plans.TokenBlocks]] emits
+    * every k-token block in ONE byte walk (the compositional chain
+    * materializes the full token array, then re-slices and re-concats
+    * it — three allocation passes over every byte), and zero-token
+    * docs ride the SAME scan as an explode_outer NULL block instead
+    * of being re-attached by a trailing join — one pass over `docs`
+    * total and two fewer sequential stages in the tail. Each empty
+    * doc gets a PER-ID unique window key (the isNull marker makes
+    * collision with real text impossible), so empties never form a
+    * shared — skewed at crawl scale — null-text window group.
+    */
+  private def dedupParagraphsKernel(docs: DataFrame, idCol: String,
+      textCol: String, parTokens: Int): DataFrame = {
+    val blocks = docs
+      .select(col(idCol).as("id"),
+        explode_outer(graft.plans.TokenBlocks(col(textCol), parTokens))
+          .as("b"))
+      .select(col("id"), col("b.pid").as("pid"), col("b.ptext").as("ptext"))
+    val marked = blocks.withColumn("__graft_rn", row_number().over(
+      Window.partitionBy(col("ptext").isNull,
+          coalesce(col("ptext"), col("id").cast("string")))
+        .orderBy("id", "pid")))
+    marked.groupBy("id").agg(
+      count(col("pid")).as("n_par"),
+      sum(when(col("pid").isNotNull && col("__graft_rn") === 1, 1L)
+        .otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(array_sort(collect_list(
+        when(col("pid").isNotNull && col("__graft_rn") === 1,
+          struct(col("pid"), col("ptext"))))),
+        x => x.getField("ptext"))).as("text_kept"))
+  }
+
+  /** The pre-round-17 compositional shape (tokens + slice + concat_ws
+    * + keep-first window + re-attach join), kept for the A/B knob;
+    * `SPARK_GRAFT_PARDEDUP_SHAPE=hash` additionally reproduces the
+    * rejected md5-keyed window (collision semantics NOT mirrored by
+    * the shipped oracle; dev-only).
+    */
+  private def dedupParagraphsCompose(docs: DataFrame, idCol: String,
+      textCol: String, parTokens: Int): DataFrame = {
     val blocks = docs
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__graft_tk"))
       .withColumn("__graft_n", size(col("__graft_tk")))
@@ -199,8 +268,12 @@ object Curate {
       .select(col("id"), col("pid"),
         concat_ws(" ", slice(col("__graft_tk"),
           col("pid") * parTokens + 1, lit(parTokens))).as("ptext"))
+    val pkey =
+      if (sys.env.getOrElse("SPARK_GRAFT_PARDEDUP_SHAPE", "") == "hash")
+        unhex(md5(col("ptext").cast("binary")))
+      else col("ptext")
     val marked = blocks.withColumn("__graft_rn", row_number().over(
-      Window.partitionBy("ptext").orderBy("id", "pid")))
+      Window.partitionBy(pkey).orderBy("id", "pid")))
     val perDoc = marked.groupBy("id").agg(
       count(lit(1)).as("n_par"),
       sum(when(col("__graft_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
@@ -773,19 +846,61 @@ object Curate {
     * gram ("of the"-class, ~0.1-1% of all occurrences) pins one
     * reducer at crawl scale. The join-back shape's skewed exchange is
     * AQE-skew-splittable — the property the plan audit relies on —
-    * so the 2-pass join ships. (A ReusedExchange single-pass was
-    * also tried: column pruning differentiates the two consumers'
-    * exchange subtrees, nothing fuses.) The two consumers RECOMPUTE
-    * the narrow kernel pass rather than persist it — measured
-    * cheaper at sf0.1, and at 100 TB the corpus-sized intermediate
-    * would not be cached either.
+    * so the 2-pass join ships. The two consumers RECOMPUTE the
+    * narrow kernel pass rather than persist it — measured cheaper at
+    * sf0.1, and at 100 TB the corpus-sized intermediate would not be
+    * cached either.
+    *
+    * Round-17 addendum (VERDICT r16 next #2): the ReuseExchange
+    * single-pass was re-tried with the pruning blocker the r16
+    * attempt lacked ([[graft.plans.PruningAnchor]] keeps `id` in the
+    * count branch's exchange input, making the two consumers'
+    * subtrees canonically identical — verified: ONE scan+kernel
+    * stage writes the pairs exchange, both consumers read it).
+    * REJECTED with data (same protocol, median-of-medians, seconds):
+    * {{{
+    *   shape               sf0.1   sf1    sf3
+    *   two-pass (shipped)  0.665   0.558  1.389
+    *   reuse single-pass   0.529   0.888  1.838   (sf3 worst rep 7.5)
+    * }}}
+    * It wins only the floor-bound sf0.1 regime (nothing gates
+    * there), loses 1.3-1.6× where data dominates — the pairs
+    * exchange write+read costs more than the kernel pass it saves,
+    * and the count consumer forfeits map-side combine — and its
+    * REPARTITION_BY_COL origin is ineligible for AQE skew-splitting,
+    * the property that rejected the window shape. Residual gate gap
+    * is formally adjudicated in docs/adjudications.json.
+    * `SPARK_GRAFT_SCORELM_SHAPE=reuse` reproduces the rejected
+    * variant (dev-only).
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2): DataFrame =
-    scoreFromNgramPairs(
-      docs.select(col(idCol).as("id"),
-        explode(graft.plans.NgramHashCounts(col(textCol), n)).as("gc"))
-        .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c")))
+      n: Int = 2): DataFrame = {
+    val pairs = docs.select(col(idCol).as("id"),
+      explode(graft.plans.NgramHashCounts(col(textCol), n)).as("gc"))
+      .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c"))
+    if (sys.env.getOrElse("SPARK_GRAFT_SCORELM_SHAPE", "twopass") == "reuse") {
+      // EXPERIMENT (round-17 A/B, VERDICT r16 next #2): ONE kernel
+      // pass feeding an explicit exchange on g that BOTH consumers
+      // read (ReuseExchange) — the corpus count derives from the
+      // reused exchange instead of a second scan+kernel pass. The
+      // count branch references id inside its aggregate through a
+      // provably-zero term so column pruning cannot differentiate
+      // the two exchange subtrees (the r16 attempt died exactly
+      // there). Trade-offs vs the shipped two-pass: saves a full
+      // scan+tokenize+hash pass; costs shuffling (id,g,c) for ALL
+      // pair rows, and the REPARTITION_BY_COL origin forfeits AQE
+      // skew-splitting in the SMJ regime (irrelevant while the
+      // count side broadcasts, fatal at crawl scale if it doesn't).
+      val rep = pairs.repartition(col("g"))
+      val counts = rep.groupBy("g")
+        .agg(sum(col("c") + graft.plans.PruningAnchor(col("id")))
+          .as("__graft_cnt"))
+      rep.join(counts, Seq("g"))
+        .groupBy("id")
+        .agg(sum("c").as("n_ngrams"),
+          expr("sum(c * __graft_cnt) * 1000000L div sum(c)").as("score"))
+    } else scoreFromNgramPairs(pairs)
+  }
 
   /** Temperature-based mixture resampling (the multilingual-corpus
     * rebalancing move: raise each stratum's share to 1/T, renormalize,

@@ -144,6 +144,9 @@ object Round10Queries {
     // newlines, so a "paragraph" is a non-overlapping 20-token block.
     // The oracle pins exact BIGINT block counts AND an md5 over the
     // reassembled kept text — the apply step, not just the counts.
+    // (A hashed window key was A/B'd and rejected round 17 — table in
+    // Curate.dedupParagraphs's scaladoc; both engines partition the
+    // keep-first window by the paragraph text itself.)
     QueryDef(
       "ns_dedup_paragraph",
       Some("""WITH tk AS (SELECT doc_id,
