@@ -100,6 +100,18 @@ def main():
                 if medians[n] >= DATA_DOMINATED_FLOOR_SEC}
     gate_breaches = {n: r for n, r in data_dom.items()
                      if r > GATE and n not in proof}
+    # Committed formal adjudications (docs/adjudications.json): a
+    # breach that survives every measured alternative carries its
+    # stated argument IN the gate record instead of silence. The
+    # breach itself stays listed — the adjudication is an argument,
+    # not an exemption.
+    adjudications = {}
+    adj_path = os.path.join("docs", "adjudications.json")
+    if os.path.exists(adj_path):
+        with open(adj_path) as f:
+            adjudications = json.load(f).get("adjudications", {})
+    breaches_adjudicated = {n: adjudications[n]
+                            for n in gate_breaches if n in adjudications}
     record = {
         "sf": sf_dir,
         "spark_capture": spark_capture,
@@ -119,6 +131,7 @@ def main():
         "machinery_proof_queries": proof,
         "n_data_dominated": len(data_dom),
         "gate_breaches": gate_breaches,
+        "gate_breaches_adjudicated": breaches_adjudicated,
         "data_dominated_ratios": dict(
             sorted(data_dom.items(), key=lambda kv: -kv[1])),
         "queries": medians,
