@@ -1664,6 +1664,34 @@ object PipelineQueries {
             col("sq_sum"), col("peak"))
           .orderBy("media_id")
       }),
+
+    // ── Multimodal REAL image resize (round 17, VERDICT r16 next
+    // #5): Graphics2D bilinear to exactly 16×12 + lossless PNG
+    // re-encode. Truth-from-formula discipline: the fixture images
+    // are CONSTANT colors, so the resized Rec.601×1000 luma sum is
+    // analytically 16·12·(299R+587G+114B) for ANY correct resize —
+    // the oracle reads that truth, the Spark side must decode,
+    // resize and re-measure the pixels to match. Corrupt rows pin
+    // the -1 sentinel / decode_ok=false contract.
+    QueryDef(
+      "ns_multimodal_resize",
+      Some("""SELECT media_id, kind,
+              CASE WHEN true_ok THEN 16 ELSE -1 END AS width,
+              CASE WHEN true_ok THEN 12 ELSE -1 END AS height,
+              true_resized_luma_fp AS resized_luma_fp,
+              true_ok AS decode_ok
+              FROM read_parquet('/root/repo/fixtures/media_resize/*.parquet')
+              ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val recs = s.read.parquet(resizeFixtureDir)
+          .select("media_id", "kind", "payload")
+          .as[graft.functions.Multimodal.MediaRecord]
+        graft.functions.Multimodal.resizeImages(recs, 16, 12)
+          .select(col("media_id"), col("kind"), col("width"),
+            col("height"), col("resized_luma_fp"), col("decode_ok"))
+          .orderBy("media_id")
+      }),
   )
 
   /** The media fixtures are repo-local (binary payloads can't live in
@@ -1678,4 +1706,6 @@ object PipelineQueries {
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/video_mp4"
   private def audioMp4FixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/audio_mp4"
+  private def resizeFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures") + "/media_resize"
 }

@@ -58,6 +58,54 @@ object MakeMediaFixture {
 
   def rows: Seq[FixtureRow] = (0 until 48).map(row)
 
+  // ── Resize fixture family (`fixtures/media_resize`), input of the
+  // ns_multimodal_resize oracle row (round 17, VERDICT r16 next #5).
+  // CONSTANT-COLOR images: bilinear interpolation weights sum to 1,
+  // so ANY correct resize of a constant image is the same constant at
+  // every output pixel — making
+  //   true_resized_luma_fp = outW · outH · (299R + 587G + 114B)
+  // an ANALYTIC pixel truth, independent of Java2D's (implementation-
+  // defined) sub-pixel phase and rounding for non-constant content.
+  // Sizes span genuine down- AND up-scaling against the 16×12 target;
+  // corrupt rows pin the sentinel contract.
+
+  case class ResizeFixtureRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      true_width: Int,
+      true_height: Int,
+      true_resized_luma_fp: Long,
+      true_ok: Boolean)
+
+  val resizeTargetW = 16
+  val resizeTargetH = 12
+
+  def resizeColor(i: Int): (Int, Int, Int) =
+    ((17 * i + 11) % 256, (43 * i + 5) % 256, (71 * i + 23) % 256)
+
+  def resizeRow(i: Int): ResizeFixtureRow = {
+    val w = 6 + (i * 5) % 37
+    val h = 5 + (i * 3) % 29
+    val (r, g, b) = resizeColor(i)
+    val (kind, fmt) =
+      if (i % 2 == 0) ("image/png", "png") else ("image/bmp", "bmp")
+    val luma = resizeTargetW.toLong * resizeTargetH *
+      (299L * r + 587L * g + 114L * b)
+    ResizeFixtureRow(i.toLong, kind,
+      Multimodal.encodeImage(w, h, (_, _) => (r, g, b), fmt),
+      w, h, luma, true_ok = true)
+  }
+
+  def resizeCorruptRow(i: Int): ResizeFixtureRow =
+    ResizeFixtureRow(100L + i, "application/octet-stream",
+      s"not an image payload $i ${"x" * (40 + i)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      -1, -1, -1L, true_ok = false)
+
+  def resizeRows: Seq[ResizeFixtureRow] =
+    (0 until 20).map(resizeRow) ++ (0 until 4).map(resizeCorruptRow)
+
   // ── Audio fixture family (`fixtures/audio/`), the input of the
   // `ns_multimodal_audio` oracle query (round-8 upgrade: real
   // javax.sound.sampled decode, same truth-from-formula discipline).
@@ -366,6 +414,7 @@ object MakeMediaFixture {
     val videoDir = s"$base/video"
     val mp4Dir = s"$base/video_mp4"
     val audioMp4Dir = s"$base/audio_mp4"
+    val resizeDir = s"$base/media_resize"
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -377,16 +426,20 @@ object MakeMediaFixture {
     mp4Rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(mp4Dir)
     audioMp4Rows.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(audioMp4Dir)
+    resizeRows.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(resizeDir)
     spark.stop()
     stripBookkeeping(mediaDir)
     stripBookkeeping(audioDir)
     stripBookkeeping(videoDir)
     stripBookkeeping(mp4Dir)
     stripBookkeeping(audioMp4Dir)
+    stripBookkeeping(resizeDir)
     println(s"wrote ${rows.size} image rows to $mediaDir, " +
       s"${audioRows.size} audio rows to $audioDir, " +
       s"${videoRows.size} video rows to $videoDir, " +
       s"${mp4Rows.size} mp4 rows to $mp4Dir, " +
-      s"${audioMp4Rows.size} mp4-audio rows to $audioMp4Dir")
+      s"${audioMp4Rows.size} mp4-audio rows to $audioMp4Dir, " +
+      s"${resizeRows.size} resize rows to $resizeDir")
   }
 }
