@@ -209,6 +209,15 @@ object Curate {
     * the full-string compare rare. `SPARK_GRAFT_PARDEDUP_SHAPE=hash`
     * reproduces the rejected variant (its collision semantics are NOT
     * mirrored by the shipped oracle; dev-only).
+    *
+    * Kernel-shape decision (same protocol, same round): the shipped
+    * [[dedupParagraphsKernel]] vs the pre-round-17 compositional
+    * chain, ACCEPTED at every scale:
+    * {{{
+    *   shape                 sf0.1   sf1    sf3
+    *   TokenBlocks kernel    0.476   0.742  0.925   ← shipped
+    *   tokens+slice+rejoin   0.659   0.850  1.340
+    * }}}
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       parTokens: Int = 20): DataFrame = {
