@@ -462,11 +462,23 @@ object PipelineQueries {
         rkb AS (SELECT doc_id, b, bucket, ROW_NUMBER() OVER
                   (PARTITION BY b, bucket ORDER BY doc_id) rk
                 FROM bands),
+        bnx AS (SELECT x.doc_id, x.b, x.bucket, y.bucket nb,
+                  (y.b - x.b + 8) % 8 k
+                FROM bands x JOIN bands y
+                  ON x.doc_id = y.doc_id
+                  AND ((y.b - x.b + 8) % 8) BETWEEN 1 AND 4),
+        chain AS (SELECT doc_id, LEAD(doc_id) OVER
+                    (PARTITION BY k, b, bucket ORDER BY nb, doc_id) nx
+                  FROM bnx),
         cand AS (SELECT DISTINCT r.doc_id da, b2.doc_id db
                  FROM rkb r JOIN bands b2
                    ON r.b = b2.b AND r.bucket = b2.bucket
                    AND r.doc_id < b2.doc_id
-                 WHERE r.rk <= 8)"""
+                 WHERE r.rk <= 8
+                 UNION
+                 SELECT DISTINCT LEAST(doc_id, nx) da,
+                        GREATEST(doc_id, nx) db
+                 FROM chain WHERE nx IS NOT NULL)"""
 
   /** Spark twin of `minhashCandCte` + verify, via the PUBLIC operator
     * API (graft.operators.Dedup) — the query contract is a thin demo

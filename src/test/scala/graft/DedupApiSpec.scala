@@ -196,7 +196,7 @@ class DedupApiSpec extends SparkSpec {
       val full = Dedup.minhashCandidates(sh, rankCap = Int.MaxValue)
         .as[(Long, Long)].collect().toSet
       assert(full.size == 66, s"expected the full clique, got ${full.size}")
-      val capped = Dedup.minhashCandidates(sh)
+      val capped = Dedup.minhashCandidates(sh, chainLink = false)
         .as[(Long, Long)].collect().toSet
       assert(capped.subsetOf(full))
       assert(capped.size == 60, s"rank cap 8 on a 12-clique keeps " +
@@ -206,6 +206,16 @@ class DedupApiSpec extends SparkSpec {
         s"star pair (0,$b) must survive the cap"))
       // the drop is exactly the high-rank x high-rank tail
       assert((full -- capped).forall { case (a, b) => a >= 8L && b >= 8L })
+      // shipped default adds the chainLink backstop: identical
+      // digests tie every clone, so each chain is the consecutive-id
+      // path — exactly (8,9),(9,10),(10,11) on top of the star
+      val chained = Dedup.minhashCandidates(sh)
+        .as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(chained) && chained.subsetOf(full))
+      assert(chained -- capped ==
+        Set((8L, 9L), (9L, 10L), (10L, 11L)),
+        s"chain adds the consecutive-id tail links, got " +
+          s"${chained -- capped}")
       // and the VERIFIED component structure is unchanged
       val ids = sh.select(col("id"))
       def labels(cand: Set[(Long, Long)]) = Dedup.componentLabels(ids,
