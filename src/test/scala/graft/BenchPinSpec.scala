@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canonical-capture pinning (VERDICT r16 #3): the pin must bind a
+  * capture to an EXACT source tree and sf — any drift (file edited,
+  * different sf, contended capture, malformed file) must fall back to
+  * the live run. No SparkSession needed: these are pure file/JSON
+  * helpers.
+  */
+class BenchPinSpec extends AnyFunSuite {
+
+  private def tmpDir(): Path = Files.createTempDirectory("benchpin")
+
+  private def write(p: Path, s: String): Path = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s)
+    p
+  }
+
+  test("treeFingerprint: deterministic, content-sensitive, cwd-stable") {
+    val d1 = tmpDir()
+    write(d1.resolve("src/main/scala/A.scala"), "object A")
+    write(d1.resolve("src/main/scala/sub/B.scala"), "object B")
+    val bs1 = write(d1.resolve("build.sbt"), "name := \"x\"")
+    val fp1 = Bench.treeFingerprint(d1.resolve("src/main"), bs1)
+    val fp1b = Bench.treeFingerprint(d1.resolve("src/main"), bs1)
+    assert(fp1.nonEmpty && fp1 == fp1b)
+
+    // identical tree rooted elsewhere → same fingerprint (the driver
+    // and the pinning dev run may use different absolute paths)
+    val d2 = tmpDir()
+    write(d2.resolve("src/main/scala/A.scala"), "object A")
+    write(d2.resolve("src/main/scala/sub/B.scala"), "object B")
+    val bs2 = write(d2.resolve("build.sbt"), "name := \"x\"")
+    assert(Bench.treeFingerprint(d2.resolve("src/main"), bs2) == fp1)
+
+    // one changed byte → different fingerprint
+    write(d2.resolve("src/main/scala/A.scala"), "object A2")
+    assert(Bench.treeFingerprint(d2.resolve("src/main"), bs2) != fp1)
+
+    // missing tree → pinning disabled
+    assert(Bench.treeFingerprint(d1.resolve("no/such"), bs1) == "")
+  }
+
+  test("readPinned: accepts only same-sf quiet captures of this tree") {
+    val d = tmpDir()
+    def pin(fp: String, sf: String, contended: Boolean): Path =
+      write(d.resolve("BENCH_PINNED.json"),
+        s"""{"metric":"total","value":41.59,"contended":$contended,
+           |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"$fp",
+           |"sf":"$sf"}""".stripMargin)
+
+    val p = pin("fp1", "/data/sf0.1", contended = false)
+    val ok = Bench.readPinned(p, "/data/sf0.1", "fp1")
+    assert(ok.exists(r => r.value == 41.59 && !r.contended &&
+      r.sha256.length == 64 && r.loadavgStart == "0.5 0.4 0.3"))
+
+    // wrong tree, wrong sf, contended, missing, malformed → None
+    assert(Bench.readPinned(p, "/data/sf0.1", "fp2").isEmpty)
+    assert(Bench.readPinned(p, "/data/sf1", "fp1").isEmpty)
+    assert(Bench.readPinned(pin("fp1", "/data/sf0.1", contended = true),
+      "/data/sf0.1", "fp1").isEmpty)
+    assert(Bench.readPinned(d.resolve("nope.json"), "/data/sf0.1", "fp1").isEmpty)
+    assert(Bench.readPinned(write(d.resolve("BENCH_PINNED.json"), "{oops"),
+      "/data/sf0.1", "fp1").isEmpty)
+  }
+}
