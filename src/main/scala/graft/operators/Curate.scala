@@ -961,6 +961,136 @@ object Curate {
       .drop("__graft_stratum", "__graft_rep", "__graft_thresh")
   }
 
+  /** Corpus vocabulary build: the `vocabSize` most frequent whitespace
+    * tokens, ids 1..vocabSize by (count DESC, token ASC) — a total
+    * order, so the boundary tie at rank `vocabSize` is deterministic
+    * on every engine. Returns (tok, c, id).
+    *
+    * Scale shape: one map-side-combined groupBy(token), then a
+    * DISTRIBUTED top-k (orderBy.limit → TakeOrderedAndProject: a
+    * bounded heap per partition, merged on the driver — never a
+    * global sort). The ROW_NUMBER that assigns ids runs over the
+    * already-limited `vocabSize`-row frame: the unpartitioned window
+    * is bounded by construction (model-sized, like the PQ
+    * centroids), not by the corpus.
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int = 4096): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    // within-doc multiplicity counted IN-ROW by the single-pass
+    // NgramCounts kernel (n=1 ⇒ grams are the tokens, same tokens()
+    // contract) — the shuffle then carries one row per (doc, distinct
+    // token), not per occurrence (the ngramPairCounts discipline)
+    val cnt = docs
+      .select(explode(graft.plans.NgramCounts(col(textCol), 1)).as("gc"))
+      .groupBy(col("gc.g").as("tok")).agg(sum("gc.c").as("c"))
+    cnt.orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("c").desc, col("tok").asc))
+        .cast("long"))
+  }
+
+  /** Vocab-mapped tokenization — the "text → token-id sequence" step
+    * every training-data pipeline ends with, with OOV → id 0. The
+    * output is one compact row per non-empty doc: `n_tok`, `n_oov`,
+    * and `checksum` = Σ position·id (1-based positions, exact BIGINT)
+    * — an order-sensitive functional of the ENTIRE id sequence, so a
+    * differential hash match pins every token's id and position
+    * without shipping corpus-sized sequence rows through the oracle.
+    * Empty/whitespace-only docs produce no tokens and are absent, as
+    * in the oracle's inner aggregation.
+    *
+    * Tier routing (round-17 paired same-JVM interleaved A/B,
+    * tools/AbTokenizeVocab, medians in seconds, V=16):
+    * {{{
+    *   tier                 sf0.1   sf1    sf3
+    *   in-row HOF literal   0.782   1.194  —      (rejected: interpreted
+    *                                               lambdas + eager collect)
+    *   in-row fused kernel  0.463   0.709  0.846  ← default
+    *   broadcast join       0.519   0.991  1.937
+    * }}}
+    * (kernel numbers are the shipped single-eval shape — the trim()
+    * pre-filter; the first cut double-evaluated the kernel through
+    * filter pushdown.) The fused-kernel tier (TokenIdStats) edges the
+    * join at the job-floor-bound sf0.1 and wins 1.4×/2.3× where data
+    * dominates —
+    * per-token work collapses to one hash probe inside one codegen'd
+    * byte walk. It requires collecting the vocab to the driver, a
+    * MODEL-sized object (≤ `inRowMaxVocab` entries ≤ the vocabIdMap
+    * budget — the PQ-centroid lifecycle; a real 50k-token BPE vocab
+    * is a few MB, the same order as a broadcast-join build side).
+    * Vocabularies past the model budget route to the broadcast-join
+    * tier: narrow posexplode, BHJ against the vocab, per-doc
+    * re-aggregation — the only shuffle carries O(docs) rows.
+    */
+  def tokenizeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 4096, inRowMaxVocab: Int = 1 << 16): DataFrame =
+    if (vocabSize <= inRowMaxVocab)
+      tokenizeInRow(docs, idCol, textCol,
+        vocabIdMap(docs, textCol, vocabSize))
+    else {
+      // Broadcast-join tier (the real-vocab scale path): narrow
+      // posexplode (a doc's occurrence rows never leave its
+      // partition), BROADCAST hash join against the model-sized
+      // vocab, per-doc re-aggregation with map-side combine — the
+      // only shuffle carries O(docs) rows.
+      val voc = buildVocab(docs, textCol, vocabSize).select("tok", "id")
+      val occ = docs
+        .select(col(idCol).as("__graft_doc"),
+          posexplode(TF.tokens(col(textCol))).as(Seq("__graft_p0", "tok")))
+        .select(col("__graft_doc"),
+          (col("__graft_p0") + 1).cast("long").as("__graft_pos"), col("tok"))
+      occ.join(broadcast(voc), Seq("tok"), "left")
+        .withColumn("__graft_tid", coalesce(col("id"), lit(0L)))
+        .groupBy(col("__graft_doc").as(idCol))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("__graft_tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("__graft_pos") * col("__graft_tid")).as("checksum"))
+    }
+
+  /** Collect a built vocab as a driver-side token→id map. Model-sized
+    * by contract (≤ `maxCollect` entries, like the PQ centroids and
+    * the eval-suite hash set) — this is a MODEL collect, never a
+    * corpus collect; the corpus itself is touched only by the
+    * distributed count+top-k inside [[buildVocab]].
+    */
+  def vocabIdMap(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxCollect: Int = 1 << 16): Map[String, Long] = {
+    require(vocabSize <= maxCollect,
+      s"vocabIdMap collects the vocab to the driver: vocabSize=$vocabSize " +
+        s"exceeds the $maxCollect model budget — use the broadcast-join " +
+        "tier (tokenizeWithVocab with inRowMaxVocab < vocabSize)")
+    buildVocab(docs, textCol, vocabSize).select("tok", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** In-row tokenization tier: one narrow projection computes every
+    * per-doc output — n_tok, n_oov, checksum = Σ position·id — via
+    * the fused [[graft.plans.TokenIdStats]] kernel (single byte walk,
+    * O(1) hash lookups against the prebuilt model-sized vocab index,
+    * codegen'd): no posexplode, no join, no per-doc aggregation
+    * exchange. The vocab map is a MODEL object by contract (built by
+    * [[vocabIdMap]] under its collect budget); it ships to executors
+    * with the serialized plan like a broadcast-join build side. Empty
+    * docs are absent (same inner semantics as the join tier).
+    */
+  def tokenizeInRow(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long]): DataFrame =
+    docs
+      // n_tok >= 1 ⟺ some non-space byte exists (tokens split on the
+      // single-space separator only) — filtering on the cheap proxy
+      // BEFORE the kernel keeps exactly ONE kernel eval per row; a
+      // filter on the struct field would be pushed through the
+      // projection and re-substitute the kernel into the Filter too
+      // (observed: double eval in the r17 first-cut golden)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.plans.TokenIdStats(col(textCol), vocab).as("__graft_s"))
+      .select(col(idCol),
+        col("__graft_s.n_tok").as("n_tok"),
+        col("__graft_s.n_oov").as("n_oov"),
+        col("__graft_s.checksum").as("checksum"))
+
   /** PII regexes, shared with the audit counters in the query layer
     * (one definition — the two copies must never drift).
     */

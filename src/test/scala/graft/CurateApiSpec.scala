@@ -23,6 +23,41 @@ class CurateApiSpec extends SparkSpec {
     assert(keptDe.toSeq == Seq(1L, 3L))
   }
 
+  test("tokenizeWithVocab: ids by (freq desc, tok asc), OOV=0, " +
+      "positional checksum; empty docs absent") {
+    // corpus counts: b=4, a=3, c=2, z=1 → vocabSize=3 keeps b=1, a=2,
+    // c=3 (the a/c boundary is frequency; the b/a order is too) and z
+    // falls OOV
+    val corpus = Seq(
+      (10L, "a b c b"),        // ids 2 1 3 1 → cks 2+2+9+4=17, oov 0
+      (11L, "b z a"),          // ids 1 0 2 → cks 1+0+6=7, oov 1
+      (12L, "c a b"),          // ids 3 2 1 → cks 3+4+3=10, oov 0
+      (13L, ""))               // no tokens → absent
+      .toDF("my_id", "body")
+    val out = Curate.tokenizeWithVocab(corpus, "my_id", "body",
+        vocabSize = 3)
+      .select("my_id", "n_tok", "n_oov", "checksum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 4L, 0L, 17L), (11L, 3L, 1L, 7L),
+      (12L, 3L, 0L, 10L)))
+    // vocab ids deterministic incl. the tie rule: equal counts order
+    // by token ASC
+    val voc = Curate.buildVocab(corpus, "body", vocabSize = 10)
+      .select("tok", "id").as[(String, Long)].collect().toMap
+    assert(voc == Map("b" -> 1L, "a" -> 2L, "c" -> 3L, "z" -> 4L))
+    val tie = Curate.buildVocab(
+        Seq((1L, "x y"), (2L, "y x")).toDF("id", "t"), "t", 1)
+      .select("tok").as[String].collect().toSeq
+    assert(tie == Seq("x")) // 2-2 tie → lexicographically first
+    // both tiers (fused kernel / broadcast join) are the same operator:
+    // identical rows whatever the routing
+    val joinTier = Curate.tokenizeWithVocab(corpus, "my_id", "body",
+        vocabSize = 3, inRowMaxVocab = 0)
+      .select("my_id", "n_tok", "n_oov", "checksum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(joinTier.toSeq == out.toSeq)
+  }
+
   test("packSequences fills the token budget per shard in order") {
     val out = Curate.packSequences(docs, "body", "lang", "id",
       budgetTokens = 12)

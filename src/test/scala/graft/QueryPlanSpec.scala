@@ -138,6 +138,24 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_tokenize_vocab: fused in-row kernel, no join/explode in the plan") {
+    // default route = the TokenIdStats kernel tier: the mapped query
+    // is ONE narrow projection + the contract sort — no posexplode,
+    // no join, no per-doc aggregation exchange (the vocab build runs
+    // as its own model-sized top-k job at construction)
+    val e = explainStr(planOf("ns_tokenize_vocab"))
+    assert(e.contains("graft_token_id_stats"), e)
+    assert(!e.contains("Join"), e)
+    assert(!e.contains("Generate"), e)
+    // the big-vocab tier keeps the broadcast-join scale shape:
+    // distributed top-k vocab cut, BHJ mapping, map-side combine
+    val big = explainStr(graft.operators.Curate.tokenizeWithVocab(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text", vocabSize = 16, inRowMaxVocab = 0))
+    assert(big.contains("TakeOrderedAndProject"), big)
+    assert(big.contains("BroadcastHashJoin"), big)
+  }
+
   test("golden plan fingerprints: the top expensive plans keep their shape") {
     // VERDICT r7 item 5: a pushdown / join-order / strategy regression
     // in a headline query must fail the suite, not hide in bench noise.
