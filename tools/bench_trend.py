@@ -54,6 +54,11 @@ TREND_QUERIES = [
     # adjacent breach (oracle median 0.17 s, Spark min-rep 2.25x) —
     # the trend is its floor-vs-data-path adjudication, as for q15
     "q02_filter_predicates",
+    # round-17 addition: the new vocab-mapped tokenization op lands
+    # floor-bound at sf0.1 (two-job DAG vs a 0.19 s oracle) with a
+    # falling ratio curve — the trend record is its adjudication
+    # evidence, as it was for q15/q52
+    "ns_tokenize_vocab",
 ]
 
 FACTOR = 10
@@ -87,6 +92,11 @@ TREND3_QUERIES = [
     # small absolutes - carries its own sf3 row from a disclosed
     # single-query capture
     "ns_score_lm",
+    # round-17 addition: the new vocab-mapped tokenization op lands
+    # floor-bound at sf0.1 (two-job DAG vs a 0.19 s oracle) with a
+    # falling ratio curve - the trend record is its adjudication
+    # evidence, as it was for q15/q52
+    "ns_tokenize_vocab",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
