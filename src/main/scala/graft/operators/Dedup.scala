@@ -102,9 +102,43 @@ object Dedup {
     */
   def minhashCandidates(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
       rowsPerBand: Int = 4, rankCap: Int = 8,
-      chainLink: Boolean = true): DataFrame = {
+      chainLink: Boolean = true): DataFrame =
+    minhashCandidatesFromBanded(
+      bandedWithArray(sh, nHashes, bands, rowsPerBand),
+      bands, rankCap, chainLink)
+
+  /** [[bandedBuckets]] variant that RETAINS the per-doc bucket array
+    * beside each exploded (band, bucket) row — the shape both the
+    * star enumeration and the chainLink backstop derive from. Callers
+    * referencing the result more than once (every query-layer
+    * consumer: the star self-join alone reads it twice) should
+    * persist/memoize it — at corpus scale this is the write-once
+    * banded-bucket index the incremental tier already materializes
+    * (mhidx_buckets), and recomputing it per consumer re-runs the
+    * 32-permutation MinHash signature per subtree (measured 2× the
+    * whole candidates+verify latency with the chain on,
+    * tools/AbMinhashChain).
+    */
+  def bandedWithArray(sh: DataFrame, nHashes: Int = 32, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(nHashes >= bands * rowsPerBand,
+      s"nHashes ($nHashes) must cover bands*rowsPerBand " +
+        s"(${bands * rowsPerBand})")
+    sh.withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
+      .withColumn("__graft_bk",
+        TF.lshBuckets(col("sig"), bands, rowsPerBand))
+      .select(col("id"), col("__graft_bk"),
+        posexplode(col("__graft_bk")).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate enumeration over a prebuilt [[bandedWithArray]] frame
+    * (id, __graft_bk, band, bucket) — same semantics as
+    * [[minhashCandidates]], zero signature recomputation.
+    */
+  def minhashCandidatesFromBanded(withBk: DataFrame, bands: Int = 8,
+      rankCap: Int = 8, chainLink: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = bandedBuckets(sh, nHashes, bands, rowsPerBand)
+    val banded = withBk.select("id", "band", "bucket")
     val ranked =
       if (rankCap == Int.MaxValue) banded
       else banded
@@ -126,12 +160,6 @@ object Dedup {
         // chain order — and therefore the candidate set — is
         // reproducible in the SQL oracle (minhashCandCte mirrors
         // this window verbatim)
-        val withBk = sh
-          .withColumn("sig", graft.plans.MinHashSig(col("hh"), nHashes))
-          .withColumn("__graft_bk",
-            TF.lshBuckets(col("sig"), bands, rowsPerBand))
-          .select(col("id"), col("__graft_bk"),
-            posexplode(col("__graft_bk")).as(Seq("band", "bucket")))
         // one chain per circular offset 1..4: two crowded bands on an
         // 8-cycle sit at distance ≤ 4, so ANY pair sharing ≥ 2
         // crowded bands ties on some offset's digest; only the

@@ -110,6 +110,7 @@ object PipelineQueries {
     */
   def warmShared(s: SparkSession, dir: String): Unit = {
     hashedShingled(s, dir)
+    minhashBanded(s, dir)
     componentLabels(s, dir)
     normEmbeddings(s, dir)
     embBandBuckets(s, dir)
@@ -484,14 +485,34 @@ object PipelineQueries {
     * API (graft.operators.Dedup) — the query contract is a thin demo
     * over library functions a user can call on any (id, text) frame.
     */
+  /** Dev-tool accessor (tools/AbMinhashChain): the exact signature
+    * frame the minhash queries probe, for paired A/B outside the
+    * query layer.
+    */
+  def shinglesForAb(s: SparkSession, dir: String): DataFrame =
+    shForApi(s, dir)
+
   private def shForApi(s: SparkSession, dir: String): DataFrame =
     hashedShingled(s, dir).withColumnRenamed("doc_id", "id")
 
-  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
-    val sh = shForApi(s, dir)
+  /** Memoized banded-bucket frame (id, __graft_bk, band, bucket) —
+    * the write-once derived index the star self-join AND the
+    * chainLink backstop both read (three consumers in one plan;
+    * without the memo each recomputes the 32-permutation MinHash
+    * signature in its own subtree — measured 2× the whole
+    * candidates+verify latency, tools/AbMinhashChain). At corpus
+    * scale this is the same artifact class as mhidx_buckets.
+    */
+  private[queries] def minhashBanded(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "mhbk") {
+      graft.operators.Dedup.bandedWithArray(shForApi(s, dir))
+    }
+
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.verifiedPairs(
-      sh, graft.operators.Dedup.minhashCandidates(sh))
-  }
+      shForApi(s, dir),
+      graft.operators.Dedup.minhashCandidatesFromBanded(
+        minhashBanded(s, dir)))
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerified(s, dir)

@@ -241,7 +241,8 @@ object Round3Queries {
         val sh = PipelineQueries.sharedShingles(s, dir)
           .withColumnRenamed("doc_id", "id")
         graft.operators.Dedup.containmentPairs(
-            sh, graft.operators.Dedup.minhashCandidates(sh))
+            sh, graft.operators.Dedup.minhashCandidatesFromBanded(
+              PipelineQueries.minhashBanded(s, dir)))
           .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
             round(col("containment"), 3).as("containment"))
           .orderBy("doc_a", "doc_b")

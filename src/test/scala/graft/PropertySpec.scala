@@ -55,6 +55,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NS tokenize: fused kernel equals the brute-force spec on adversarial text") {
+    // random texts: multi-space runs, tabs/newlines (NOT separators),
+    // mixed case, unicode, empties — the kernel must match the
+    // tokens()-composition spec byte for byte
+    val piece = Gen.oneOf("the", "Fox", "  ", " ", "\t", "\n", "x1",
+      "\u00fcber", "DATA", "", "a b", "mixedCASE", "zz")
+    val textGen = Gen.listOfN(8, piece).map(_.mkString(" "))
+    val vocab = Map("the" -> 1L, "fox" -> 2L, "x1" -> 3L, "a" -> 4L,
+      "\u00fcber" -> 5L)
+    def spec(text: String): (Long, Long, Long) = {
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val ids = toks.map(t => vocab.getOrElse(t, 0L))
+      (toks.length.toLong, ids.count(_ == 0L).toLong,
+        ids.zipWithIndex.map { case (id, i) => id * (i + 1) }.sum)
+    }
+    val texts = samples(textGen, 300).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = graft.operators.Curate.tokenizeInRow(df, "id", "t", vocab)
+      .select("id", "n_tok", "n_oov", "checksum")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = spec(t)
+      if (want._1 == 0L)
+        assert(!got.contains(i.toLong), s"empty doc present: '$t'")
+      else assert(got(i.toLong) == want, s"mismatch on '$t'")
+    }
+  }
+
   test("P3: nullif-zero maps only the sentinel to null") {
     val rows = Seq(0.0, 1.5, -2.0, 0.0).toDF("w")
       .select(Telemetry.nullifZero($"w").as("w")).as[Option[Double]]
