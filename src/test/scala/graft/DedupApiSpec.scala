@@ -216,6 +216,15 @@ class DedupApiSpec extends SparkSpec {
         Set((8L, 9L), (9L, 10L), (10L, 11L)),
         s"chain adds the consecutive-id tail links, got " +
           s"${chained -- capped}")
+      // the banded-index entry point (round 17: banding built once,
+      // persisted by callers) is THE SAME operator: identical pair
+      // set through the prebuilt-banding path
+      val viaBanded = Dedup.minhashCandidatesFromBanded(
+          Dedup.bandedWithArray(sh))
+        .as[(Long, Long)].collect().toSet
+      assert(viaBanded == chained,
+        "minhashCandidatesFromBanded(bandedWithArray(sh)) must equal " +
+          "minhashCandidates(sh)")
       // and the VERIFIED component structure is unchanged
       val ids = sh.select(col("id"))
       def labels(cand: Set[(Long, Long)]) = Dedup.componentLabels(ids,
