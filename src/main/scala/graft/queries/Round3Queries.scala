@@ -41,13 +41,25 @@ object Round3Queries {
         val probe = t(s, dir, "events")
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("t_us"))
+        // the oracle's pre-aggregate CTE (MAX(o_orderkey) per (cust,
+        // date)) exists only to make the tie deterministic — the
+        // tieBreak column folds that into the as-of sort itself, so
+        // the build side goes in RAW and the whole groupBy shuffle
+        // stage disappears (VERDICT r17 #1): latest date wins, and at
+        // equal date the greatest orderkey wins, exactly the CTE's
+        // semantics. Routed to the COMPACT tier (per-key sorted
+        // history arrays + codegen binary search — AsOf scaladoc):
+        // per-customer order counts are bounded at every sf, the
+        // shape this tier exists for; the union-window plain tier
+        // stays oracle-pinned via q29, bucketed via q69.
         val build = t(s, dir, "orders")
-          .groupBy(col("o_custkey").as("k"),
-            unix_micros(col("o_orderdate").cast("timestamp")).as("bt"))
-          .agg(max("o_orderkey").as("last_order"))
-        graft.operators.AsOf.joinLatest(
-            probe, build, "user_id", "k", "t_us", "bt",
-            valueCols = Seq("last_order"))
+          .select(col("o_custkey").as("k"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("bt"),
+            col("o_orderkey").as("last_order"))
+        graft.operators.AsOf.joinLatestCompact(
+            probe, build, Seq("user_id"), Seq("k"), "t_us", "bt",
+            valueCols = Seq("last_order"), strict = false,
+            tieBreak = Seq("last_order"))
           .select("event_id", "last_order")
           .orderBy("event_id")
       }),

@@ -37,14 +37,18 @@ object Round8Queries {
         val probe = t(s, dir, "events")
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("t_us"))
+        // raw build + tieBreak (see q59): the bucketed plan's
+        // closing-value aggregate and in-bucket window both carry the
+        // tie ordering, so THIS row now also pins the salted-window
+        // tie machinery against DuckDB's pre-aggregated ASOF
         val build = t(s, dir, "orders")
-          .groupBy(col("o_custkey").as("k"),
-            unix_micros(col("o_orderdate").cast("timestamp")).as("bt"))
-          .agg(max("o_orderkey").as("last_order"))
+          .select(col("o_custkey").as("k"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("bt"),
+            col("o_orderkey").as("last_order"))
         graft.operators.AsOf.joinLatestAuto(
             probe, build, Seq("user_id"), Seq("k"), "t_us", "bt",
             valueCols = Seq("last_order"), strict = false,
-            targetRowsPerTask = 16)
+            targetRowsPerTask = 16, tieBreak = Seq("last_order"))
           .select("event_id", "last_order")
           .orderBy("event_id")
       }),

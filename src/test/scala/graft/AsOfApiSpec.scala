@@ -249,6 +249,114 @@ class AsOfApiSpec extends SparkSpec {
     }
   }
 
+  test("tieBreak on the raw build side equals the pre-aggregated build") {
+    // duplicate (k, t) build rows with distinct values: the tie column
+    // must make the GREATEST value win — exactly what pre-aggregating
+    // with max() produced, minus the extra shuffle
+    val p = (1 to 50).map(i => (i.toLong, i % 5L, i.toLong))
+      .toDF("event_id", "pk", "pt")
+    val dup = Seq.tabulate(200)(i =>
+      (i % 5L, (i % 10).toLong, i.toLong)) // 4 dup rows per (k, t)
+      .toDF("k", "t", "v")
+    val agg = dup.groupBy("k", "t").agg(max("v").as("v"))
+    for (strict <- Seq(false, true)) {
+      val expected = AsOf.joinLatest(p, agg, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict)
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      val gotPlain = AsOf.joinLatest(p, dup, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), strict, tieBreak = Seq("v"))
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      val gotBucketed = AsOf.joinLatestBucketed(p, dup, Seq("pk"), Seq("k"),
+        "pt", "t", Seq("v"), bucket = t => floor(t / 3), strict,
+        tieBreak = Seq("v"))
+        .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+      assert(gotPlain == expected, s"strict=$strict plain tieBreak != pre-agg")
+      assert(gotBucketed == expected,
+        s"strict=$strict bucketed tieBreak != pre-agg")
+    }
+  }
+
+  test("compact as-of equals the union-window form (randomized differential)") {
+    // random keys/times with deliberate collisions: equal-time ties
+    // (tie column decides), null keys/times on both sides, keys with
+    // no build rows at all
+    val rnd = new scala.util.Random(18)
+    val p = (1 to 500).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong))
+    }.toDF("event_id", "pk", "pt")
+    val b = (1 to 300).map { i =>
+      (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong),
+        i.toLong, rnd.nextInt(5).toString)
+    }.toDF("k", "t", "tie", "tag")
+    for (strict <- Seq(false, true)) {
+      // tie column makes the winner deterministic, so the two plans
+      // must agree row-for-row (not just set-wise)
+      val expected = AsOf.joinLatest(p, b, Seq("pk"), Seq("k"), "pt", "t",
+        Seq("tie", "tag"), strict, tieBreak = Seq("tie"))
+        .select("event_id", "tie", "tag")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      val got = AsOf.joinLatestCompact(p, b, Seq("pk"), Seq("k"), "pt", "t",
+        Seq("tie", "tag"), strict, tieBreak = Seq("tie"))
+        .select("event_id", "tie", "tag")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      assert(got == expected, s"strict=$strict compact != union-window")
+    }
+    // multi-key + timestamp time type
+    val p2 = Seq(
+      (1L, 1L, "w", java.sql.Timestamp.valueOf("2026-01-01 00:00:10")),
+      (2L, 1L, "t", java.sql.Timestamp.valueOf("2026-01-01 00:00:10")),
+      (3L, 2L, "w", java.sql.Timestamp.valueOf("2026-01-01 00:00:10")))
+      .toDF("event_id", "dev", "metric", "ts")
+    val b2 = Seq(
+      (1L, "w", java.sql.Timestamp.valueOf("2026-01-01 00:00:05"), 1.0),
+      (1L, "w", java.sql.Timestamp.valueOf("2026-01-01 00:00:09"), 2.0),
+      (1L, "t", java.sql.Timestamp.valueOf("2026-01-01 00:00:07"), 3.0))
+      .toDF("dev", "metric", "ts", "v")
+    val out2 = AsOf.joinLatestCompact(p2, b2, Seq("dev", "metric"),
+      Seq("dev", "metric"), "ts", "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out2(1L).contains(2.0) && out2(2L).contains(3.0) &&
+      out2(3L).isEmpty, out2.toString)
+  }
+
+  test("compact tier plan: no probe-side sort before the join, search is codegen") {
+    val plan = AsOf.joinLatestCompact(probe, build, Seq("k"), Seq("k"),
+      "t", "t", Seq("tag")).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_count_le"), plan)
+    // the probe side must reach the hash join unsorted: SMJ would
+    // show SortMergeJoin; the hint pins ShuffledHashJoin (or a
+    // broadcast upgrade)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sampled routing probe: fraction=1 reproduces the exact probe") {
+    val b = (1 to 400)
+      .map(i => (if (i <= 360) 7L else i % 10L, i.toLong, i * 2L))
+      .toDF("k", "t", "v")
+    val p = (1 to 200)
+      .map(i => (i.toLong, i % 40L, i.toLong + 1)).toDF("event_id", "pk", "pt")
+    val exact = AsOf.autoPlan(p, b, Seq("pk"), Seq("k"), "pt", "t",
+      targetRowsPerTask = 25)
+    val full = AsOf.autoPlanSampled(p, b, Seq("pk"), Seq("k"), "pt", "t",
+      targetRowsPerTask = 25, fraction = 1.0)
+    assert(full == exact, s"fraction=1 must equal the exact probe: $full vs $exact")
+    // empty inputs fall back plain, as the exact probe does
+    val empty = AsOf.autoPlanSampled(p.limit(0), b.limit(0), Seq("pk"),
+      Seq("k"), "pt", "t")
+    assert(!empty.bucketed && empty.maxKeyRows == 0L, empty.toString)
+    // a genuinely hot key must still route bucketed from a partial
+    // sample: scale the fixture so the 2% default sample sees it
+    val hotBig = spark.range(0, 60000)
+      .selectExpr("7L as k", "id as t", "id * 2 as v")
+    val sampled = AsOf.autoPlanSampled(p, hotBig, Seq("pk"), Seq("k"),
+      "pt", "t", targetRowsPerTask = 1000)
+    assert(sampled.bucketed && sampled.nBuckets > 1,
+      s"hot key must route bucketed from the sampled probe: $sampled")
+  }
+
   test("the plan is one shuffle + window — no join operator") {
     val plan = AsOf.joinLatest(probe, build, "k", "k", "t", "t", Seq("tag"))
       .queryExecution.executedPlan.toString
