@@ -881,13 +881,38 @@ object Curate {
     * is formally adjudicated in docs/adjudications.json.
     * `SPARK_GRAFT_SCORELM_SHAPE=reuse` reproduces the rejected
     * variant (dev-only).
+    *
+    * Round-18 addendum (VERDICT r17 next #2, the last untried
+    * fusion): ONE kernel pass materialized as (id, g, c) rows via
+    * localCheckpoint, both consumers reading the stored blocks with
+    * ENSURE_REQUIREMENTS exchanges (map-side combine and AQE
+    * skew-splitting both retained — the two properties the reuse
+    * shape forfeited). REJECTED with data (interleaved same-box
+    * medians, seconds): sf1 ckpt 2.28 vs two-pass 0.51; sf3 ckpt
+    * 2.10/2.20 vs two-pass 1.52/1.51 — materializing and re-reading
+    * every pair row costs 3-4× the kernel pass it saves, and the
+    * checkpoint barrier serializes the DAG. Every fusion of the two
+    * kernel passes is now measured and worse; the adjudication
+    * stands on a closed alternative set.
+    * `SPARK_GRAFT_SCORELM_SHAPE=ckpt` reproduces it (dev-only).
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
     val pairs = docs.select(col(idCol).as("id"),
       explode(graft.plans.NgramHashCounts(col(textCol), n)).as("gc"))
       .select(col("id"), col("gc.g").as("g"), col("gc.c").as("c"))
-    if (sys.env.getOrElse("SPARK_GRAFT_SCORELM_SHAPE", "twopass") == "reuse") {
+    val shape = sys.env.getOrElse("SPARK_GRAFT_SCORELM_SHAPE", "twopass")
+    if (shape == "ckpt") {
+      // EXPERIMENT (round-18 A/B, VERDICT r17 next #2): ONE kernel
+      // pass materialized as (id, g, c) ROWS via localCheckpoint;
+      // both consumers read the stored blocks. Unlike the rejected
+      // ReuseExchange shape, the downstream exchanges stay
+      // ENSURE_REQUIREMENTS — the count side keeps map-side combine
+      // and the join-back side keeps AQE skew-splitting. Trade:
+      // checkpoint write+read of every pair row vs the saved
+      // scan+tokenize+hash pass.
+      scoreFromNgramPairs(pairs.localCheckpoint())
+    } else if (shape == "reuse") {
       // EXPERIMENT (round-17 A/B, VERDICT r16 next #2): ONE kernel
       // pass feeding an explicit exchange on g that BOTH consumers
       // read (ReuseExchange) — the corpus count derives from the
