@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * plans (DPP, pushdown, bucketing) only pay off if the data is laid
   * out to support them, and streaming sinks continuously degrade that
   * layout with small files.
+  *
+  * Isolation note: these operate on BARE parquet directories — a
+  * reader racing [[compact]]/[[overwritePartitions]]/
+  * [[expirePartitions]] can list files mid-swap. For tables that need
+  * readers concurrent with maintenance, use the snapshot-isolated
+  * forms in [[Snapshot]] (versioned-manifest commits; same
+  * operations, readers pin one snapshot).
   */
 object Layout {
 

