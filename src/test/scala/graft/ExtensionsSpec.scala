@@ -54,6 +54,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(merged - 1000) < 50, merged.toString)
   }
 
+  test("quantile sketches: lossless regime exact, lossy merge within bounded rank error") {
+    val s = SparkSpecBase.spark
+    import s.implicits._
+    import graft.functions.{QuantileSketch => QS}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+
+    // LOSSLESS: n (2000) ≤ k (4096) — per-shard sketches unioned must
+    // equal the exact percentile_disc answer over the raw values,
+    // regardless of sharding
+    val vals = new scala.util.Random(18).shuffle((1 to 2000).toVector)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i % 13, v.toDouble) }.toDF("shard", "x")
+    val exact = {
+      val sorted = vals.sorted
+      probs.map(q => sorted(math.ceil(q * sorted.size).toInt - 1).toDouble)
+    }
+    val merged = df.groupBy("shard").agg(QS.sketchAgg($"x").as("sk"))
+      .agg(QS.sketchUnionAgg($"sk").as("sk"))
+      .select(QS.sketchQuantiles($"sk", probs)).as[Seq[Double]].head()
+    assert(merged == exact, s"lossless union must be exact: $merged vs $exact")
+    val direct = df.agg(QS.sketchAgg($"x").as("sk"))
+      .select(QS.sketchQuantiles($"sk", probs)).as[Seq[Double]].head()
+    assert(direct == exact, s"lossless direct must be exact: $direct")
+
+    // LOSSY: n = 200k uniform values with k = 256 — compaction is
+    // heavy (n/k ≈ 800), and the merged-sketch answer must land
+    // within a bounded RANK error of the truth. KLL's bound is
+    // O(log(n/k)/k); assert the generous envelope 5% the profiling
+    // use-case needs.
+    val big = s.range(0, 200000)
+      .select((col("id") % 16).as("shard"),
+        pmod(col("id") * 2654435761L, lit(200000L)).cast("double").as("x"))
+    val lossy = big.groupBy("shard").agg(QS.sketchAgg($"x", k = 256).as("sk"))
+      .agg(QS.sketchUnionAgg($"sk").as("sk"))
+      .select(QS.sketchQuantiles($"sk", probs)).as[Seq[Double]].head()
+    probs.zip(lossy).foreach { case (q, v) =>
+      val rankErr = math.abs(v / 200000.0 - q) // x is its own rank/n here
+      assert(rankErr <= 0.05, s"q=$q: value $v rank error $rankErr > 5%")
+    }
+  }
+
   test("W3: weight-delta alert stream fires only past the threshold") {
     val s = SparkSpecBase.spark
     import s.implicits._
