@@ -1051,8 +1051,13 @@ object Curate {
   def tokenizeWithVocab(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 4096, inRowMaxVocab: Int = 1 << 16): DataFrame =
     if (vocabSize <= inRowMaxVocab)
+      // inRowMaxVocab IS the collect budget: threading it through
+      // keeps the routing condition and vocabIdMap's require one
+      // constant — a caller raising inRowMaxVocab above the old
+      // hardcoded 2¹⁶ gets the in-row tier it asked for instead of a
+      // require failure from neither tier (ADVICE r17)
       tokenizeInRow(docs, idCol, textCol,
-        vocabIdMap(docs, textCol, vocabSize))
+        vocabIdMap(docs, textCol, vocabSize, maxCollect = inRowMaxVocab))
     else {
       // Broadcast-join tier (the real-vocab scale path): narrow
       // posexplode (a doc's occurrence rows never leave its

@@ -173,11 +173,19 @@ object Dedup {
         // lead pair — the marginal cost per offset is a sort, not a
         // shuffle.
         val ks = (1 to (4 min (bands - 1))).toList
+        // the chain-offset modulus comes from the FRAME (the bucket
+        // array's own length), not the `bands` parameter: a caller
+        // who built bandedWithArray with a different band count and
+        // forgot to pass it here would otherwise get silently wrong
+        // chain orderings — valid indices, degraded recall, no error
+        // (ADVICE r17). The parameter now only sizes the chain COUNT,
+        // where a mismatch is a few harmless extra/missing offsets.
         val withLd = ks.foldLeft(withBk) { (df, k) =>
           df.withColumn(s"__graft_ld$k", lead(col("id"), 1).over(
             Window.partitionBy("band", "bucket")
               .orderBy(element_at(col("__graft_bk"),
-                (col("band") + lit(k)) % bands + 1), col("id"))))
+                (col("band") + lit(k)) % size(col("__graft_bk")) + 1),
+                col("id"))))
         }
         val chained = withLd
           .select(col("id"), explode(array(

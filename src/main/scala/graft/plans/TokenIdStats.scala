@@ -46,8 +46,14 @@ case class TokenIdStats(child: Expression, vocab: Map[String, Long])
     TokenIdStats.compute(input.asInstanceOf[UTF8String], index)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // RAW type name, not the parameterized one: Janino's generics
+    // support is partial, and a failed cast compile silently demotes
+    // the whole stage to interpreted eval — exactly the fused-kernel
+    // speedup this expression exists for (ADVICE r17). compute()
+    // carries the typed signature; sibling kernels (PqEncodeExpr,
+    // BloomExprs, Sketches) all pass raw names for the same reason.
     val ref = ctx.addReferenceObj("graftVocabIndex", index,
-      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Long>")
+      "java.util.HashMap")
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.plans.TokenIdStats.compute($c, $ref);")
   }
