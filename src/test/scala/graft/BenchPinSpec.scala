@@ -67,4 +67,29 @@ class BenchPinSpec extends AnyFunSuite {
     assert(Bench.readPinned(write(d.resolve("BENCH_PINNED.json"), "{oops"),
       "/data/sf0.1", "fp1").isEmpty)
   }
+
+  test("readPinned: env fingerprint gates acceptance; quiet capture list parsed") {
+    val d = tmpDir()
+    val p = write(d.resolve("BENCH_PINNED.json"),
+      """{"metric":"total","value":41.59,"contended":false,
+        |"quiet_values_sec":[41.59,43.2,42.0],
+        |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"fp1",
+        |"env_fingerprint":"env1","sf":"/data/sf0.1"}""".stripMargin)
+    // matching env → accepted, mom basis carried
+    val ok = Bench.readPinned(p, "/data/sf0.1", "fp1", "env1")
+    assert(ok.exists(_.quietValues == Seq(41.59, 43.2, 42.0)))
+    // env drift (different cpus/confs/JVM/dataset) → no pin
+    assert(Bench.readPinned(p, "/data/sf0.1", "fp1", "env2").isEmpty)
+    // empty envFp (legacy caller) skips the env check
+    assert(Bench.readPinned(p, "/data/sf0.1", "fp1", "").isDefined)
+    // a pin WITHOUT env_fingerprint is rejected by env-aware readers
+    val legacy = write(d.resolve("BENCH_PINNED.json"),
+      """{"metric":"total","value":41.59,"contended":false,
+        |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"fp1",
+        |"sf":"/data/sf0.1"}""".stripMargin)
+    assert(Bench.readPinned(legacy, "/data/sf0.1", "fp1", "env1").isEmpty)
+    // legacy pin without the list falls back to its own value as basis
+    assert(Bench.readPinned(legacy, "/data/sf0.1", "fp1", "")
+      .exists(_.quietValues == Seq(41.59)))
+  }
 }

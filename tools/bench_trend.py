@@ -63,6 +63,23 @@ TREND_QUERIES = [
 
 FACTOR = 10
 
+# Same constant the gate uses (oracle_bench.py): an oracle median
+# under this at EVERY trended scale means the row's "ratio" measures
+# Spark's fixed per-job floor against a milliseconds query, not the
+# data path. Such rows carry floor_bound: true so the record is
+# self-describing (VERDICT r17 what's-wrong #3: q34 reads "43.8x"
+# against a 2.2 ms oracle with the disclosure two fields away).
+DATA_DOMINATED_FLOOR_SEC = 0.15
+
+
+def flag_floor_bound(row):
+    """floor_bound = every present oracle median sits under the floor."""
+    medians = [row.get(k) for k in
+               ("oracle_sf01_sec", "oracle_sf1_sec", "oracle_sf3_sec")]
+    present = [m for m in medians if m is not None and m > 0]
+    row["floor_bound"] = bool(present) and all(
+        m < DATA_DOMINATED_FLOOR_SEC for m in present)
+
 # Third-point set (VERDICT r12 next-round #7): two points cannot
 # distinguish floor amortization from linear degradation, and the
 # round-13 bucketed-standing-index fix needs a CURVE to prove itself.
@@ -303,6 +320,7 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
             row["ratio_sf1_min"] = round(s1min / d1[name], 3)
         if "ratio_sf01" in row and "ratio_sf1" in row and row["ratio_sf01"] > 0:
             row["ratio_trend"] = round(row["ratio_sf1"] / row["ratio_sf01"], 3)
+        flag_floor_bound(row)
         queries[name] = row
     conv = [n for n, r in queries.items()
             if r.get("ratio_trend") is not None and r["ratio_trend"] < 1.0]
@@ -324,6 +342,11 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
                              "bench-only — no correctness claim at sf1"),
         "duckdb_rep_policy": (f"median of 3, single rep if rep1 > "
                               f"{SINGLE_REP_OVER_SEC}s"),
+        "data_dominated_floor_sec": DATA_DOMINATED_FLOOR_SEC,
+        "floor_bound_meaning": ("rows with floor_bound: true have an "
+                                "oracle median under the floor at EVERY "
+                                "trended scale - their ratios measure "
+                                "Spark's per-job floor, not the data path"),
         "loadavg": loadavg(),
         "capture_policy": ("per-query best-of-captures median (and that "
                            "capture's best rep) when several captures are "
@@ -383,6 +406,8 @@ def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
         s1 = row.get("spark_sf1_sec")
         if s3 and s1 and s1 > 0 and s3 > 0:
             row["spark_scaling_1to3"] = round(s3 / s1, 3)
+        flag_floor_bound(row)  # recompute with the sf3 point present
+    record["data_dominated_floor_sec"] = DATA_DOMINATED_FLOOR_SEC
     record["sf3_construction"] = (
         "sf0.1 replicated 30x by the same build recipe (bench-only; "
         "3x the sf1 data volume); third point for TREND3_QUERIES only")
