@@ -387,6 +387,67 @@ object MakeMediaFixture {
       -1L, -1, true_ok = false)
   }
 
+  /** ITU-T G.711 compressors (µ-law / A-law, the published
+    * reference algorithm) — the ENCODE half lives only in this
+    * fixture generator; the engine only ever decodes.
+    */
+  def g711Encode(alaw: Boolean, sIn: Short): Byte = {
+    var pcm = sIn.toInt
+    val neg = pcm < 0
+    if (neg) pcm = -pcm
+    if (pcm > 32635) pcm = 32635
+    if (!alaw) {
+      pcm += 0x84 // µ-law bias
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      val man = (pcm >> (exp + 3)) & 0x0f
+      (~((if (neg) 0x80 else 0) | (exp << 4) | man)).toByte
+    } else {
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      val man =
+        if (exp == 0) (pcm >> 4) & 0x0f
+        else (pcm >> (exp + 3)) & 0x0f
+      (((if (neg) 0 else 0x80) | (exp << 4) | man) ^ 0x55).toByte
+    }
+  }
+
+  /** G.711 rows (round 18): `ulaw`/`alaw` QuickTime sample entries,
+    * REAL-decoded through the seam's built-in [[graft.functions
+    * .G711PacketDecoder]]. Truth = the ITU expansion of the exact
+    * bytes the payload carries (decode ∘ encode is the quantized
+    * sample — the same truth-from-payload discipline as the PCM
+    * rows; the expansion tables themselves are pinned to published
+    * spec vectors in MultimodalSpec, independent of this generator).
+    */
+  def audioMp4G711Row(id: Long, j: Int): AudioMp4FixtureRow = {
+    val alaw = j % 2 == 1
+    val codec = if (alaw) "alaw" else "ulaw"
+    val rate = if (j % 2 == 0) 8000 else 16000
+    val channels = if (j >= 2) 2 else 1
+    val nFrames = 500 + 137 * j
+    val shorts = Array.tabulate(nFrames * channels)(audioSample(200 + j))
+    val bytes = shorts.map(g711Encode(alaw, _))
+    val decoded = graft.functions.G711PacketDecoder
+      .decodePacket(codec, bytes, channels, rate).get
+    var sqSum = 0L
+    var peak = 0
+    decoded.foreach { s =>
+      sqSum += s.toLong * s
+      val a = math.abs(s.toInt)
+      if (a > peak) peak = a
+    }
+    val frames: Seq[Array[Byte]] = (0 until nFrames).map(f =>
+      java.util.Arrays.copyOfRange(bytes, f * channels, (f + 1) * channels))
+    AudioMp4FixtureRow(id, s"audio/mp4-$codec",
+      Multimodal.encodeMp4Audio(rate, channels, 8, codec, frames,
+        sttsDelta = 1L, timescale = rate.toLong, samplesPerChunk = 128),
+      rate, channels, nFrames.toLong, nFrames.toLong * 1000000L / rate,
+      sqSum, peak, true_ok = true)
+  }
+
   def audioMp4Rows: Seq[AudioMp4FixtureRow] = {
     val pcm = (0 until 12).map(audioMp4Row)
     val aac = (0 until 2).map(j => audioMp4AacRow(12L + j, j))
@@ -396,7 +457,8 @@ object MakeMediaFixture {
       AudioMp4FixtureRow(id, "audio/mp4-corrupt", p,
         -1, -1, -1L, -1L, -1L, -1, true_ok = false)
     }
-    pcm ++ aac ++ bad
+    val g711 = (0 until 4).map(j => audioMp4G711Row(16L + j, j))
+    pcm ++ aac ++ bad ++ g711
   }
 
   private def stripBookkeeping(outDir: String): Unit = {

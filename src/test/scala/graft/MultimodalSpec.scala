@@ -336,6 +336,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 expansion pinned to published ITU spec vectors; encode round-trips") {
+    import graft.functions.G711PacketDecoder
+    def ulaw(b: Int) =
+      G711PacketDecoder.decodePacket("ulaw", Array(b.toByte), 1, 8000).get(0)
+    def alaw(b: Int) =
+      G711PacketDecoder.decodePacket("alaw", Array(b.toByte), 1, 8000).get(0)
+    // µ-law: 0x80 → +32124 (max), 0x00 → -32124, 0xFF → +0, 0x7F → -0
+    assert(ulaw(0x80) == 32124 && ulaw(0x00) == -32124, s"${ulaw(0x80)}/${ulaw(0x00)}")
+    assert(ulaw(0xFF) == 0 && ulaw(0x7F) == 0)
+    // A-law: 0xD5 → +8 (min magnitude), 0x55 → -8, 0xAA → +32256 (max)
+    assert(alaw(0xD5) == 8 && alaw(0x55) == -8, s"${alaw(0xD5)}/${alaw(0x55)}")
+    assert(alaw(0xAA) == 32256 && alaw(0x2A) == -32256, s"${alaw(0xAA)}")
+    // unknown fourcc refuses rather than guessing
+    assert(G711PacketDecoder.decodePacket("mp4a", Array(1.toByte), 1, 8000).isEmpty)
+    // encode→decode round-trips within the codec's quantization step
+    // (spec property: relative error bounded, exact at table points)
+    for (alawMode <- Seq(false, true); s <- Seq[Short](0, 7, -8, 100, -1000,
+        8191, -16000, 32000, -32635, 32767)) {
+      val enc = MakeMediaFixture.g711Encode(alawMode, s)
+      val dec = G711PacketDecoder.decodePacket(
+        if (alawMode) "alaw" else "ulaw", Array(enc), 1, 8000).get(0)
+      val step = math.max(16, math.abs(s.toInt) / 16 + 1)
+      assert(math.abs(dec - s.toInt) <= step,
+        s"alaw=$alawMode s=$s dec=$dec step=$step")
+    }
+  }
+
   test("mp4 audio encoder exercises fixed-stsz and multi-chunk stsc/stco " +
       "resolution (PCM) and explicit-stsz (AAC)") {
     // PCM: 600 frames at 256/chunk → 3 chunks, last partial (88) —
