@@ -114,6 +114,13 @@ TREND3_QUERIES = [
     # falling ratio curve - the trend record is its adjudication
     # evidence, as it was for q15/q52
     "ns_tokenize_vocab",
+    # round-18 addition: the as-of family's restructure (compact tier,
+    # tieBreak, sampled+memoized routing) needs the third point - dev
+    # measurements show the ratio collapsing to ~1.1-1.2x at sf3
+    # (Spark 1.73/1.64 s vs DuckDB ~1.48 s), the floor-amortization
+    # signature; sf1 sits near the 2x line and the curve is the
+    # adjudication evidence either way
+    "q59_asof_join", "q70_asof_auto_default",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
