@@ -55,5 +55,29 @@ object Round18Queries {
             element_at(col("qs"), 2).as("q50"),
             element_at(col("qs"), 3).as("q75"))
           .orderBy("lang")),
+
+    // ── Embedding Gram matrix, the distributed face of the PCA fit
+    // (operators/Pca.scala): ONE narrow pass accumulates all 64×64
+    // moments in a fixed-size buffer (TypedImperativeAggregate;
+    // map-side partial merge = matrix addition, driver sees one row)
+    // vs the oracle's 2M-row cross-join formulation. Fixed-point
+    // cells (Σ floor(xᵢ·xⱼ·10⁶) BIGINT — exact long addition,
+    // order-independent) so the hash pins every one of the 4096
+    // entries cross-engine; the double-precision fit and codegen
+    // projection are pinned by PcaSpec's algebraic goldens.
+    QueryDef(
+      "ns_embed_gram",
+      Some("""SELECT i, j,
+                SUM(CAST(FLOOR(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE)
+                  * 1000000) AS BIGINT)) AS g
+              FROM embeddings, range(64) t1(i), range(64) t2(j)
+              GROUP BY i, j ORDER BY i, j"""),
+      (s, dir) =>
+        graft.operators.Pca.gramFixedPoint(
+            t(s, dir, "embeddings"), "embedding", d = 64)
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"), col("g"))
+          .orderBy("i", "j")),
   )
 }
