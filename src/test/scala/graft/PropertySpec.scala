@@ -123,16 +123,28 @@ class PropertySpec extends SparkSpec {
       val build = buildRows.distinct.groupBy(r => (r._1, r._2)).map(_._1)
         .map { case (k, t) => (k, t, k * 1000L + t) }.toSeq
         .toDF("k", "t", "v")
-      val fast = graft.operators.AsOf.joinLatest(
-          probe, build, "k", "k", "t", "t", Seq("v"))
-        .select("pid", "v").as[(Long, Option[Long])].collect().toMap
       val naive = probe.as("p")
         .join(build.as("b"),
           col("p.k") === col("b.k") && col("b.t") <= col("p.t"), "left")
         .groupBy(col("pid"))
         .agg(max_by(col("b.v"), col("b.t")).as("v"))
         .as[(Long, Option[Long])].collect().toMap
-      assert(fast == naive, s"sample $i diverged")
+      // all three physical tiers must agree with the quadratic spec:
+      // union-window (plain), per-key sorted arrays + binary search
+      // (compact), and the salted-window bucketed form
+      val tiers: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "plain" -> graft.operators.AsOf.joinLatest(
+          probe, build, "k", "k", "t", "t", Seq("v")),
+        "compact" -> graft.operators.AsOf.joinLatestCompact(
+          probe, build, Seq("k"), Seq("k"), "t", "t", Seq("v")),
+        "bucketed" -> graft.operators.AsOf.joinLatestBucketed(
+          probe, build, Seq("k"), Seq("k"), "t", "t", Seq("v"),
+          bucket = t => floor(t / 7)))
+      tiers.foreach { case (tier, df) =>
+        val fast = df.select("pid", "v")
+          .as[(Long, Option[Long])].collect().toMap
+        assert(fast == naive, s"sample $i diverged on the $tier tier")
+      }
     }
   }
 
