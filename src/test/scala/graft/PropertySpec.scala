@@ -148,6 +148,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NS quantile sketch: lossless regime equals percentile_disc under any sharding") {
+    // randomized: values with heavy duplication, arbitrary shard
+    // assignment — per-shard sketches unioned must equal the exact
+    // rank answer (smallest value with cum count >= q·n), for every
+    // probability, as long as n <= k (the lossless contract the
+    // oracle row relies on)
+    import graft.functions.{QuantileSketch => QS}
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val gen = Gen.zip(
+      Gen.choose(1, 300),
+      Gen.choose(2, 9),
+      Gen.choose(0L, 1L << 30))
+    samples(gen, 10).foreach { case (n, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Vector.fill(n)(rnd.nextInt(40).toDouble)
+      val sorted = vals.sorted
+      val exact = probs.map(q =>
+        sorted(math.max(0, math.ceil(q * n).toInt - 1).min(n - 1)))
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i % shards, v) }.toDF("shard", "x")
+      val merged = df.groupBy("shard").agg(QS.sketchAgg($"x", k = 512).as("sk"))
+        .agg(QS.sketchUnionAgg($"sk").as("sk"))
+        .select(QS.sketchQuantiles($"sk", probs)).as[Seq[Double]].head()
+      assert(merged == exact,
+        s"n=$n shards=$shards seed=$seed: $merged vs $exact")
+    }
+  }
+
   test("NS chunk: chunks cover every token, overlap exactly, none contained") {
     // randomized invariants of the training-sequence splitter: full
     // coverage, exact overlap between neighbors, and no chunk that is

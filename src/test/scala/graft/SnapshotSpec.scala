@@ -89,6 +89,25 @@ class SnapshotSpec extends SparkSpec {
       Set(0L, 1L, 2L, 3L, 4L), "every racer's rows present after retries")
   }
 
+  test("racing partition overwrites on DIFFERENT partitions both land") {
+    val root = tmp("powrace")
+    Snapshot.writeReplace(spark,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("part", "v"),
+      root, partCols = Seq("part"))
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = Seq("a" -> 10L, "c" -> 30L).map { case (p, v) => Future {
+      Snapshot.overwritePartitions(spark,
+        Seq((p, v)).toDF("part", "v"), root, "part")
+    }}
+    futs.foreach(Await.result(_, 2.minutes))
+    val now = Snapshot.read(spark, root).select("part", "v")
+      .as[(String, Long)].collect().toMap
+    assert(now == Map("a" -> 10L, "b" -> 2L, "c" -> 30L),
+      s"both racers' partitions must land, untouched partition kept: $now")
+  }
+
   test("golden: reader concurrent with compaction sees old or new snapshot, never a mix") {
     val root = tmp("golden")
     // two distinguishable states: state A (all v=1), state B (all v=2);
