@@ -79,5 +79,39 @@ object Round18Queries {
           .select(col("i").cast("long").as("i"),
             col("j").cast("long").as("j"), col("g"))
           .orderBy("i", "j")),
+
+    // ── Corpus heavy hitters through the MERGEABLE Misra-Gries
+    // sketch (functions/FrequencySketch.scala) — the frequency leg of
+    // the profiling trio (HLL distincts, KLL quantiles, MG
+    // frequencies): per-source shard sketches over token BIGRAMS,
+    // UNIONED, top 40 by (count DESC, gram ASC). Runs in the sketch's
+    // LOSSLESS regime (≤1k distinct bigrams at oracle sfs vs k = 2¹⁷:
+    // no decrement ever fires, counts exact and order-independent),
+    // so the hash pins the full agg→serialize→union→top-k chain
+    // against a plain GROUP BY; the lossy n/(k+1) bound is pinned by
+    // PropertySpec, which the oracle cannot see.
+    QueryDef(
+      "ns_profile_heavyhitters",
+      Some("""WITH tk AS (SELECT list_filter(string_split(lower(text), ' '),
+                x -> x <> '') tk FROM documents),
+              bg AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, len(tk))]) g
+                     FROM tk WHERE len(tk) >= 2)
+              SELECT g AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bg GROUP BY g ORDER BY cnt DESC, token LIMIT 40"""),
+      (s, dir) => {
+        import graft.functions.{FrequencySketch => FS,
+          TextFunctions => TF}
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.plans.WordNgrams(TF.tokens(col("text")), 2,
+              distinct = false)).as("g"))
+          .groupBy(col("source"))
+          .agg(FS.freqAgg(col("g")).as("sk"))
+          .agg(FS.freqUnionAgg(col("sk")).as("sk"))
+          .select(explode(FS.freqTopK(col("sk"), 40)).as("e"))
+          .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+      }),
   )
 }

@@ -176,6 +176,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NS freq sketch: lossless equals GROUP BY under any sharding; lossy bound holds") {
+    import graft.functions.{FrequencySketch => FS}
+    // lossless: distinct keys <= k — per-shard summaries unioned must
+    // equal exact counts regardless of shard assignment
+    val gen = Gen.zip(Gen.choose(1, 400), Gen.choose(2, 7),
+      Gen.choose(0L, 1L << 30))
+    samples(gen, 8).foreach { case (n, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Vector.fill(n)("w" + rnd.nextInt(30))
+      val truth = vals.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val df = vals.zipWithIndex.map { case (v, i) => (i % shards, v) }
+        .toDF("shard", "w")
+      val got = df.groupBy("shard").agg(FS.freqAgg($"w", k = 64).as("sk"))
+        .agg(FS.freqUnionAgg($"sk").as("sk"))
+        .select(explode(FS.freqTopK($"sk", 30)).as("e"))
+        .select($"e.token", $"e.cnt").as[(String, Long)].collect().toMap
+      assert(got == truth, s"n=$n shards=$shards seed=$seed")
+    }
+    // lossy: Zipf-ish stream with far more distinct keys than k —
+    // estimates are UNDER-counts within the tracked decrement depth,
+    // and the true heavy hitter is still on top
+    val n = 20000
+    val vals = (0 until n).map { i =>
+      if (i % 3 == 0) "hot" else "cold" + (i % 4000)
+    }
+    val truth = vals.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 5, v) }
+      .toDF("shard", "w")
+    val top = df.groupBy("shard").agg(FS.freqAgg($"w", k = 32).as("sk"))
+      .agg(FS.freqUnionAgg($"sk").as("sk"))
+      .select(explode(FS.freqTopK($"sk", 5)).as("e"))
+      .select($"e.token", $"e.cnt", $"e.cnt_max")
+      .as[(String, Long, Long)].collect()
+    val hot = top.find(_._1 == "hot").getOrElse(
+      fail(s"true heavy hitter missing from the summary: ${top.mkString(",")}"))
+    assert(hot._2 <= truth("hot") && truth("hot") <= hot._3,
+      s"bounds must bracket the truth: $hot vs ${truth("hot")}")
+    // MG guarantee: undercount <= n/(k+1)
+    assert(truth("hot") - hot._2 <= n / (32 + 1) + 1,
+      s"undercount ${truth("hot") - hot._2} exceeds n/(k+1)")
+  }
+
   test("NS chunk: chunks cover every token, overlap exactly, none contained") {
     // randomized invariants of the training-sequence splitter: full
     // coverage, exact overlap between neighbors, and no chunk that is
