@@ -64,8 +64,13 @@ def main():
             "value_sec": bench.get("value"),
             # median of quiet captures (selection-neutral; VERDICT r17
             # what's-wrong #4) alongside the pinned-min value
-            "value_mom_sec": bench.get("value_mom_sec"),
-            "n_quiet_captures": bench.get("n_quiet_captures"),
+            # a BENCH_PINNED.json capture carries the quiet list, not
+            # the derived median - compute it either way
+            "value_mom_sec": bench.get("value_mom_sec") or (
+                statistics.median(bench["quiet_values_sec"])
+                if bench.get("quiet_values_sec") else None),
+            "n_quiet_captures": bench.get("n_quiet_captures") or
+                len(bench.get("quiet_values_sec") or []) or None,
             "contended": bench.get("contended"),
             "loadavg_start": bench.get("loadavg_start"),
             "sf": bench.get("sf"),
