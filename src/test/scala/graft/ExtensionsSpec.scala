@@ -96,6 +96,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile/frequency sketch edges: empties, nulls, deep-compaction round-trip") {
+    val s = SparkSpecBase.spark
+    import s.implicits._
+    import graft.functions.{FrequencySketch => FS, QuantileSketch => QS}
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    // all-null input → empty sketch → NaN quantiles, empty top-k
+    // (never a throw): the per-shard pattern hits this on empty shards
+    val nulls = Seq.fill(5)(Option.empty[Double]).toDF("x")
+    val q = nulls.agg(QS.sketchAgg($"x").as("sk"))
+      .select(QS.sketchQuantiles($"sk", Seq(0.5))).as[Seq[Double]].head()
+    assert(q.length == 1 && q.head.isNaN, q.toString)
+    val strs = Seq.fill(5)(Option.empty[String]).toDF("w")
+    val top = strs.agg(FS.freqAgg($"w", 8).as("sk"))
+      .select(explode(FS.freqTopK($"sk", 3))).count()
+    assert(top == 0L, "empty summary yields no top-k rows")
+    // deep compaction state survives serialize→union→query: a lossy
+    // sketch unioned with an empty one must answer exactly like the
+    // original (the stored-column read-back path)
+    val big = s.range(0, 50000).select((col("id") % 9973).cast("double").as("x"))
+    val direct = big.agg(QS.sketchAgg($"x", k = 128).as("sk"))
+      .select(QS.sketchQuantiles($"sk", Seq(0.25, 0.75))).as[Seq[Double]].head()
+    val viaUnion = big.agg(QS.sketchAgg($"x", k = 128).as("sk"))
+      .unionByName(nulls.agg(QS.sketchAgg($"x", k = 128).as("sk")))
+      .agg(QS.sketchUnionAgg($"sk").as("sk"))
+      .select(QS.sketchQuantiles($"sk", Seq(0.25, 0.75))).as[Seq[Double]].head()
+    assert(viaUnion == direct,
+      s"union with empty must be identity: $viaUnion vs $direct")
+    // and the lossy answers stay within rank bounds
+    direct.zip(Seq(0.25, 0.75)).foreach { case (v, p) =>
+      assert(math.abs(v / 9973.0 - p) < 0.08, s"q=$p got $v")
+    }
+  }
+
   test("W3: weight-delta alert stream fires only past the threshold") {
     val s = SparkSpecBase.spark
     import s.implicits._
