@@ -607,25 +607,34 @@ object AsOf {
           .cast("long"),
         strict, tieBreak)
     else if (plan.maxKeyRows <= CompactMaxKeyRows &&
-        compactEligible(probe, build, probeTime, buildTime))
+        compactEligible(probe, build, probeTime, buildTime,
+          valueCols, tieBreak))
       joinLatestCompact(probe, build, probeKeys, buildKeys,
         probeTime, buildTime, valueCols, strict, tieBreak)
     else
       joinLatest(probe, build, probeKeys, buildKeys,
         probeTime, buildTime, valueCols, strict, tieBreak)
 
-  /** The compact tier's extra requirements (one shared ordered
-    * primitive time type) — routing falls back to the union-window
-    * plan rather than failing when they don't hold.
+  /** The compact tier's extra requirements — routing falls back to
+    * the union-window plan rather than failing when they don't hold:
+    * (a) one shared ordered primitive time type, and (b) every value
+    * and tie-break column ORDERABLE (the compact build side runs
+    * `sort_array(collect_list(struct(time, tie…, value…)))`, whose
+    * analysis rejects map-typed fields — the union-window plan's
+    * `last()` needs no value ordering, so e.g. a map-typed valueCol
+    * is legal there and must keep routing there).
     */
   private def compactEligible(probe: DataFrame, build: DataFrame,
-      probeTime: String, buildTime: String): Boolean = {
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String], tieBreak: Seq[String]): Boolean = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val pT = probe.schema(probeTime).dataType
     pT == build.schema(buildTime).dataType && (pT match {
       case IntegerType | LongType | FloatType | DoubleType |
            DateType | TimestampType | TimestampNTZType => true
       case _ => false
-    })
+    }) && (valueCols ++ tieBreak).forall(c =>
+      RowOrdering.isOrderable(build.schema(c).dataType))
   }
 }

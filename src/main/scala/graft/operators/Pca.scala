@@ -273,8 +273,14 @@ object Pca {
       case other => sys.error(s"need array input, got $other")
     }
     override protected def nullSafeEval(input: Any): Any = {
-      val x = toDoubles(input.asInstanceOf[ArrayData], elemType, d)
-      new GenericArrayData(Pca.projectOne(x, mean, flat, k, d))
+      val a = input.asInstanceOf[ArrayData]
+      val x = toDoubles(a, elemType, d)
+      // terms beyond the input's actual length are SKIPPED, exactly
+      // like the generated code's min(d, numElements) loop bound — a
+      // short array must project identically whether or not
+      // whole-stage codegen fired
+      new GenericArrayData(Pca.projectOne(x,
+        math.min(d, a.numElements()), mean, flat, k, d))
     }
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
@@ -311,19 +317,29 @@ object Pca {
         c: Expression): PcaProjectExpr = copy(child = c)
   }
 
-  private[graft] def projectOne(x: Array[Double], mean: Array[Double],
-      flat: Array[Double], k: Int, d: Int): Array[Double] = {
+  /** `n` = the input array's true length; only j < min(n, d) terms
+    * contribute, mirroring the codegen loop bound so interpreted and
+    * generated paths agree on short arrays.
+    */
+  private[graft] def projectOne(x: Array[Double], n: Int,
+      mean: Array[Double], flat: Array[Double], k: Int,
+      d: Int): Array[Double] = {
     val out = new Array[Double](k)
+    val nn = math.min(n, d)
     var c = 0
     while (c < k) {
       var acc = 0.0
       var j = 0
-      while (j < d) { acc += flat(c * d + j) * (x(j) - mean(j)); j += 1 }
+      while (j < nn) { acc += flat(c * d + j) * (x(j) - mean(j)); j += 1 }
       out(c) = acc
       c += 1
     }
     out
   }
+
+  private[graft] def projectOne(x: Array[Double], mean: Array[Double],
+      flat: Array[Double], k: Int, d: Int): Array[Double] =
+    projectOne(x, x.length, mean, flat, k, d)
 
   /** Project an embedding column onto the fitted components. */
   def project(df: DataFrame, embedCol: String, model: PcaModel,

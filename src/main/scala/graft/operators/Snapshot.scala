@@ -67,19 +67,32 @@ object Snapshot {
     }).sorted
   }
 
-  /** Parse one manifest; None when absent or torn (half-written by a
-    * crashed writer — readers then fall back to the previous version).
+  /** Parse one manifest; None when absent or TORN (the file exists
+    * and reads, but its JSON is half-written by a crashed writer —
+    * readers then fall back to the previous version). An I/O error on
+    * an EXISTING manifest propagates instead of masquerading as torn:
+    * a transient read failure must fail the caller loudly, never make
+    * [[gc]] believe a live snapshot references nothing (silent data
+    * loss) or make a reader silently time-travel backwards.
     */
   def readManifest(spark: SparkSession, root: String,
-      v: Long): Option[Manifest] =
-    try {
-      val p = manifestPath(root, v)
-      val f = fs(spark, root)
-      if (!f.exists(p)) return None
-      val in = f.open(p)
-      val raw =
+      v: Long): Option[Manifest] = {
+    val p = manifestPath(root, v)
+    val f = fs(spark, root)
+    if (!f.exists(p)) return None
+    val raw =
+      try { // other IOExceptions propagate — existing ≠ torn
+        val in = f.open(p)
         try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          // deleted by a racing gc between exists and open → absent;
+          // still present (e.g. "is a directory") → a real read
+          // failure that must NOT be mistaken for torn
+          if (!f.exists(p)) return None else throw e
+      }
+    try {
       import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(raw)
       def str(field: String) = j \ field match {
@@ -93,7 +106,8 @@ object Snapshot {
       }
       Some(Manifest(v, str("op"), str("schema"), strs("part_cols"),
         strs("files")))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => None } // torn body
+  }
 
   /** The latest PARSEABLE manifest (skipping a torn newest). */
   def latest(spark: SparkSession, root: String): Option[Manifest] =
@@ -164,12 +178,86 @@ object Snapshot {
     rels.result()
   }
 
-  /** Commit `files` as the next snapshot: claim version latest+1 with
-    * an O_EXCL create. `files` was computed against `baseVersion`
-    * (None = table creation); whenever the observed latest differs —
-    * a racer committed in between, with or without a claim collision —
-    * the file set is re-merged against it via `recompute` before
-    * claiming, so no racer's files are ever silently dropped.
+  /** Thrown by a commit's `recompute` when the racer's change cannot
+    * be merged file-set-wise (it REMOVED files this commit's own
+    * rewrite was based on — a conflicting expire/overwrite/compact).
+    * The committing operator must re-run against the new latest
+    * snapshot rather than merge, Delta/Iceberg-style conflict
+    * resolution. Carries the latest manifest observed at detection.
+    */
+  final case class CommitConflict(latestSeen: Option[Manifest])
+    extends Exception("snapshot commit conflict: a concurrent commit " +
+      "removed files this operation rewrote; re-run against the new " +
+      "latest snapshot")
+
+  /** Only after this age does an existing-but-unparseable manifest
+    * count as a dead writer's TOMBSTONE that claims may advance past;
+    * younger ones are an in-flight racer between its claim create and
+    * its body flush — advancing past a live commit would drop its
+    * files, so writers wait for it to become parseable instead. On a
+    * local filesystem claims are content-atomic (hard link) and this
+    * path never triggers for local writers at all.
+    */
+  private[graft] val TornGraceMs = 60000L
+
+  private def isLocalFs(f: FileSystem): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem    => true
+    case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _                                          => false
+  }
+
+  /** Atomically claim manifest version `v` with `body`; false = a
+    * racer holds it. On a local filesystem the claim is CONTENT-
+    * atomic: the full body lands in a hidden temp file first and a
+    * hard link is the compare-and-swap — a crash can never leave a
+    * claimed-but-empty (torn) manifest, and racers never observe a
+    * parseable-later state. Elsewhere (HDFS/object stores) the claim
+    * is the O_EXCL create, with the body flushed right after — the
+    * window between the two is what [[TornGraceMs]] and the
+    * supersession re-check in [[commit]] guard.
+    */
+  private def claimManifest(f: FileSystem, root: String, v: Long,
+      body: Array[Byte]): Boolean = {
+    val p = manifestPath(root, v)
+    if (isLocalFs(f)) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val dir = Paths.get(new Path(s"$root/$ManifestDir").toUri.getPath)
+      Files.createDirectories(dir)
+      val tmp = Files.createTempFile(dir, s".claim-$v-", ".tmp")
+      try {
+        Files.write(tmp, body)
+        try { Files.createLink(Paths.get(p.toUri.getPath), tmp); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } finally { Files.deleteIfExists(tmp); () }
+    } else {
+      try {
+        val out = f.create(p, false) // overwrite=false → atomic claim
+        try out.write(body) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Commit `files` as the next snapshot: claim the next version
+    * atomically ([[claimManifest]]). `files` was computed against
+    * `baseVersion` (None = table creation); whenever the observed
+    * latest differs — a racer committed in between, with or without a
+    * claim collision — the file set is re-merged against it via
+    * `recompute` before claiming, so no racer's files are ever
+    * silently dropped. `recompute` throws [[CommitConflict]] when
+    * merging would be wrong (see [[compact]]); the exception
+    * propagates to the caller.
+    *
+    * Torn-tombstone handling (a crashed non-local writer: claim file
+    * exists, body never landed — parses as absent forever): claiming
+    * from the parseable latest would collide with the tombstone on
+    * every attempt, bricking all future writes. Instead, unparseable
+    * versions above the parseable latest that are OLDER than
+    * [[TornGraceMs]] are skipped over (claim = max(all versions)+1);
+    * YOUNGER ones are presumed in-flight racers and waited for. A
+    * non-local writer whose own body flush outlasted the grace
+    * re-checks for a higher version after flushing and folds itself
+    * into a newer commit instead of returning a superseded one.
     */
   private def commit(spark: SparkSession, root: String, op: String,
       schemaJson: String, partCols: Seq[String], files: Seq[String],
@@ -179,33 +267,55 @@ object Snapshot {
     f.mkdirs(new Path(s"$root/$ManifestDir"))
     var fileSet = files
     var base = baseVersion
-    var attempts = 0
-    while (attempts < 20) {
-      attempts += 1
-      val prev = latest(spark, root)
+    var claims = 0
+    val deadline = System.currentTimeMillis() + TornGraceMs + 120000L
+    var first = true
+    while (claims < 20 &&
+        (first || System.currentTimeMillis() < deadline)) {
+      first = false
+      val vs = versions(spark, root)
+      val prev = vs.reverse.iterator
+        .flatMap(readManifest(spark, root, _)).nextOption()
       if (prev.map(_.version) != base) {
-        fileSet = recompute(prev)
+        // .distinct keeps re-merges idempotent: file paths are unique
+        // per physical file (job-UUID part names), so a duplicate
+        // entry is always the same file listed twice
+        fileSet = recompute(prev).distinct
         base = prev.map(_.version)
       }
-      val v = prev.map(_.version).getOrElse(0L) + 1
-      val body = {
-        import org.json4s.JsonDSL._
-        org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(
-            ("version" -> v) ~ ("op" -> op) ~ ("schema" -> schemaJson) ~
-              ("part_cols" -> partCols) ~ ("files" -> fileSet)))
-      }
-      try {
-        // overwrite=false → atomic claim of this version number
-        val out = f.create(manifestPath(root, v), false)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        return v
-      } catch {
-        case _: java.io.IOException => () // lost the claim — the
-          // top-of-loop base check re-merges against the new latest
+      val pv = prev.map(_.version).getOrElse(0L)
+      val unparsed = vs.filter(_ > pv)
+      def fresh(uv: Long): Boolean =
+        try System.currentTimeMillis() -
+          f.getFileStatus(manifestPath(root, uv)).getModificationTime <
+          TornGraceMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (unparsed.exists(fresh)) {
+        Thread.sleep(25) // in-flight racer — wait, don't drop its files
+      } else {
+        claims += 1
+        val v = math.max(pv, unparsed.lastOption.getOrElse(0L)) + 1
+        val body = {
+          import org.json4s.JsonDSL._
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(
+              ("version" -> v) ~ ("op" -> op) ~ ("schema" -> schemaJson) ~
+                ("part_cols" -> partCols) ~ ("files" -> fileSet)))
+        }
+        if (claimManifest(f, root, v, body.getBytes("UTF-8"))) {
+          // Non-local O_EXCL claims: if our body flush outlasted the
+          // grace, a racer may have aged us as torn and claimed past
+          // us WITHOUT our files — detect and re-commit on top of it
+          // (our manifest stays as a harmless intermediate version).
+          // Local hard-link claims are content-atomic: a higher
+          // version here already saw our commit, nothing to redo.
+          if (isLocalFs(f) || !versions(spark, root).exists(_ > v))
+            return v
+        }
       }
     }
-    sys.error(s"snapshot commit at $root: lost the version race 20 times")
+    sys.error(s"snapshot commit at $root: lost the version race " +
+      s"($claims claims)")
   }
 
   /** Initialize or fully replace the table with `df`'s rows. */
@@ -233,7 +343,34 @@ object Snapshot {
     * snapshot's file count.
     */
   def compact(spark: SparkSession, root: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compact(spark, root, targetFileBytes, () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewrite lands but
+    * before the manifest claim — the window a racing commit occupies.
+    */
+  private[graft] def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long, beforeCommit: () => Unit): Int = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return compactOnce(spark, root, targetFileBytes, beforeCommit)
+      catch {
+        // A racer REMOVED files this pass rewrote (expire / overwrite
+        // / another compact): merging file sets would resurrect
+        // expired rows, duplicate overwritten partitions, or double
+        // the table. Re-run the WHOLE compaction against the new
+        // latest snapshot (Delta/Iceberg-style conflict resolution);
+        // the abandoned rewrite's files are unreferenced orphans that
+        // the next gc removes.
+        case CommitConflict(_) if attempts < 5 => ()
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def compactOnce(spark: SparkSession, root: String,
+      targetFileBytes: Long, beforeCommit: () => Unit = () => ()): Int = {
     val m = latest(spark, root).getOrElse(
       sys.error(s"no snapshot to compact at $root"))
     val cur = readVersion(spark, root, m.version)
@@ -256,12 +393,19 @@ object Snapshot {
         cur.repartition(m.partCols.map(col) :+ salt: _*)
       }
     val files = writeFiles(spark, rewritten, root, m.partCols)
-    // a racer's commit between our read and our claim carries its
-    // NEW files over the compaction (only the files we actually
-    // rewrote are replaced)
+    beforeCommit()
+    // Racer classification at claim time: a commit that only ADDED
+    // files relative to our basis (append) is carried over the
+    // compaction; a commit that REMOVED any file we rewrote is a
+    // conflict — our rewrite embeds rows the racer deleted, so NO
+    // file-set merge is correct and the compaction itself must rerun.
     commit(spark, root, "compact", m.schemaJson, m.partCols, files,
       baseVersion = Some(m.version),
-      m2 => m2.map(_.files).getOrElse(Nil).diff(m.files) ++ files)
+      m2 => {
+        val curFiles = m2.map(_.files).getOrElse(Nil)
+        if (!m.files.forall(curFiles.contains)) throw CommitConflict(m2)
+        curFiles.diff(m.files) ++ files
+      })
     files.size
   }
 
@@ -325,9 +469,19 @@ object Snapshot {
     require(keepVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val (drop, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = kept.flatMap(readManifest(spark, root, _))
-      .flatMap(_.files).toSet
+    // Retention counts PARSEABLE manifests: a torn tombstone (crashed
+    // writer — no reader ever resolved it, its files are orphans) is
+    // always droppable and must never displace a live snapshot out of
+    // the retained window. A manifest that exists but cannot be READ
+    // (transient I/O error) aborts the whole gc run instead — via
+    // readManifest's propagating IOException — because treating it as
+    // empty would delete every data file that snapshot references.
+    val parsed = vs.map(v => v -> readManifest(spark, root, v))
+    val live = parsed.collect { case (v, Some(m)) => (v, m) }
+    val kept = live.takeRight(keepVersions)
+    val keptVs = kept.map(_._1).toSet
+    val drop = vs.filterNot(keptVs)
+    val referenced = kept.flatMap(_._2.files).toSet
     val dataRoot = new Path(s"$root/$DataDir")
     var removed = 0
     if (f.exists(dataRoot)) {
@@ -354,6 +508,13 @@ object Snapshot {
     // window a compaction already needs.
     val staging = new Path(s"$root/_staging")
     if (f.exists(staging)) { f.delete(staging, true); () }
+    // crashed local writers' unclaimed manifest bodies (.claim-*.tmp)
+    val mdir = new Path(s"$root/$ManifestDir")
+    if (f.exists(mdir))
+      f.listStatus(mdir).foreach { st =>
+        if (st.getPath.getName.startsWith(".claim-"))
+          f.delete(st.getPath, false)
+      }
     removed
   }
 }

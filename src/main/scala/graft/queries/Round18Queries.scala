@@ -68,9 +68,9 @@ object Round18Queries {
     QueryDef(
       "ns_embed_gram",
       Some("""SELECT i, j,
-                SUM(CAST(FLOOR(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+                CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
                   * CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE)
-                  * 1000000) AS BIGINT)) AS g
+                  * 1000000) AS BIGINT)) AS BIGINT) AS g
               FROM embeddings, range(64) t1(i), range(64) t2(j)
               GROUP BY i, j ORDER BY i, j"""),
       (s, dir) =>

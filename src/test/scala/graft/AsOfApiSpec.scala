@@ -364,4 +364,30 @@ class AsOfApiSpec extends SparkSpec {
       s"as-of must be join-free (union+window):\n$plan")
     assert(plan.contains("Window"), plan)
   }
+
+  test("auto routing: non-orderable (map) value columns fall back from the compact tier") {
+    // the compact tier's sort_array(collect_list(struct(..))) rejects
+    // map fields at ANALYSIS time; the union-window plan's last()
+    // needs no value ordering — eligibility must route there instead
+    // of failing (ADVICE r18)
+    val b = Seq((1L, 1L, Map("a" -> 1)), (1L, 5L, Map("b" -> 2)),
+        (2L, 2L, Map("c" -> 3)))
+      .toDF("k", "t", "m")
+    val p = Seq((10L, 1L, 6L), (11L, 1L, 3L), (12L, 2L, 1L))
+      .toDF("event_id", "k", "pt")
+    // bounded fanout ⇒ the router would pick compact if eligible
+    val got = AsOf.joinLatestAuto(p, b, Seq("k"), Seq("k"), "pt", "t",
+        Seq("m"), strict = false, targetRowsPerTask = 1L << 20)
+      .select("event_id", "m")
+      .as[(Long, Option[Map[String, Int]])].collect().toMap
+    assert(got == Map(10L -> Some(Map("b" -> 2)),
+      11L -> Some(Map("a" -> 1)), 12L -> None), got.toString)
+    // an orderable value column on the same shapes still routes compact
+    val b2 = b.withColumn("m", lit(1L))
+    val plan2 = AsOf.joinLatestAuto(p, b2, Seq("k"), Seq("k"), "pt", "t",
+        Seq("m"), strict = false, targetRowsPerTask = 1L << 20)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("graft_sorted_count_le"),
+      s"orderable values must keep the compact tier:\n$plan2")
+  }
 }

@@ -82,6 +82,44 @@ class PcaSpec extends SparkSpec {
       s"codegen projection sum $codegenSum")
   }
 
+  test("short input arrays project identically in interpreted and codegen paths") {
+    // d=4 model, inputs of length 2: terms beyond the input's length
+    // are SKIPPED in both paths (ADVICE r18 — interpreted eval used to
+    // zero-pad and subtract mean for all d, codegen stopped at
+    // numElements, so the same row projected differently depending on
+    // whether whole-stage codegen fired)
+    val d = 4
+    val mean = Array(1.0, 2.0, 3.0, 4.0)
+    val comps = Array(Array(0.5, -0.25, 0.125, 1.0),
+      Array(-1.0, 0.75, 2.0, -0.5))
+    val model = Pca.PcaModel(mean, comps, Array(2.0, 1.0))
+    val expect = Array.tabulate(2)(c =>
+      comps(c)(0) * (10.0 - mean(0)) + comps(c)(1) * (20.0 - mean(1)))
+    // interpreted: Expression.eval on a literal input
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val flat = comps.flatten
+    val interp = graft.operators.Pca.PcaProjectExpr(
+        Literal.create(Seq(10.0, 20.0),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false)),
+        mean, flat, 2, d)
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    // codegen: datasource-backed frame keeps the expression physical
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pca-short-")
+      .toString
+    Seq(Seq(10.0f, 20.0f)).toDF("embedding").write
+      .mode("overwrite").parquet(tmp)
+    val viaDf = Pca.project(spark.read.parquet(tmp), "embedding", model, "pc")
+      .select("pc").as[Seq[Double]].head().toArray
+    for (c <- 0 until 2) {
+      assert(math.abs(interp(c) - expect(c)) < 1e-12,
+        s"interpreted c=$c: ${interp(c)} vs ${expect(c)}")
+      assert(math.abs(viaDf(c) - expect(c)) < 1e-12,
+        s"codegen c=$c: ${viaDf(c)} vs ${expect(c)}")
+    }
+  }
+
   test("moments merge == global: partitioning cannot change the fixed-point gram") {
     val d = 4
     val rows = (1 to 200).map(i =>

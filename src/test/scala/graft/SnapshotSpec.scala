@@ -139,4 +139,130 @@ class SnapshotSpec extends SparkSpec {
     assert(violation.isEmpty, violation.toString)
     assert(Snapshot.read(spark, root).agg(max("v")).as[Long].head() == 6L)
   }
+
+  private def tearManifest(root: String, v: Long): Unit = {
+    // a crashed NON-LOCAL writer: the O_EXCL create landed, the body
+    // never did. Aged past the torn grace so claims may advance (a
+    // fresh unparseable manifest is presumed an in-flight racer and
+    // waited for instead).
+    val p = java.nio.file.Paths.get(
+      s"$root/_graft_manifests/" + f"manifest-$v%016d.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.createFile(p)
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * Snapshot.TornGraceMs))
+    ()
+  }
+
+  test("torn newest manifest never bricks writes: claims advance past the tombstone") {
+    val root = tmp("torn")
+    Snapshot.writeReplace(spark, (1 to 10).toDF("x"), root) // v1
+    tearManifest(root, 2L)
+    // pre-fix: append computes v = parseable-latest + 1 = 2, collides
+    // with the torn file on all 20 attempts and errors out forever
+    val v = Snapshot.append(spark, (11 to 12).toDF("x"), root)
+    assert(v == 3L, s"claim must advance past the torn v2, got $v")
+    assert(Snapshot.latest(spark, root).get.version == 3L)
+    assert(Snapshot.read(spark, root).count() == 12)
+  }
+
+  test("gc retention counts PARSEABLE manifests: torn tombstones cannot displace a live snapshot") {
+    val root = tmp("torngc")
+    Snapshot.writeReplace(spark, (1 to 10).toDF("x"), root) // v1 = only live
+    (2L to 4L).foreach(tearManifest(root, _))
+    // pre-fix: kept = {v2,v3,v4} all torn → referenced = ∅ → gc
+    // deletes EVERY data file of the only live snapshot
+    val removed = Snapshot.gc(spark, root, keepVersions = 3)
+    assert(removed == 0, s"live snapshot's files must survive, removed=$removed")
+    assert(Snapshot.read(spark, root).count() == 10)
+    assert(Snapshot.versions(spark, root) == Seq(1L),
+      "torn tombstones dropped, live manifest kept")
+  }
+
+  test("compact racing expirePartitions: the expire is honored, not undone") {
+    val root = tmp("cexp")
+    Snapshot.writeReplace(spark,
+      Seq(("2026-01-01", 1L), ("2026-01-02", 2L), ("2026-01-03", 3L))
+        .toDF("day", "v"), root, partCols = Seq("day"))
+    var fired = false
+    Snapshot.compact(spark, root, targetFileBytes = 1L << 30, () => {
+      if (!fired) { // the racer lands inside the commit window, once
+        fired = true
+        Snapshot.expirePartitions(spark, root, "day", "2026-01-02")
+      }
+    })
+    assert(fired)
+    // pre-fix: the file-set merge re-committed rewritten copies of
+    // the expired partition — the expire silently undone
+    val now = Snapshot.read(spark, root).select("day", "v")
+      .as[(String, Long)].collect().toMap
+    assert(now == Map("2026-01-02" -> 2L, "2026-01-03" -> 3L),
+      s"expired partition must stay expired across the compaction: $now")
+  }
+
+  test("compact racing overwritePartitions: no duplicated partition rows") {
+    val root = tmp("covw")
+    Snapshot.writeReplace(spark,
+      Seq(("a", 1L), ("b", 2L)).toDF("part", "v"),
+      root, partCols = Seq("part"))
+    var fired = false
+    Snapshot.compact(spark, root, targetFileBytes = 1L << 30, () => {
+      if (!fired) {
+        fired = true
+        Snapshot.overwritePartitions(spark,
+          Seq(("a", 10L)).toDF("part", "v"), root, "part")
+      }
+    })
+    // pre-fix: old rewritten partition data + the racer's new files
+    // were BOTH referenced → duplicate rows for part=a
+    val rows = Snapshot.read(spark, root).select("part", "v")
+      .as[(String, Long)].collect().sorted
+    assert(rows.toSeq == Seq(("a", 10L), ("b", 2L)),
+      s"exactly one row per partition after the race: ${rows.toSeq}")
+  }
+
+  test("two racing compactions do not duplicate the table") {
+    val root = tmp("ccomp")
+    Snapshot.writeReplace(spark, (1 to 100).toDF("x").repartition(4), root)
+    var fired = false
+    Snapshot.compact(spark, root, targetFileBytes = 1L << 30, () => {
+      if (!fired) {
+        fired = true
+        Snapshot.compact(spark, root, targetFileBytes = 1L << 30)
+      }
+    })
+    assert(Snapshot.read(spark, root).count() == 100,
+      "a racing compact pair must not double the table")
+    assert(Snapshot.read(spark, root).agg(sum("x")).as[Long].head() ==
+      (1 to 100).sum)
+    // the loser's abandoned rewrite is an orphan gc reclaims
+    Snapshot.gc(spark, root, keepVersions = 1)
+    assert(Snapshot.read(spark, root).count() == 100)
+  }
+
+  test("gc aborts on an UNREADABLE kept manifest instead of treating it as empty") {
+    val dir = tmp("fault")
+    Snapshot.writeReplace(spark, (1 to 10).toDF("x"), dir) // v1
+    Snapshot.append(spark, (11 to 12).toDF("x"), dir) // v2
+    // an EXISTING manifest whose open() fails (here: it's a
+    // directory — the same class as a transient object-store read
+    // error: present, unreadable, NOT torn)
+    val p = java.nio.file.Paths.get(
+      s"$dir/_graft_manifests/" + f"manifest-${3L}%016d.json")
+    java.nio.file.Files.createDirectory(p)
+    try {
+      // pre-fix: the swallowed error made gc believe the newest
+      // manifest referenced nothing and delete live data files
+      intercept[java.io.IOException] {
+        Snapshot.gc(spark, dir, keepVersions = 1)
+      }
+      // readers fail loudly on the unreadable manifest too — never a
+      // silent fall-back to a stale snapshot
+      intercept[java.io.IOException] { Snapshot.read(spark, dir) }
+    } finally java.nio.file.Files.delete(p)
+    // fault cleared → the same gc succeeds and NO data file was lost
+    Snapshot.gc(spark, dir, keepVersions = 1)
+    assert(Snapshot.read(spark, dir).count() == 12)
+  }
 }

@@ -30,8 +30,15 @@ def rows_of(con, sql):
     cur = con.sql(sql)
     cols = cur.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # Arrow-level types, NOT just values: the driver's hash is
+    # type-sensitive (an uncast DuckDB SUM is HUGEINT/decimal128 where
+    # Spark emits int64 — identical values, divergent hash). Capturing
+    # the Arrow schema here kills that miss class in the dev loop.
+    schema = con.sql(sql).arrow().schema
+    types = [str(schema.field(cols[i]).type) for i in order]
     data = cur.fetchall()
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
+    return ([cols[i] for i in order], types,
+            [tuple(canon(r[i]) for i in order) for r in data])
 
 
 def main():
@@ -54,13 +61,13 @@ def main():
             n_fail += 1
             continue
         try:
-            ocols, orows = rows_of(con, oracles[name])
+            ocols, otypes, orows = rows_of(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         try:
-            scols, srows = rows_of(
+            scols, stypes, srows = rows_of(
                 con, f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}")
@@ -68,6 +75,12 @@ def main():
             continue
         if ocols != scols:
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if otypes != stypes:
+            diffs = [f"{c}: oracle={a} spark={b}"
+                     for c, a, b in zip(ocols, otypes, stypes) if a != b]
+            print(f"FAIL {name}: arrow types differ — " + "; ".join(diffs))
             n_fail += 1
             continue
         if len(orows) != len(srows):
