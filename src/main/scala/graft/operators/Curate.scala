@@ -895,6 +895,23 @@ object Curate {
     * kernel passes is now measured and worse; the adjudication
     * stands on a closed alternative set.
     * `SPARK_GRAFT_SCORELM_SHAPE=ckpt` reproduces it (dev-only).
+    *
+    * Round-19 addendum (VERDICT r18 next #3 — the plan-shape set
+    * being closed, attack the per-byte kernel cost itself): the
+    * kernel now reads bytes ZERO-COPY off the UTF8String and folds
+    * ASCII case into the token hash's lane loads (SWAR | 0x20 on
+    * [A-Z] bytes) — the whole-text toLowerCase copy and the getBytes
+    * copy both disappear for ASCII rows (non-ASCII rows keep the
+    * Unicode fallback, hash-compatible). Same-box interleaved A/B at
+    * sf3 (documents 30x, min/median of 5 isolated reps, seconds):
+    * old kernel 1.467/1.547, fused kernel 1.318/1.489; same-box
+    * DuckDB oracle median 0.722 → 2.03x drops to **1.83x best-of**
+    * (sf1: 0.573 vs 0.431 = 1.33x). The per-gram output also emits
+    * as one flat UnsafeArrayData image instead of a
+    * GenericInternalRow per gram — measured GC-neutral at bench
+    * scale (explode/shuffle machinery dominates) but strictly less
+    * allocation per row, which matters under full task concurrency
+    * at corpus scale.
     */
   def scoreByNgramFreq(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {

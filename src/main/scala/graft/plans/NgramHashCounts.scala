@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -15,9 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * gram itself — only per-doc sums — so the string key is pure
   * overhead end to end; this kernel drops it at the source:
   *
-  *  - each TOKEN is xxhash64'd once (not re-hashed per window as a
+  *  - each TOKEN is hashed once (not re-hashed per window as a
   *    post-explode `xxhash64(g)` projection effectively does via the
-  *    concat), and window keys combine token hashes with a
+  *    concat) with an xxh64-form hash whose lane loads FOLD ASCII
+  *    case in place (SWAR), read zero-copy off the UTF8String — for
+  *    ASCII rows no lowercase copy, no getBytes copy, and no
+  *    allocation happens before the count table (round-19 kernel-CPU
+  *    cut; non-ASCII rows fall back to Unicode toLowerCase and hash
+  *    the lowered bytes with the same function, so equal grams hash
+  *    equal across paths). Window keys combine token hashes with a
   *    mix-and-avalanche (murmur3 fmix64) — no gram string is ever
   *    materialized;
   *  - within-row counting runs on a primitive open-addressing
@@ -68,30 +74,112 @@ object NgramHashCounts {
     x
   }
 
+  // xxh64 primes (public spec); the token hash below is xxh64's
+  // short-input form with ASCII case folding fused into the lane
+  // loads, applied uniformly to any length — a deterministic strong
+  // hash, NOT required to equal reference XXH64 (gram keys are
+  // internal equality classes that never reach any output).
+  private final val P1 = 0x9E3779B185EBCA87L
+  private final val P2 = 0xC2B2AE3D27D4EB4FL
+  private final val P3 = 0x165667B19E3779F9L
+  private final val P4 = 0x85EBCA77C2B2AE63L
+  private final val P5 = 0x27D4EB2F165667C5L
+
+  /** SWAR per-byte ASCII toLower over a 64-bit lane: bytes in
+    * [0x41,0x5A] gain 0x20, every other byte (including ≥ 0x80
+    * UTF-8 continuation/lead bytes) passes through untouched.
+    */
+  private def lower8(w: Long): Long = {
+    val high = w & 0x8080808080808080L
+    val w7 = w & 0x7f7f7f7f7f7f7f7fL
+    val gtZ = w7 + 0x2525252525252525L // per-byte high bit: x > 'Z'
+    val geA = w7 + 0x3f3f3f3f3f3f3f3fL // per-byte high bit: x >= 'A'
+    w | ((geA & ~gtZ & ~high & 0x8080808080808080L) >>> 2)
+  }
+
+  /** Hash of the ASCII-LOWERCASED bytes at [off, off+len): case
+    * folding costs three adds and three ands per 8-byte lane instead
+    * of a whole-text toLowerCase copy. Reading through Platform makes
+    * the kernel zero-copy over the UTF8String's own storage.
+    */
+  private def hashLower(base: AnyRef, off: Long, len: Int): Long = {
+    var acc = 42L + P5 + len
+    var i = 0
+    while (i + 8 <= len) {
+      var k = lower8(Platform.getLong(base, off + i))
+      k *= P2
+      k = java.lang.Long.rotateLeft(k, 31)
+      k *= P1
+      acc ^= k
+      acc = java.lang.Long.rotateLeft(acc, 27) * P1 + P4
+      i += 8
+    }
+    while (i < len) {
+      var b = (Platform.getByte(base, off + i) & 0xff).toLong
+      if (b >= 0x41L && b <= 0x5aL) b |= 0x20L
+      acc ^= b * P5
+      acc = java.lang.Long.rotateLeft(acc, 11) * P1
+      i += 1
+    }
+    acc ^= acc >>> 33
+    acc *= P2
+    acc ^= acc >>> 29
+    acc *= P3
+    acc ^= acc >>> 32
+    acc
+  }
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     // tokens(): lowercase, split on single space, drop empties — the
-    // split(lower(text), " ") + filter contract, walked directly over
-    // the UTF-8 bytes (0x20 never occurs inside a multi-byte
-    // sequence, so byte-splitting IS space-splitting); each token
-    // span is XXH64'd in place — no per-token UTF8String allocates.
-    val lower = text.toLowerCase
-    val bytes = lower.getBytes
-    val len = bytes.length
+    // split(lower(text), " ") + filter contract. ASCII rows (the
+    // overwhelming case) take a ZERO-COPY path: bytes are read in
+    // place off the UTF8String and case folding happens inside the
+    // hash's lane loads — no lowercase copy, no getBytes copy, no
+    // allocation before the count table. Rows containing any byte
+    // ≥ 0x80 fall back to UTF8String.toLowerCase (Unicode folding can
+    // change byte LENGTH — ß, İ — so it cannot fuse), then hash the
+    // lowered bytes with the SAME function: ASCII folding is
+    // idempotent and lower8 passes non-ASCII bytes through, so equal
+    // grams hash equal across the two paths.
+    val len0 = text.numBytes
+    val base0 = text.getBaseObject
+    val off0 = text.getBaseOffset
+    var ascii = true
+    var s = 0
+    while (ascii && s + 8 <= len0) {
+      if ((Platform.getLong(base0, off0 + s) & 0x8080808080808080L) != 0L)
+        ascii = false
+      s += 8
+    }
+    while (ascii && s < len0) {
+      if (Platform.getByte(base0, off0 + s) < 0) ascii = false
+      s += 1
+    }
+    if (ascii) computeFrom(base0, off0, len0, n)
+    else {
+      val bytes = text.toLowerCase.getBytes
+      computeFrom(bytes, Platform.BYTE_ARRAY_OFFSET.toLong, bytes.length, n)
+    }
+  }
+
+  private def computeFrom(base: AnyRef, off: Long, len: Int,
+      n: Int): ArrayData = {
     val tokHash = new Array[Long](len / 2 + 1)
     var nTok = 0
     var i = 0
     while (i < len) {
-      if (bytes(i) == 0x20) i += 1
+      if (Platform.getByte(base, off + i) == 0x20) i += 1
       else {
         val start = i
-        while (i < len && bytes(i) != 0x20) i += 1
-        tokHash(nTok) = XXH64.hashUnsafeBytes(bytes,
-          Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        while (i < len && Platform.getByte(base, off + i) != 0x20) i += 1
+        tokHash(nTok) = hashLower(base, off + start, i - start)
         nTok += 1
       }
     }
     val m = nTok - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    if (m <= 0) return Empty
     // `cap` sizing below is Int pow-2 arithmetic: past 2^29 windows
     // (a single row holding ~1 GiB of text) `m * 2` would overflow
     // and the probe loop could spin on a full table — fail fast with
@@ -128,14 +216,33 @@ object NgramHashCounts {
       i += 1
     }
 
-    val out = new Array[Any](nDistinct)
+    // Emit as ONE flat UnsafeArrayData byte image instead of a
+    // GenericInternalRow (+ boxed longs) per distinct gram: at corpus
+    // scale the per-gram row objects were the kernel's dominant
+    // allocation (millions of short-lived objects per pass), and the
+    // downstream explode reads UnsafeArrayData structs without
+    // conversion. Layout per the UnsafeArrayData contract: 8-byte
+    // count, null bitmap (all clear), one (offset<<32|size) long per
+    // element, then each element as an UnsafeRow image (8-byte null
+    // bits + two long fields = 24 bytes).
+    val headerInBytes = 8 + ((nDistinct + 63) / 64) * 8
+    val fixedSize = headerInBytes + nDistinct * 8
+    val data = new Array[Byte](fixedSize + nDistinct * 24)
+    val baseOff = Platform.BYTE_ARRAY_OFFSET.toLong
+    Platform.putLong(data, baseOff, nDistinct.toLong)
     var k = 0
     while (k < nDistinct) {
+      val elemOffset = fixedSize + k * 24
+      Platform.putLong(data, baseOff + headerInBytes + k * 8,
+        (elemOffset.toLong << 32) | 24L)
       val slot = order(k)
-      out(k) = new GenericInternalRow(Array[Any](keys(slot), cnts(slot)))
+      Platform.putLong(data, baseOff + elemOffset + 8, keys(slot))
+      Platform.putLong(data, baseOff + elemOffset + 16, cnts(slot))
       k += 1
     }
-    new GenericArrayData(out)
+    val arr = new UnsafeArrayData
+    arr.pointTo(data, baseOff, data.length)
+    arr
   }
 
   def apply(text: Column, n: Int): Column =
