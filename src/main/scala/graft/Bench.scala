@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   * unfiltered runs replace the pinned capture only when they BEAT it
   * (min-of-quiet-captures), so repeated runs monotonically improve
   * the pin; non-beating quiet runs only extend the mom basis.
+  * Since round 19 every record also carries `cpu_calib_mops` (a
+  * deterministic single-thread burn — [[cpuCalibration]]) and
+  * pin-bearing records add `pin_calib_comparable`: the r18 box shift
+  * slowed the whole host 20-25% while the env fingerprint held, so
+  * cross-shift comparisons now SELF-FLAG (comparability, never
+  * acceptance — a slow box must not un-pin a valid capture).
   */
 object Bench {
 
@@ -59,6 +65,11 @@ object Bench {
     // before vs 2.76 after on an idle box) — attribution of a
     // contended capture should start here.
     val loadStart = readLoadAvg()
+    // Host-speed calibration (VERDICT r18 next #7): the env
+    // fingerprint holds constant across a host-wide 20-25% slowdown
+    // (same cpus/confs/data), so cross-shift pin comparisons need an
+    // IN-BAND speed number. Measured before any Spark work.
+    val cpuCalib = cpuCalibration()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -301,11 +312,12 @@ object Bench {
     val momField = momOpt.map(m => s""","value_mom_sec":$m""").getOrElse("")
     val pinFields = pin match {
       case Some(p) =>
-        s""","pinned_sha256":"${p.sha256}","pinned_loadavg_start":"${p.loadavgStart}","pinned_contended":false,"tree_fingerprint":"$fingerprint","env_fingerprint":"$envFp""""
+        val pc = if (p.cpuCalib.isNaN) "null" else p.cpuCalib.toString
+        s""","pinned_sha256":"${p.sha256}","pinned_loadavg_start":"${p.loadavgStart}","pinned_contended":false,"pinned_cpu_calib_mops":$pc,"pin_calib_comparable":${calibComparable(cpuCalib, p.cpuCalib)},"tree_fingerprint":"$fingerprint","env_fingerprint":"$envFp""""
       case None => ""
     }
     val liveFields =
-      s""","headline_source":"$source"$momField,"n_quiet_captures":${quietValues.size},"live_value_sec":$headline,"live_contended":$contended,"live_loadavg_start":"$loadStart"$pinFields"""
+      s""","headline_source":"$source"$momField,"n_quiet_captures":${quietValues.size},"live_value_sec":$headline,"live_contended":$contended,"live_loadavg_start":"$loadStart","cpu_calib_mops":$cpuCalib$pinFields"""
 
     val detail =
       s"""{"metric":"total","value":$valueOut,"unit":"sec","queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"machinery_proof_queries":$machineryProof,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec$liveFields,"sf":"$sfDir"}"""
@@ -326,7 +338,7 @@ object Bench {
       val quietJson = quietValues.mkString("[", ",", "]")
       if (pin.forall(p => headline < p.value)) {
         val pinDetail =
-          s"""{"metric":"total","value":$headline,"unit":"sec","quiet_values_sec":$quietJson,"queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"machinery_proof_queries":$machineryProof,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"tree_fingerprint":"$fingerprint","env_fingerprint":"$envFp","sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$headline,"unit":"sec","quiet_values_sec":$quietJson,"cpu_calib_mops":$cpuCalib,"queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"machinery_proof_queries":$machineryProof,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"tree_fingerprint":"$fingerprint","env_fingerprint":"$envFp","sf":"$sfDir"}"""
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_PINNED.json"), pinDetail + "\n")
         catch { case _: Throwable => () }
@@ -347,9 +359,47 @@ object Bench {
     spark.stop()
   }
 
+  /** Deterministic single-thread CPU burn → mega-ops/sec (fmix64
+    * mixes). min of 3 short runs = the least-interrupted estimate;
+    * ~60 ms total. Pure ALU — tracks exactly the class of host-wide
+    * slowdown (shared-box contention, frequency shift) the env
+    * fingerprint cannot see.
+    */
+  private[graft] def cpuCalibration(): Double = {
+    def mix(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33; z
+    }
+    var best = Double.MaxValue
+    var sink = 0L
+    for (_ <- 1 to 3) {
+      val n = 20000000
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0L
+      while (i < n) { acc = mix(acc + i); i += 1 }
+      sink ^= acc
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < best) best = sec
+    }
+    if (sink == 42L) System.err.print("") // keep the loop live
+    math.round(20000000 / best / 1e6 * 10.0) / 10.0 // Mops, 1 dp
+  }
+
+  /** Comparable = within 10% host speed of the pinned capture; a
+    * missing pinned calibration (legacy pin) counts as comparable —
+    * the field self-flags cross-shift comparisons, it never rejects
+    * a pin (VERDICT r18 next #7: COMPARABILITY, not acceptance).
+    */
+  private[graft] def calibComparable(live: Double, pinned: Double): Boolean =
+    pinned.isNaN || live.isNaN ||
+      (pinned > 0 && math.abs(live / pinned - 1.0) <= 0.10)
+
   private[graft] final case class Pinned(value: Double, contended: Boolean,
       sha256: String, loadavgStart: String,
-      quietValues: Seq[Double] = Nil)
+      quietValues: Seq[Double] = Nil, cpuCalib: Double = Double.NaN)
 
   private def readPinned(sfDir: String, fingerprint: String,
       envFp: String): Option[Pinned] =
@@ -393,7 +443,7 @@ object Bench {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val sha = md.digest(raw).map("%02x".format(_)).mkString
         Some(Pinned(v, contended = false, sha, str("loadavg_start"),
-          quietVals))
+          quietVals, dbl(j \ "cpu_calib_mops")))
       } else None
     } catch { case _: Throwable => None }
 

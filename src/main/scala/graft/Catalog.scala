@@ -35,7 +35,27 @@ object Catalog {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  // Snapshot routing (decided once per (dir, name)): a table root
+  // carrying a _graft_manifests dir is a snapshot table — reads
+  // resolve the CURRENT latest manifest on every call (resolution is
+  // one tiny metadata read) instead of memoizing the DataFrame, so a
+  // registered table observes commits/compactions as new snapshots
+  // while any frame already handed out keeps its pinned file list.
+  private val snapRoot = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.Boolean]]())
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val isSnap = snapRoot.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.Boolean]())
+      .computeIfAbsent((dir, name), { _ =>
+        java.lang.Boolean.valueOf(graft.operators.Snapshot
+          .isSnapshotRoot(spark, s"$dir/$name.parquet"))
+      })
+    if (isSnap.booleanValue())
+      return graft.operators.Snapshot.read(spark, s"$dir/$name.parquet")
     cache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), { _ =>
@@ -121,6 +141,7 @@ object Catalog {
         if (n > 1 && rowGroups <= 1) df.repartition(n) else df
       } else df
     })
+  }
 
   /** Register every table as a temp view so `spark.sql` queries (the
     * grouping-sets / correlated-subquery surface) resolve. Idempotent.

@@ -341,6 +341,46 @@ object Pca {
       flat: Array[Double], k: Int, d: Int): Array[Double] =
     projectOne(x, x.length, mean, flat, k, d)
 
+  /** Whitening form of a fitted model: each component row scaled by
+    * 1/√variance so projected coordinates have ~unit variance per
+    * axis — the preconditioning SemDeDup-style semantic clustering
+    * wants (isotropic cosine). NOTE: whitening rescales the metric
+    * (Mahalanobis-izes L2); for PQ preprocessing where raw-L2
+    * neighbors are the ground truth, use the metric-preserving
+    * ROTATION in [[Pq.fitProjection]] instead and keep `whiten`
+    * false there.
+    */
+  def whitened(model: PcaModel, eps: Double = 1e-12): PcaModel =
+    PcaModel(model.mean,
+      model.components.zip(model.variance).map { case (row, v) =>
+        val s = 1.0 / math.sqrt(math.max(v, eps))
+        row.map(_ * s)
+      },
+      Array.fill(model.components.length)(1.0))
+
+  /** Round-robin interleave of components across `nSub` subspaces:
+    * component ranked r (variance-descending, the fit order) lands at
+    * projected position (r mod nSub)·subDim + (r div nSub), so each
+    * PQ subspace receives an even mix of high- and low-variance
+    * directions instead of subspace 0 hoarding the whole spectrum —
+    * the eigenvalue-allocation idea of the OPQ literature in its
+    * closed-form (permutation-only) form. Pure reordering of the
+    * projection rows: a bijection, metric untouched.
+    */
+  def interleaved(model: PcaModel, nSub: Int): PcaModel = {
+    val k = model.components.length
+    require(k % nSub == 0, s"k=$k not divisible into $nSub subspaces")
+    val subDim = k / nSub
+    val perm = Array.tabulate(k)(r => (r % nSub) * subDim + r / nSub)
+    val comps = new Array[Array[Double]](k)
+    val vars = new Array[Double](k)
+    for (r <- 0 until k) {
+      comps(perm(r)) = model.components(r)
+      vars(perm(r)) = model.variance(r)
+    }
+    PcaModel(model.mean, comps, vars)
+  }
+
   /** Project an embedding column onto the fitted components. */
   def project(df: DataFrame, embedCol: String, model: PcaModel,
       outCol: String): DataFrame = {

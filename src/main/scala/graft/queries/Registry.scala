@@ -9,7 +9,7 @@ object Registry {
       PipelineQueries.defs ++ ExtendedQueries.defs ++ Round3Queries.defs ++
       Round8Queries.defs ++ Round9Queries.defs ++ Round10Queries.defs ++
       Round11Queries.defs ++ Round12Queries.defs ++ Round14Queries.defs ++
-      Round17Queries.defs ++ Round18Queries.defs
+      Round17Queries.defs ++ Round18Queries.defs ++ Round19Queries.defs
 
   /** Collapse SQL whitespace so oracle_sql.json stays one-line-friendly. */
   private def squash(sql: String): String =

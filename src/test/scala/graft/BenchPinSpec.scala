@@ -92,4 +92,37 @@ class BenchPinSpec extends AnyFunSuite {
     assert(Bench.readPinned(legacy, "/data/sf0.1", "fp1", "")
       .exists(_.quietValues == Seq(41.59)))
   }
+
+  test("cpu calibration gates pin COMPARABILITY, not acceptance (VERDICT r18 #7)") {
+    // the env fingerprint passed across a 20-25% host-speed shift in
+    // r18 — the calibration number is the in-band signal that flags
+    // such cross-shift comparisons without rejecting the pin
+    val d = tmpDir()
+    val p = write(d.resolve("BENCH_PINNED.json"),
+      """{"metric":"total","value":41.59,"contended":false,
+        |"cpu_calib_mops":250.0,
+        |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"fp1",
+        |"env_fingerprint":"env1","sf":"/data/sf0.1"}""".stripMargin)
+    val pin = Bench.readPinned(p, "/data/sf0.1", "fp1", "env1")
+    // the calibration rides in the parsed pin...
+    assert(pin.exists(_.cpuCalib == 250.0))
+    // ...and STILL parses (acceptance untouched) when hosts differ
+    assert(pin.isDefined)
+    // comparability: within 10% → true; a 20-25% shift → self-flag
+    assert(Bench.calibComparable(live = 245.0, pinned = 250.0))
+    assert(Bench.calibComparable(live = 270.0, pinned = 250.0))
+    assert(!Bench.calibComparable(live = 195.0, pinned = 250.0)) // -22%
+    assert(!Bench.calibComparable(live = 320.0, pinned = 250.0)) // +28%
+    // legacy pin without the field: comparable-by-default (unknown)
+    assert(Bench.calibComparable(live = 245.0, pinned = Double.NaN))
+    val legacy = write(d.resolve("BENCH_PINNED.json"),
+      """{"metric":"total","value":41.59,"contended":false,
+        |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"fp1",
+        |"sf":"/data/sf0.1"}""".stripMargin)
+    assert(Bench.readPinned(legacy, "/data/sf0.1", "fp1", "")
+      .exists(_.cpuCalib.isNaN))
+    // the burn itself returns something positive and finite
+    val c = Bench.cpuCalibration()
+    assert(c > 0 && c < 1e6, s"calibration $c")
+  }
 }

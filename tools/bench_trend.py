@@ -59,6 +59,12 @@ TREND_QUERIES = [
     # falling ratio curve — the trend record is its adjudication
     # evidence, as it was for q15/q52
     "ns_tokenize_vocab",
+    # round-19 addition: the new PCA->PQ whitened-encode row is a
+    # 4-job DAG (stats agg, seed collect, codebook agg, in-row encode)
+    # against a 0.26 s oracle at sf0.1 -- 2.3x there, falling to 1.69x
+    # at sf1 (measured same-box); the trend record is its adjudication
+    # evidence, the q15/q52/ns_tokenize_vocab pattern
+    "ns_pq_whiten_encode",
 ]
 
 FACTOR = 10
