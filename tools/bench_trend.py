@@ -127,6 +127,10 @@ TREND3_QUERIES = [
     # signature; sf1 sits near the 2x line and the curve is the
     # adjudication evidence either way
     "q59_asof_join", "q70_asof_auto_default",
+    # round-19 addition: the PCA->PQ whitened-encode row's curve (2.3x
+    # at sf0.1 on a 0.26 s oracle, 1.69x at sf1 same-box) needs the
+    # third point like every floor-amortization adjudication before it
+    "ns_pq_whiten_encode",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
