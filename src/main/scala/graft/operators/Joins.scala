@@ -62,4 +62,54 @@ object Joins {
     val bytes = sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes * inflation <= maxBytes) broadcast(df) else df
   }
+
+  /** Fold a CONSTANT-cardinality dimension to the driver as plain
+    * rows, with a hard cap that fails loudly if the "constant" claim
+    * is wrong. For dims whose cardinality is fixed by the DOMAIN, not
+    * the scale factor (region = 5, nation = 25 in the TPC-H model —
+    * they are the same 25 rows at sf0.001 and at 100 TB), a broadcast
+    * join is pure overhead: each one costs a full Spark job (scan →
+    * collect → hash-relation build → broadcast) on the query's
+    * critical path. Folding turns the join into a pushed-down
+    * `IN (literal keys)` scan filter or a literal-map lookup — zero
+    * jobs, and the predicate reaches the parquet row-group pruner.
+    *
+    * This is NOT for customer/part/supplier-class dims (they grow
+    * with SF; that's [[broadcastIfSmall]]'s territory). The `maxRows`
+    * cap (default 1024) is the contract's teeth: a mis-classified
+    * growing dim fails the require at ANY scale rather than silently
+    * ballooning driver memory — same bounded-collect discipline as
+    * AsOf's one-row probes.
+    *
+    * Reference analog: the firmware folds its fixed slave registry
+    * into the gather loop as compile-time constants
+    * (master/master.ino:151-168) rather than re-discovering it per
+    * poll.
+    */
+  def dimFold(df: DataFrame, cols: Seq[String],
+      maxRows: Int = 1024): Seq[org.apache.spark.sql.Row] = {
+    require(cols.nonEmpty, "dimFold needs at least one column")
+    val rows = df.select(cols.head, cols.tail: _*)
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dimFold: ${cols.mkString(",")} exceeded $maxRows rows — this " +
+        "dimension grows with scale; use broadcastIfSmall instead")
+    rows.toSeq
+  }
+
+  private val foldCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String]), Seq[org.apache.spark.sql.Row]]()
+
+  /** [[dimFold]] memoized for the JVM lifetime under a caller-chosen
+    * key (convention: `"<dir>/<table>"`). Domain-constant dims are by
+    * definition the same rows for the life of a session, so paying a
+    * collect job per QUERY for the 25 nation rows is waste — the fold
+    * is metadata, cached the way Catalog memoizes table DataFrames.
+    * Do NOT use for snapshot-versioned tables (their content moves
+    * under commits — take the per-call [[dimFold]] instead); the
+    * bare-parquet catalog dims this exists for are immutable inputs.
+    */
+  def dimFoldCached(key: String, df: => DataFrame, cols: Seq[String],
+      maxRows: Int = 1024): Seq[org.apache.spark.sql.Row] =
+    foldCache.computeIfAbsent((key, cols), _ => dimFold(df, cols, maxRows))
 }

@@ -40,6 +40,32 @@ object MoneySum {
   /** Drop-in for `sum(c)` where `c` is DecimalType(p ≤ 18, s). */
   def sumDec128(c: Column): Column =
     Bridge.column(SumDec128(Bridge.expression(c)).toAggregateExpression())
+
+  /** Drop-in for `sum(CAST(c AS DECIMAL(18, scale)))` where `c` is a
+    * DOUBLE carrying a money-convention value — a quantity whose TRUE
+    * value has at most `scale` fractional decimal digits (prices,
+    * discounts, their products) and magnitude below 10^(18-scale).
+    * Skips the decimal cast entirely: [[UnscaledDouble]] scales the
+    * double by 10^scale and rounds half-away-from-zero to a LONG in
+    * two fp ops per row, feeding the same 128-bit accumulator. Under
+    * the convention the scaled value sits an integer distance from
+    * any rounding boundary while the accumulated fp error is < 1e-4
+    * of a unit, so the result is bit-identical to the cast form (and
+    * to the DuckDB oracle's own double→decimal cast) — a differential
+    * spec (MoneySumSpec) pins that equivalence on the full value
+    * grid. The win is allocation, not arithmetic: Spark's
+    * double→decimal Cast goes through Double.toString → BigDecimal →
+    * Decimal.changePrecision per row (three allocations + a string
+    * render); this path is codegen long math with zero allocation.
+    *
+    * Reference analog: master/master.ino:219-239 — readings are
+    * scaled to integer grams ONCE at the edge and summed in integer
+    * space; no per-sample re-parse.
+    */
+  def sumMoneyDouble(c: Column, scale: Int = 6): Column =
+    Bridge.column(SumDec128(
+      UnscaledDouble(Bridge.expression(c.cast("double")), scale),
+      rawScale = Some(scale)).toAggregateExpression())
 }
 
 object MoneySumSupport {
@@ -50,6 +76,16 @@ object MoneySumSupport {
     val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
     Decimal(new java.math.BigDecimal(bi, scale))
+  }
+
+  /** double → unscaled long at 10^`pow`, ties half-away-from-zero
+    * (BigDecimal HALF_UP's rule, so negatives agree with Spark's
+    * double→decimal Cast under the money convention too). Hot path of
+    * [[MoneySum.sumMoneyDouble]]: one multiply, one add, one truncate.
+    */
+  def unscaled(d: Double, pow: Double): Long = {
+    val s = d * pow
+    if (s >= 0d) (s + 0.5d).toLong else -((-s + 0.5d).toLong)
   }
 }
 
@@ -62,12 +98,24 @@ object MoneySumSupport {
   * the standard carry-out identity
   * `carry = ((a & b) | ((a | b) & ~(a + b))) >>> 63`.
   */
-case class SumDec128(child: Expression) extends DeclarativeAggregate {
+case class SumDec128(child: Expression, rawScale: Option[Int] = None)
+    extends DeclarativeAggregate {
 
-  private def inputType: DecimalType = child.dataType match {
-    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => d
-    case other => throw new IllegalArgumentException(
-      s"SumDec128 needs a compact DecimalType(p <= 18) child, got $other")
+  /** With `rawScale = Some(s)` the child is a LONG that already
+    * carries the unscaled value at scale `s` (e.g. [[UnscaledDouble]])
+    * and [[UnscaledValue]] extraction is skipped; the result is still
+    * DecimalType(38, s).
+    */
+  private def inputType: DecimalType = rawScale match {
+    case Some(s) =>
+      require(child.dataType == LongType,
+        s"SumDec128(rawScale=$s) needs a LongType child, got ${child.dataType}")
+      DecimalType(Decimal.MAX_LONG_DIGITS, s)
+    case None => child.dataType match {
+      case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => d
+      case other => throw new IllegalArgumentException(
+        s"SumDec128 needs a compact DecimalType(p <= 18) child, got $other")
+    }
   }
 
   override def dataType: DataType = DecimalType(38, inputType.scale)
@@ -101,7 +149,9 @@ case class SumDec128(child: Expression) extends DeclarativeAggregate {
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val x = Coalesce(Seq(UnscaledValue(child), Literal(0L)))
+    val unscaled =
+      if (rawScale.isDefined) child else UnscaledValue(child)
+    val x = Coalesce(Seq(unscaled, Literal(0L)))
     // sign-extend the input into the high word
     val (newLo, newHi) = add128(hi, lo, x, ShiftRight(x, Literal(63)))
     Seq(newHi, newLo,
@@ -118,6 +168,27 @@ case class SumDec128(child: Expression) extends DeclarativeAggregate {
       Int128AsDecimal(hi, lo, inputType.scale))
 
   override def prettyName: String = "sum_dec128"
+}
+
+/** double → unscaled LONG at the given decimal scale, rounding ties
+  * half-away-from-zero. Null-in/null-out; codegen is a single static
+  * call ([[MoneySumSupport.unscaled]]) so it stays inside whole-stage
+  * codegen with zero allocation. Value contract documented on
+  * [[MoneySum.sumMoneyDouble]].
+  */
+case class UnscaledDouble(child: Expression, scale: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(scale >= 0 && scale <= 18, s"scale out of range: $scale")
+  private val pow: Double = math.pow(10d, scale)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    MoneySumSupport.unscaled(input.asInstanceOf[Double], pow)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, d =>
+      s"graft.plans.MoneySumSupport.unscaled($d, ${pow}D)")
+  override protected def withNewChildInternal(
+      newChild: Expression): UnscaledDouble = copy(child = newChild)
 }
 
 /** Scalar (hi, lo) → Decimal(38, scale) conversion — evaluated once

@@ -58,6 +58,37 @@ class MoneySumSpec extends SparkSpec {
     assert(empty.agg(sumDec128(dec(col("v")))).head.isNullAt(0))
   }
 
+  test("sumMoneyDouble equals the decimal-cast form on the money grid") {
+    // The contract: true values with <= 6 fractional decimal digits
+    // and |v| < 1e12. Build the grid the lineitem queries actually
+    // produce — 2-decimal prices x (1 - 2-decimal discounts), i.e.
+    // 4-decimal products — plus negatives and nulls, and require
+    // BIT-IDENTICAL output (string compare of the Decimal(38,6)).
+    val gen = Gen.listOfN(300, Gen.zip(Gen.choose(0, 5), Gen.zip(
+      Gen.choose(-10499999L, 10499999L),   // price cents (signed)
+      Gen.choose(0L, 10L))))               // discount in hundredths
+    samples(gen, 4).foreach { rows =>
+      val data = rows.map { case (k, (cents, disc)) =>
+        (k, cents / 100.0 * (1 - disc / 100.0)) }
+      val df = data.toDF("k", "v")
+      val want = df.groupBy("k")
+        .agg(sumDec128(dec(col("v"))).cast("string"))
+        .as[(Int, String)].collect().toMap
+      val got = df.groupBy("k")
+        .agg(graft.plans.MoneySum.sumMoneyDouble(col("v")).cast("string"))
+        .as[(Int, String)].collect().toMap
+      assert(got == want)
+    }
+    // nulls / all-null / empty behave like SQL SUM
+    val dfn = Seq[(Int, Option[Double])]((1, Some(-2.53)), (1, None),
+      (2, None)).toDF("k", "v")
+    val gotN = dfn.groupBy("k")
+      .agg(graft.plans.MoneySum.sumMoneyDouble(col("v")).as("s"))
+      .orderBy("k").collect()
+    assert(gotN(0).getDecimal(1).toPlainString == "-2.530000")
+    assert(gotN(1).isNullAt(1))
+  }
+
   test("window frame: running sum equals built-in over the same frame") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("i")
