@@ -107,9 +107,23 @@ object Pq {
     */
   def trainCodebookInRow(vecs: DataFrame, idCol: String, vecCol: String,
       subDim: Int = 16, k: Int = 8): DataFrame = {
+    // Seed ORDER must match trainCodebook exactly (it orders by the
+    // NATURAL id); an unconditional cast-to-long would reorder
+    // numeric-string ids (lexicographic vs numeric) and NULL out
+    // non-numeric ids. In-row cids are long, so this fast path takes
+    // integral ids only and hands anything else to the join form.
+    val integralId = vecs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integralId) return trainCodebook(vecs, idCol, vecCol, subDim, k)
     val seedRows = vecs
+      .orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol).cast("long")).limit(k).collect()
+      .collect()
     if (seedRows.isEmpty) return trainCodebook(vecs, idCol, vecCol, subDim, k)
     val d = seedRows.head.getSeq[Double](1).length
     require(d % subDim == 0, s"d=$d not divisible by subDim=$subDim")
@@ -134,6 +148,12 @@ object Pq {
           col(vecCol).cast("array<double>"), c0).as("__pq_c"))
       .select(posexplode(col("__pq_v")).as(Seq("d", "x")), col("__pq_c"))
       .withColumn("s", expr(s"d div $subDim"))
+      // fixed-dimensionality contract (same as the join form, where
+      // the seed-derived codebook's `s` domain bounds the join): a
+      // ragged vector's dims beyond the seed dimensionality fall in
+      // subspaces the model doesn't have — DROP them instead of
+      // emitting null cids through an out-of-range element_at
+      .filter(col("s") < nSub)
       .withColumn("cid",
         element_at(col("__pq_c"), (col("s") + 1).cast("int")))
       .groupBy("s", "cid", "d")

@@ -320,6 +320,17 @@ object Snapshot {
           // version here already saw our commit, nothing to redo.
           if (isLocalFs(f) || !versions(spark, root).exists(_ > v))
             return v
+          // Superseded AFTER a successful claim: if the new latest
+          // already carries every file of this commit, the racer READ
+          // our manifest and built on it — the commit is incorporated
+          // and done. Re-entering the loop here would, for compact,
+          // find the pre-compaction basis files gone (we removed
+          // them) and rerun an ENTIRE already-committed compaction
+          // while readers see its output vanish from latest.
+          val sup = versions(spark, root).reverse.iterator
+            .flatMap(readManifest(spark, root, _)).nextOption()
+          if (sup.exists(m => fileSet.forall(m.files.contains)))
+            return v
         }
       }
     }
@@ -489,7 +500,18 @@ object Snapshot {
     val live = parsed.collect { case (v, Some(m)) => (v, m) }
     val kept = live.takeRight(keepVersions)
     val keptVs = kept.map(_._1).toSet
+    // Torn-looking manifests younger than TornGraceMs may be a LIVE
+    // non-local writer mid-flush (claim landed, body in flight) —
+    // deleting one would kill its commit. Mirror commit's fresh-racer
+    // discipline: only aged tombstones are droppable; parseable
+    // superseded manifests are droppable at any age.
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      try now - f.getFileStatus(p).getModificationTime >= TornGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    val liveVs = live.map(_._1).toSet
     val drop = vs.filterNot(keptVs)
+      .filter(v => liveVs.contains(v) || aged(manifestPath(root, v)))
     val referenced = kept.flatMap(_._2.files).toSet
     val dataRoot = new Path(s"$root/$DataDir")
     var removed = 0
@@ -518,10 +540,14 @@ object Snapshot {
     val staging = new Path(s"$root/_staging")
     if (f.exists(staging)) { f.delete(staging, true); () }
     // crashed local writers' unclaimed manifest bodies (.claim-*.tmp)
+    // — age-filtered like torn manifests: a FRESH temp body may
+    // belong to a live local writer between write and createLink; a
+    // gc overlapping it must not delete the body out from under the
+    // hard-link commit
     val mdir = new Path(s"$root/$ManifestDir")
     if (f.exists(mdir))
       f.listStatus(mdir).foreach { st =>
-        if (st.getPath.getName.startsWith(".claim-"))
+        if (st.getPath.getName.startsWith(".claim-") && aged(st.getPath))
           f.delete(st.getPath, false)
       }
     removed

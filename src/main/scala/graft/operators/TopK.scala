@@ -37,9 +37,16 @@ object TopK {
     * total order — ties beyond it are broken arbitrarily). Output
     * carries all input columns; rows within a key come back in
     * `orderBy` order.
+    *
+    * `distinct = true` drops rows that TIE an already-kept row of the
+    * same key under the full `orderBy` — pass an order whose ties are
+    * exact duplicates (unique id last) and a bounded-duplication
+    * input (an LSH band join emits ≤ nBands copies of a pair) can
+    * skip its dedicated `.distinct()` exchange: duplicates ride the
+    * top-k shuffle and die in an O(k) in-heap scan.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int, distinct: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     // route the order columns through a real Sort plan so the
@@ -70,6 +77,6 @@ object TopK {
       }
     }
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      TopKPerKey(keyExprs, sortOrders, k, plan))
+      TopKPerKey(keyExprs, sortOrders, k, plan, distinct))
   }
 }

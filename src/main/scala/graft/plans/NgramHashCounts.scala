@@ -225,9 +225,19 @@ object NgramHashCounts {
     // count, null bitmap (all clear), one (offset<<32|size) long per
     // element, then each element as an UnsafeRow image (8-byte null
     // bits + two long fields = 24 bytes).
+    // size the image in LONG first: the 2^29-window guard above
+    // bounds m, but nDistinct·(8+24)+header passes Int.MaxValue from
+    // ~89M DISTINCT grams — fail diagnosably instead of letting Int
+    // wrap-around throw NegativeArraySizeException
     val headerInBytes = 8 + ((nDistinct + 63) / 64) * 8
-    val fixedSize = headerInBytes + nDistinct * 8
-    val data = new Array[Byte](fixedSize + nDistinct * 24)
+    val fixedSizeL = headerInBytes.toLong + nDistinct.toLong * 8
+    val totalL = fixedSizeL + nDistinct.toLong * 24
+    require(totalL <= Int.MaxValue - 16,
+      s"NgramHashCounts: $nDistinct distinct grams in one row need " +
+        s"$totalL bytes, past the single-row array bound; split the " +
+        "document upstream")
+    val fixedSize = fixedSizeL.toInt
+    val data = new Array[Byte](totalL.toInt)
     val baseOff = Platform.BYTE_ARRAY_OFFSET.toLong
     Platform.putLong(data, baseOff, nDistinct.toLong)
     var k = 0

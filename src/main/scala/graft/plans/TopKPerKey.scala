@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * strategy below maps it 1:1 onto the physical heap operator.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, distinct: Boolean = false)
+    extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   require(keys.nonEmpty, "at least one key expression required")
   override def output: Seq[Attribute] = child.output
@@ -38,8 +39,8 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
   */
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, distinct) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), distinct) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +63,8 @@ class TopKStrategy extends SparkStrategy {
   * degradation.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, child: SparkPlan, distinct: Boolean = false)
+    extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -87,9 +89,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       "spark.graft.topk.maxBufferedRows", (1 << 20).toString).toLong
     val numSpills = longMetric("numSpills")
     val spilledRows = longMetric("spilledRows")
+    val dedup = distinct
     child.execute().mapPartitions({ iter =>
       TopKPerKeyExec.processPartition(iter, childOutput, keyExprs,
-        sortOrder, limit, maxBuffered, numSpills, spilledRows)
+        sortOrder, limit, maxBuffered, numSpills, spilledRows, dedup)
     }, preservesPartitioning = true)
   }
 
@@ -103,6 +106,14 @@ object TopKPerKeyExec {
     * spill fallback. Pure function of its arguments so the closure
     * serializes cleanly.
     */
+  /** `distinct = true` additionally drops rows that tie with an
+    * already-buffered row of the same key under the FULL sort order —
+    * give an order whose ties are exact duplicates (e.g. include a
+    * unique id as the last tiebreak column). Lets callers skip a
+    * dedicated pre-shuffle `.distinct()` when the duplicate factor is
+    * bounded (LSH band joins: ≤ nBands copies of a pair): the dups
+    * ride the existing exchange and die in the O(k) heap scan here.
+    */
   private[plans] def processPartition(
       iter: Iterator[InternalRow],
       childOutput: Seq[Attribute],
@@ -111,7 +122,8 @@ object TopKPerKeyExec {
       limit: Int,
       maxBuffered: Long,
       numSpills: SQLMetric,
-      spilledRows: SQLMetric): Iterator[InternalRow] = {
+      spilledRows: SQLMetric,
+      distinct: Boolean = false): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keyExprs, childOutput)
     // identity projection: serializes arbitrary InternalRows (the
     // child may emit non-Unsafe rows) into spillable bytes
@@ -168,6 +180,15 @@ object TopKPerKeyExec {
       spilledRows += n
     }
 
+    // O(k) tie scan — only reached for rows that would enter the
+    // heap, so the common reject path pays nothing extra
+    def tiesBuffered(heap: java.util.PriorityQueue[InternalRow],
+        row: InternalRow): Boolean = {
+      val it = heap.iterator()
+      while (it.hasNext) if (ord.compare(it.next(), row) == 0) return true
+      false
+    }
+
     while (iter.hasNext) {
       val row = iter.next()
       val key = keyProj(row)
@@ -179,12 +200,16 @@ object TopKPerKeyExec {
         heaps.put(key.copy(), heap)
       }
       if (heap.size < limit) {
-        heap.add(row.copy()) // rows are reused buffers — copy
-        buffered += 1
-        if (buffered >= maxBuffered) spill()
+        if (!(distinct && tiesBuffered(heap, row))) {
+          heap.add(row.copy()) // rows are reused buffers — copy
+          buffered += 1
+          if (buffered >= maxBuffered) spill()
+        }
       } else if (ord.lt(row, heap.peek())) {
-        heap.poll()
-        heap.add(row.copy())
+        if (!(distinct && tiesBuffered(heap, row))) {
+          heap.poll()
+          heap.add(row.copy())
+        }
       }
     }
 
@@ -236,9 +261,13 @@ object TopKPerKeyExec {
       val pq = new java.util.PriorityQueue[Run](cmp)
       (spillFiles.map(new FileRun(_)) :+ new MemRun(drainSorted()))
         .foreach(r => if (r.advance()) pq.add(r))
+      // Iterator inherits a `distinct` member that would shadow the
+      // parameter inside the anonymous class
+      val dedupTies = distinct
       new Iterator[InternalRow] {
         private var curKey: Array[Byte] = null
         private var emitted = 0
+        private var lastEmitted: InternalRow = null
         private var nextRow: InternalRow = null
         private def computeNext(): Unit = {
           while (nextRow == null && !pq.isEmpty) {
@@ -249,8 +278,17 @@ object TopKPerKeyExec {
             if (curKey == null || !java.util.Arrays.equals(curKey, kb)) {
               curKey = kb
               emitted = 0
+              lastEmitted = null
             }
-            if (emitted < limit) { emitted += 1; nextRow = row }
+            // cross-run duplicates arrive adjacent in the merge (equal
+            // key bytes, equal sort order) — one compare drops them
+            if (emitted < limit &&
+                !(dedupTies && lastEmitted != null &&
+                  ord.compare(lastEmitted, row) == 0)) {
+              emitted += 1
+              lastEmitted = row
+              nextRow = row
+            }
           }
         }
         def hasNext: Boolean = {

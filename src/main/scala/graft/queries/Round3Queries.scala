@@ -130,20 +130,38 @@ object Round3Queries {
       (s, dir) => {
         val e = PipelineQueries.normEmbeddings(s, dir)
         // both join sides serve from the write-once ANN bucket index
-        // (4×2 recall-biased banding) — serving never re-hashes
+        // (4×2 recall-biased banding) — serving never re-hashes.
+        // PROBE side (the serving batch) is size-routed to broadcast:
+        // the corpus-side index streams map-side through the band
+        // match and the probe-vector attach, so the only wide
+        // exchanges left are the candidate→corpus rerank join and the
+        // top-k shuffle (round 20: the sf0.1 wall was 8 stages of
+        // scheduling floor over ~0.35 s of executor work).
         val bands = PipelineQueries.annBandBuckets(s, dir)
-        val cand = bands.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("pid"), col("band"), col("bucket"))
-          .join(bands.select(col("vec_id").as("cid"), col("band"),
-            col("bucket")), Seq("band", "bucket"))
+        val probeBands = graft.operators.Joins.broadcastIfSmall(
+          bands.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("pid"), col("band"), col("bucket")),
+          bands)
+        val probeVecs = graft.operators.Joins.broadcastIfSmall(
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("pid"), col("v").as("xv"),
+              col("nrm").as("xn")),
+          e)
+        // no pre-join .distinct(): a pair surfaces once per matching
+        // band (≤4 copies) and the duplicates die in the top-k heap
+        // (TopK.perKey distinct — the order ends in the unique cid,
+        // so ties ARE duplicates); that folds the dedup exchange into
+        // the shuffle the top-k already pays
+        val cand = bands
+          .select(col("vec_id").as("cid"), col("band"), col("bucket"))
+          .join(probeBands, Seq("band", "bucket"))
           .filter(col("pid") =!= col("cid"))
           .select("pid", "cid")
-          .distinct()
-        // exact-cosine rerank: plain shuffle joins on vec_id — the
-        // embedding table is O(corpus), never broadcast it
+        // exact-cosine rerank: candidate stream joins the corpus
+        // vectors on cid — the embedding table is O(corpus), never
+        // broadcast it
         val scored = cand
-          .join(e.select(col("vec_id").as("pid"), col("v").as("xv"),
-            col("nrm").as("xn")), "pid")
+          .join(probeVecs, "pid")
           .join(e.select(col("vec_id").as("cid"), col("v").as("yv"),
             col("nrm").as("yn")), "cid")
           .withColumn("cos",
@@ -153,12 +171,16 @@ object Round3Queries {
         // candidate scores; the rank column is then a window over the
         // ≤5 surviving rows per probe, not the full candidate set
         graft.operators.TopK.perKey(scored.select("pid", "cid", "cos"),
-            Seq("pid"), Seq(col("cos").desc, col("cid")), 5)
+            Seq("pid"), Seq(col("cos").desc, col("cid")), 5,
+            distinct = true)
           .withColumn("rnk", row_number().over(
             Window.partitionBy("pid").orderBy(col("cos").desc, col("cid"))))
           .select(col("pid").as("probe_id"), col("rnk"),
             col("cid").as("vec_id"), round(col("cos"), 4).as("cos"))
-          .orderBy("probe_id", "rnk")
+          // output is ≤ |probe batch| × k rows (both contract-bounded),
+          // so a single-partition sort replaces orderBy's
+          // range-partition sampling job
+          .coalesce(1).sortWithinPartitions("probe_id", "rnk")
       }),
 
     // W-family extension — hourly gap-fill + forward-fill: the

@@ -87,6 +87,50 @@ class PqWhitenSpec extends SparkSpec {
     assert(a == b, "projected-space training differential")
   }
 
+  test("non-integral ids route to the join form; numeric-string order is preserved") {
+    // ADVICE r19: orderBy(cast long) silently reordered numeric-string
+    // ids (lexicographic "10" < "9" becomes numeric 9 < 10) and
+    // crashed on non-numeric ids. The in-row tier now REQUIRES an
+    // integral id and otherwise delegates — so string ids must give
+    // exactly the join form's codebook, seed order included.
+    val strCorpus = corpus.select(
+      concat(lit("id-"), col("vec_id")).as("vec_id"), col("v"))
+    val join = Pq.trainCodebook(strCorpus, "vec_id", "v", subDim, k = 8)
+      .as[(Long, String, Int, Double)].collect().toSet
+    val row = Pq.trainCodebookInRow(strCorpus, "vec_id", "v", subDim, k = 8)
+      .as[(Long, String, Int, Double)].collect().toSet
+    assert(row == join, "string-id training must match the join form")
+    // numeric strings whose lexicographic and numeric orders DIFFER:
+    // ids 9..16 — lexicographic seed set would pick {10..16,9}-order
+    val numStr = corpus.limit(8).select(
+      (col("vec_id") + 9).cast("string").as("vec_id"), col("v"))
+    val a = Pq.trainCodebook(numStr, "vec_id", "v", subDim, k = 4)
+      .as[(Long, String, Int, Double)].collect().toSet
+    val b = Pq.trainCodebookInRow(numStr, "vec_id", "v", subDim, k = 4)
+      .as[(Long, String, Int, Double)].collect().toSet
+    assert(a == b, "numeric-string ids must keep the NATURAL seed order")
+  }
+
+  test("ragged vectors: dims past the seed dimensionality are dropped, not null cids") {
+    // one NON-SEED vector (id 300 — seeds are the k lowest ids; a
+    // ragged SEED legitimately trains extra subspaces in both forms)
+    // carries 2 extra subspaces; the join form drops them via the
+    // codebook join — the in-row form must agree instead of emitting
+    // null-cid groups
+    val ragged = corpus.withColumn("v",
+      when(col("vec_id") === 300L,
+        concat(col("v"), array((0 until 2 * subDim).map(i =>
+          lit(0.5 + i * 0.01)): _*)))
+        .otherwise(col("v")))
+    val join = Pq.trainCodebook(ragged, "vec_id", "v", subDim, k = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val row = Pq.trainCodebookInRow(ragged, "vec_id", "v", subDim, k = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(!row.exists(_ == null), "no null rows")
+    assert(row == join, s"ragged differential; " +
+      s"diff=${(row -- join).take(3)} / ${(join -- row).take(3)}")
+  }
+
   test("miniature A/B: rotated+interleaved PQ beats raw PQ on recall AND distortion") {
     // the committed full-size record is docs/PQ_WHITEN_AB.json; this
     // twin re-derives the comparison at 400+15 so a regression in the

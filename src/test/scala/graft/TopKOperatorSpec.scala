@@ -104,6 +104,52 @@ class TopKOperatorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
   }
 
+  test("distinct: order-ties dedup in-heap, matching distinct-then-topk") {
+    // duplicate rows (the LSH band-join shape: a pair surfaces once
+    // per matching band, up to 4 copies) must not occupy top-k slots;
+    // the order ends in the unique uid so ties ARE duplicates
+    val gen = Gen.listOfN(250,
+      Gen.zip(Gen.choose(1, 6), Gen.choose(0, 30), Gen.choose(1, 4)))
+    samples(gen, 4).zipWithIndex.foreach { case (rows, i) =>
+      val base = rows.zipWithIndex.map { case ((k, v, dups), id) =>
+        (k, v, id.toLong, dups) }
+      val df = base.flatMap { case (k, v, uid, dups) =>
+        Seq.fill(dups)((k, v, uid)) }.toDF("k", "v", "uid")
+      val fast = TopK.perKey(df, Seq("k"), Seq($"v".desc, $"uid"), 3,
+          distinct = true)
+        .select("k", "v", "uid").as[(Int, Int, Long)].collect().sorted
+      val declarative = df.distinct().withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy($"v".desc, $"uid")))
+        .filter($"rn" <= 3).drop("rn")
+        .as[(Int, Int, Long)].collect().sorted
+      assert(fast.toSeq == declarative.toSeq, s"distinct sample $i diverged")
+    }
+  }
+
+  test("distinct survives the spill-merge path (dups straddling runs)") {
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "32")
+    try {
+      val gen = Gen.listOfN(200,
+        Gen.zip(Gen.choose(1, 5), Gen.choose(0, 20), Gen.choose(1, 4)))
+      samples(gen, 3).zipWithIndex.foreach { case (rows, i) =>
+        val df = rows.zipWithIndex.flatMap { case ((k, v, dups), id) =>
+          Seq.fill(dups)((k, v, id.toLong)) }.toDF("k", "v", "uid")
+          // repartition(1) so duplicates of one logical row land in the
+          // same partition but in DIFFERENT sorted runs (budget 32)
+          .repartition(1)
+        val fast = TopK.perKey(df, Seq("k"), Seq($"v".desc, $"uid"), 3,
+            distinct = true)
+          .select("k", "v", "uid").as[(Int, Int, Long)].collect().sorted
+        val declarative = df.distinct().withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy($"v".desc, $"uid")))
+          .filter($"rn" <= 3).drop("rn")
+          .as[(Int, Int, Long)].collect().sorted
+        assert(fast.toSeq == declarative.toSeq,
+          s"distinct spill sample $i diverged")
+      }
+    } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
+  }
+
   test("spill guard: a million distinct keys per partition stays bounded") {
     // VERDICT r3 item 3: high distinct-key density must degrade to
     // sorted runs instead of growing the heap map unbounded. Budget
