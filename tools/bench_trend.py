@@ -65,6 +65,10 @@ TREND_QUERIES = [
     # at sf1 (measured same-box); the trend record is its adjudication
     # evidence, the q15/q52/ns_tokenize_vocab pattern
     "ns_pq_whiten_encode",
+    # round-20 additions (VERDICT r19 next #7): q47's star-ladder
+    # siblings — a ladder-cost regression must show in the trend, not
+    # wait for a gate capture to trip
+    "q46_tpch_shipping", "q64_tpch_big_orders",
 ]
 
 FACTOR = 10
@@ -131,6 +135,9 @@ TREND3_QUERIES = [
     # at sf0.1 on a 0.26 s oracle, 1.69x at sf1 same-box) needs the
     # third point like every floor-amortization adjudication before it
     "ns_pq_whiten_encode",
+    # round-20 additions (VERDICT r19 next #7): the star-ladder
+    # siblings carry the full 3-point curve alongside q47
+    "q46_tpch_shipping", "q64_tpch_big_orders",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -146,6 +153,43 @@ def loadavg():
             return " ".join(f.read().split()[:3])
     except OSError:
         return ""
+
+
+# Host-speed calibration for the ORACLE side of a capture pair
+# (VERDICT r19 next #5: a q47-style cross-round oracle shift must
+# self-flag in the trend record, as BENCH_PINNED's cpu_calib_mops
+# does for pins). The Spark captures carry their own JVM-measured
+# cpu_calib_mops in-band; DuckDB timings get this DuckDB-measured
+# stamp, taken immediately before each timing pass. Comparable only
+# to OTHER duckdb_calib_mops stamps (different runtime than the JVM
+# number — same 10% comparability rule, never cross-kind).
+CALIB_COMPARABLE_PCT = 0.10
+
+
+def duckdb_calib_mops():
+    import duckdb
+    con = duckdb.connect()
+    con.sql("SET threads TO 1")
+    ts = []
+    # 200M-row kernel (~1.3 s) rides past the turbo-decay transient a
+    # short kernel lands in by lottery; median-of-5 after one warmup
+    # measured ~5% cross-process spread on an idle box — inside the
+    # 10% comparability band, while the 20-25% host-wide shifts this
+    # stamp exists to catch flag unambiguously.
+    for rep in range(6):
+        t0 = time.time()
+        con.sql("SELECT sum(i*i) FROM range(200000000) r(i)").fetchone()
+        if rep > 0:
+            ts.append(time.time() - t0)
+    return round(200.0 / statistics.median(ts), 1)  # Mops
+
+
+def calib_comparable(a, b):
+    """None (a stamp is missing — legacy capture) counts comparable:
+    the flag marks KNOWN shifts, it never rejects a capture."""
+    if a is None or b is None:
+        return True
+    return a > 0 and b > 0 and abs(a / b - 1.0) <= CALIB_COMPARABLE_PCT
 
 
 def build(src, dst, factor=FACTOR):
@@ -262,6 +306,7 @@ def load_caps(path_csv):
         caps.append({"json": j, "sha256": hashlib.sha256(raw).hexdigest(),
                      "path": p, "contended": j.get("contended"),
                      "loadavg_start": j.get("loadavg_start"),
+                     "cpu_calib_mops": j.get("cpu_calib_mops"),
                      "sf": j.get("sf")})
     return caps
 
@@ -293,18 +338,42 @@ def best_q(caps, name):
 def cap_meta(caps):
     meta = [{"path": c["path"], "sha256": c["sha256"],
              "contended": c["contended"],
-             "loadavg_start": c["loadavg_start"], "sf": c["sf"]}
+             "loadavg_start": c["loadavg_start"],
+             "cpu_calib_mops": c["cpu_calib_mops"], "sf": c["sf"]}
             for c in caps]
     return meta[0] if len(meta) == 1 else meta
+
+
+def spark_calib_flags(all_caps):
+    """Pairwise comparability across every Spark capture consumed by
+    the record: the best-of-captures / ratio-vs-ratio math assumes one
+    host speed; a >10% spread between any two captures means a q47-
+    style shift happened MID-protocol and the ratios cross it."""
+    stamps = [c["cpu_calib_mops"] for c in all_caps
+              if c.get("cpu_calib_mops") is not None]
+    ok = all(calib_comparable(a, b)
+             for i, a in enumerate(stamps) for b in stamps[i + 1:])
+    return {"spark_calib_mops_all": stamps,
+            "spark_calib_comparable": ok}
 
 
 def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
     with open(oracle_json) as f:
         oracles = json.load(f)
     caps = {"sf0.1": load_caps(spark01_path), "sf1": load_caps(spark1_path)}
-    print("timing DuckDB at sf0.1 ...")
+    # previous committed record (dest is conventionally the standing
+    # BENCH_TREND.json): its oracle calib stamp is what a cross-round
+    # denominator shift flags against
+    prev_calib = None
+    if os.path.exists(dest):
+        with open(dest) as f:
+            prev_calib = json.load(f).get("oracle_calib_mops", {})
+    oc = {}
+    oc["sf0.1"] = duckdb_calib_mops()
+    print(f"timing DuckDB at sf0.1 ... (calib {oc['sf0.1']} Mops)")
     d01 = time_duckdb(sf01, oracles)
-    print("timing DuckDB at sf1 ...")
+    oc["sf1"] = duckdb_calib_mops()
+    print(f"timing DuckDB at sf1 ... (calib {oc['sf1']} Mops)")
     d1 = time_duckdb(sf1, oracles)
     queries = {}
     for name in TREND_QUERIES:
@@ -376,6 +445,21 @@ def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
                            "what's-wrong #5) beside the per-capture "
                            "medians it derives from"),
         "spark_captures": {t: cap_meta(c) for t, c in caps.items()},
+        # per-capture-pair host-speed stamps (VERDICT r19 next #5):
+        # the Spark side carries Bench's in-band JVM cpu_calib_mops;
+        # the oracle side this file's DuckDB kernel, taken immediately
+        # before each timing pass. Flags mark >10% shifts WITHIN the
+        # protocol and vs the previous committed record — the exact
+        # q47 failure mode (an oracle denominator timed on a different
+        # host state than the round it's compared against).
+        "calib_comparable_pct": CALIB_COMPARABLE_PCT,
+        "oracle_calib_mops": oc,
+        "oracle_calib_comparable": calib_comparable(oc["sf0.1"], oc["sf1"]),
+        "oracle_calib_mops_prev": prev_calib,
+        "oracle_calib_comparable_vs_prev": all(
+            calib_comparable(oc.get(k), (prev_calib or {}).get(k))
+            for k in oc),
+        **spark_calib_flags(caps["sf0.1"] + caps["sf1"]),
         "n_improved_of_trended": [len(conv),
                                   len([r for r in queries.values()
                                        if r.get("ratio_trend") is not None])],
@@ -402,7 +486,8 @@ def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
     with open(trend_json) as f:
         record = json.load(f)
     caps3 = load_caps(spark3_path)
-    print("timing DuckDB at sf3 ...")
+    c3 = duckdb_calib_mops()
+    print(f"timing DuckDB at sf3 ... (calib {c3} Mops)")
     d3 = time_duckdb(sf3, oracles, TREND3_QUERIES)
     queries = record["queries"]
     for name in TREND3_QUERIES:
@@ -429,6 +514,25 @@ def merge3(oracle_json, trend_json, spark3_path, sf3, dest):
         "sf0.1 replicated 30x by the same build recipe (bench-only; "
         "3x the sf1 data volume); third point for TREND3_QUERIES only")
     record["spark_capture_sf3"] = cap_meta(caps3)
+    # extend the merge-time calib stamps with the sf3 pass and
+    # recompute the in-protocol flags over the full capture set
+    oc = record.setdefault("oracle_calib_mops", {})
+    oc["sf3"] = c3
+    record["oracle_calib_comparable"] = all(
+        calib_comparable(a, b)
+        for vals in [[v for v in oc.values() if v is not None]]
+        for i, a in enumerate(vals) for b in vals[i + 1:])
+    prev = record.get("oracle_calib_mops_prev") or {}
+    record["oracle_calib_comparable_vs_prev"] = all(
+        calib_comparable(oc.get(k), prev.get(k)) for k in oc)
+    sparkflags = spark_calib_flags(caps3)
+    known = record.get("spark_calib_mops_all", [])
+    record["spark_calib_mops_all"] = (
+        known + sparkflags["spark_calib_mops_all"])
+    stamps = [s for s in record["spark_calib_mops_all"] if s is not None]
+    record["spark_calib_comparable"] = all(
+        calib_comparable(a, b)
+        for i, a in enumerate(stamps) for b in stamps[i + 1:])
     with open(dest, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")

@@ -27,6 +27,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 DATA_DOMINATED_FLOOR_SEC = 0.15
 GATE = 2.0
+# Scale-aware gating (VERDICT r19 next #2): round 19's breach set
+# swung 7->3->1 across captures of IDENTICAL engine bytes because a
+# sub-second oracle median is a box-residue lottery near the floor. A
+# query whose sf0.1 oracle median sits under 2x the floor is gated on
+# its sf1 TREND ratio instead (the data-dominated point, from the
+# committed BENCH_TREND record); its sf0.1 ratio stays in the record
+# but is not breach-generating. Near-floor queries ABSENT from the
+# trend set keep sf0.1 gating (no loophole) and carry
+# `untrended: true` — the fix for such a breach is a trend row.
+SCALE_GATE_ORACLE_SEC = 2 * DATA_DOMINATED_FLOOR_SEC
+TREND_RECORD_PATH = "BENCH_TREND.json"
 
 
 def loadavg():
@@ -107,8 +118,32 @@ def main():
               if n in spark_iso and medians[n] > 0 and spark_iso[n] >= 0}
     data_dom = {n: r for n, r in ratios.items()
                 if medians[n] >= DATA_DOMINATED_FLOOR_SEC}
-    gate_breaches = {n: r for n, r in data_dom.items()
-                     if r > GATE and n not in proof}
+    # Scale-aware split of the data-dominated set (VERDICT r19 next
+    # #2): near-floor rows (median < SCALE_GATE_ORACLE_SEC) gate on
+    # their committed sf1 trend ratio; the rest gate on sf0.1 as ever.
+    trend_rows = {}
+    if os.path.exists(TREND_RECORD_PATH):
+        with open(TREND_RECORD_PATH) as f:
+            trend_rows = json.load(f).get("queries", {})
+    scale_gated = {}
+    gate_breaches = {}
+    for n, r in data_dom.items():
+        if n in proof:
+            continue
+        if medians[n] < SCALE_GATE_ORACLE_SEC:
+            t = trend_rows.get(n, {})
+            sf1 = t.get("ratio_sf1")
+            row = {"ratio_sf01": r, "oracle_sf01_sec": medians[n],
+                   "ratio_sf1": sf1, "untrended": sf1 is None,
+                   "gating_ratio": r if sf1 is None else sf1,
+                   "gating_point": "sf0.1 (untrended)" if sf1 is None
+                   else "sf1 trend"}
+            row["breach"] = row["gating_ratio"] > GATE
+            scale_gated[n] = row
+            if row["breach"]:
+                gate_breaches[n] = row["gating_ratio"]
+        elif r > GATE:
+            gate_breaches[n] = r
     # Committed formal adjudications (docs/adjudications.json): a
     # breach that survives every measured alternative carries its
     # stated argument IN the gate record instead of silence. The
@@ -151,6 +186,15 @@ def main():
         "gate": GATE,
         "machinery_proof_queries": proof,
         "n_data_dominated": len(data_dom),
+        "scale_gate_oracle_sec": SCALE_GATE_ORACLE_SEC,
+        "scale_gate_rule": (
+            "data-dominated queries whose oracle median is under "
+            "scale_gate_oracle_sec gate on their committed BENCH_TREND "
+            "ratio_sf1 (sf0.1 ratio recorded, not breach-generating); "
+            "near-floor queries absent from the trend set keep sf0.1 "
+            "gating and carry untrended: true"),
+        "scale_gated": scale_gated,
+        "trend_record": TREND_RECORD_PATH if trend_rows else None,
         "gate_breaches": gate_breaches,
         "gate_breaches_adjudicated": breaches_adjudicated,
         "data_dominated_ratios": dict(
@@ -172,7 +216,8 @@ def main():
     print(f"wrote {dest}: oracle sum "
           f"{record['oracle_latency_sum_sec']}s over {len(medians)} queries, "
           f"spark sum {record['spark_isolated_sum_sec']}s, "
-          f"{len(data_dom)} data-dominated, "
+          f"{len(data_dom)} data-dominated "
+          f"({len(scale_gated)} scale-gated on sf1 trend), "
           f"breaches={list(gate_breaches) or 'none'}")
 
 
