@@ -131,13 +131,23 @@ def main():
         if n in proof:
             continue
         if medians[n] < SCALE_GATE_ORACLE_SEC:
+            # gate on the smallest TRENDED scale whose oracle median
+            # itself clears the floor — a straddler at sf1 too (q52:
+            # 0.11 s there) would just move the lottery up one scale
             t = trend_rows.get(n, {})
-            sf1 = t.get("ratio_sf1")
+            point = next(
+                (("sf%s trend" % s, t.get("ratio_sf%s" % s))
+                 for s in ("1", "3")
+                 if (t.get("oracle_sf%s_sec" % s) or 0)
+                 >= DATA_DOMINATED_FLOOR_SEC
+                 and t.get("ratio_sf%s" % s) is not None),
+                ("sf0.1 (untrended)", None))
             row = {"ratio_sf01": r, "oracle_sf01_sec": medians[n],
-                   "ratio_sf1": sf1, "untrended": sf1 is None,
-                   "gating_ratio": r if sf1 is None else sf1,
-                   "gating_point": "sf0.1 (untrended)" if sf1 is None
-                   else "sf1 trend"}
+                   "ratio_sf1": t.get("ratio_sf1"),
+                   "ratio_sf3": t.get("ratio_sf3"),
+                   "untrended": point[1] is None,
+                   "gating_ratio": r if point[1] is None else point[1],
+                   "gating_point": point[0]}
             row["breach"] = row["gating_ratio"] > GATE
             scale_gated[n] = row
             if row["breach"]:
@@ -190,9 +200,12 @@ def main():
         "scale_gate_rule": (
             "data-dominated queries whose oracle median is under "
             "scale_gate_oracle_sec gate on their committed BENCH_TREND "
-            "ratio_sf1 (sf0.1 ratio recorded, not breach-generating); "
-            "near-floor queries absent from the trend set keep sf0.1 "
-            "gating and carry untrended: true"),
+            "ratio at the smallest scale whose ORACLE median clears "
+            "the floor (sf1, else sf3 — an sf1 straddler like q52 "
+            "would just move the lottery up one scale); the sf0.1 "
+            "ratio stays recorded, not breach-generating. Near-floor "
+            "queries with no such trend point keep sf0.1 gating and "
+            "carry untrended: true"),
         "scale_gated": scale_gated,
         "trend_record": TREND_RECORD_PATH if trend_rows else None,
         "gate_breaches": gate_breaches,
