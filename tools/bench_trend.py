@@ -354,7 +354,14 @@ def spark_calib_flags(all_caps):
     ok = all(calib_comparable(a, b)
              for i, a in enumerate(stamps) for b in stamps[i + 1:])
     return {"spark_calib_mops_all": stamps,
-            "spark_calib_comparable": ok}
+            "spark_calib_comparable": ok,
+            "spark_calib_note": (
+                "JVM stamp noise across fresh JVMs measured ~20% on an "
+                "idle box while same-protocol query medians agreed "
+                "within 1-2% — read a false flag here against the "
+                "per-query capture medians before concluding a host "
+                "shift; the DuckDB-side stamps (~5% noise) are the "
+                "denominator-shift signal")}
 
 
 def merge(oracle_json, spark01_path, spark1_path, sf01, sf1, dest):
