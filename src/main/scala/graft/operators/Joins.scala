@@ -56,12 +56,29 @@ object Joins {
     * instead of an executor OOM.
     */
   def broadcastIfSmall(df: DataFrame, sizeHint: DataFrame,
-      maxBytes: Long = 256L << 20, inflation: Long = 8L): DataFrame = {
+      maxBytes: Long = 256L << 20, inflation: Long = 8L,
+      statsKey: String = null): DataFrame = {
     require(maxBytes > 0, "maxBytes must be positive")
     require(inflation > 0, "inflation must be positive")
-    val bytes = sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
+    // reading the hint's plan statistics runs an extra analyze +
+    // optimize pass over the hint subtree at query-CONSTRUCTION time
+    // — serial driver latency on the query's critical path. For
+    // bare-parquet catalog inputs the statistic is a pure function of
+    // the immutable files, so callers may pass a `statsKey`
+    // (convention: "<dir>#<site>") to memoize it for the JVM
+    // lifetime, the dimFoldCached discipline. Snapshot-versioned
+    // inputs move under commits — such callers must keep the
+    // per-call probe (statsKey = null).
+    val bytes =
+      if (statsKey == null)
+        sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
+      else statsCache.computeIfAbsent(statsKey,
+        _ => sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes)
     if (bytes * inflation <= maxBytes) broadcast(df) else df
   }
+
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, BigInt]()
 
   /** Fold a CONSTANT-cardinality dimension to the driver as plain
     * rows, with a hard cap that fails loudly if the "constant" claim

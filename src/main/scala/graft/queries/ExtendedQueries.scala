@@ -225,14 +225,22 @@ object ExtendedQueries {
         // pruning the broadcast relation carries ONLY o_orderkey, so
         // the statistic is the orders scan projected to that column —
         // same row-count bound, the width the executors actually hold.
-        graft.operators.Joins.broadcastIfSmall(
-          c.join(o, c("c_custkey") === o("o_custkey")),
-          o.select(col("o_orderkey")))
-          .join(l, l("l_orderkey") === o("o_orderkey"))
-          .groupBy(o("o_orderkey"))
+        // The lineitem probe is a LEFT SEMI against the qualifying
+        // orderkeys (o_orderkey is the orders PRIMARY key, so inner
+        // and semi agree row-for-row): the BHJ emits the probe row
+        // unchanged instead of constructing a joined row per match,
+        // and the aggregate keys on l_orderkey directly (round 20 —
+        // the probe stage is this query's dominant exec cost).
+        val qual = graft.operators.Joins.broadcastIfSmall(
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .select(o("o_orderkey")),
+          o.select(col("o_orderkey")), statsKey = s"$dir#q46qual")
+        l.join(qual, l("l_orderkey") === qual("o_orderkey"), "left_semi")
+          .groupBy(l("l_orderkey"))
           .agg(round(graft.plans.MoneySum.sumMoneyDouble(
             l("l_extendedprice") * (lit(1) - l("l_discount"))),
             2).cast("double").as("revenue"))
+          .select(col("l_orderkey").as("o_orderkey"), col("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(20)
       }),
@@ -301,11 +309,13 @@ object ExtendedQueries {
         val custSide = graft.operators.Joins.broadcastIfSmall(
           c.filter(col("c_nationkey").isin(asiaKeys: _*))
             .select(col("c_custkey"), col("c_nationkey").as("n_nationkey")),
-          c.select(col("c_custkey"), col("c_nationkey")))
+          c.select(col("c_custkey"), col("c_nationkey")),
+          statsKey = s"$dir#q47cust")
         val ordSide = graft.operators.Joins.broadcastIfSmall(
           custSide.join(o, o("o_custkey") === col("c_custkey"))
             .select(col("o_orderkey"), col("n_nationkey")),
-          o.select(col("o_orderkey"), col("o_custkey")))
+          o.select(col("o_orderkey"), col("o_custkey")),
+          statsKey = s"$dir#q47ord")
         ordSide.join(l, l("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_nationkey"))
           .agg(round(graft.plans.MoneySum.sumMoneyDouble(

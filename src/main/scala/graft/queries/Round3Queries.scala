@@ -320,22 +320,54 @@ object Round3Queries {
               JOIN customer c ON c.c_custkey = o.o_custkey
               ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20"""),
       (s, dir) => {
+        // sumMoneyDouble replaces the per-row double->decimal Cast
+        // (Double.toString + BigDecimal + changePrecision per lineitem
+        // row) with a two-fp-op unscaled-long feed into the 128-bit
+        // accumulator — bit-identical under the money convention
+        // (MoneySumSpec pins the equivalence); this aggregate runs
+        // over EVERY lineitem row, so it dominated q64's sf1 cost the
+        // same way the cast dominated q47's (round 20 profile).
         val big = t(s, dir, "lineitem")
           .groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sq"))
+          .agg(graft.plans.MoneySum.sumMoneyDouble(col("l_quantity"))
+            .as("sq"))
           .filter(col("sq") > 150)
-        big
+        // big⋈orders as a SHUFFLED HASH join building on `big` (the
+        // HAVING-gated aggregate): the default SMJ sorted BOTH
+        // co-partitioned sides — |orders| rows plus the agg output —
+        // to join a side the HAVING filter had already cut to the
+        // extreme-quantity tail (sf3 profile: the two sorts were the
+        // join stage's cost). Per-partition hash build over the
+        // FILTERED side is bounded by tail-selectivity × partition
+        // size at any scale (AQE sizes the partitions); orders only
+        // ever streams. The orders side still co-partitions by key —
+        // the 100 TB-honest alternative to broadcasting a
+        // statistics-free aggregate output.
+        val top = big.hint("shuffle_hash")
           .join(t(s, dir, "orders"),
             col("o_orderkey") === col("l_orderkey"))
-          .join(t(s, dir, "customer"),
-            col("c_custkey") === col("o_custkey"))
           // order on the RAW price (the oracle does too): rounding
           // first could reorder ties at the limit boundary
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(20)
+        // customer join AFTER the top-k: the sort key (o_totalprice,
+        // o_orderkey) and the limit predicate use orders columns only,
+        // and o_custkey is a non-null FK into customer (enforced by
+        // the generator, verified by the oracle gate), so joining the
+        // 20 surviving rows is identical to joining before the limit —
+        // and replaces a |customer|-sized driver-built broadcast hash
+        // relation with a 20-entry build probed by a map-only scan.
+        top.join(t(s, dir, "customer"),
+            col("c_custkey") === col("o_custkey"))
           .select(col("c_custkey"), col("o_orderkey"),
             round(col("o_totalprice"), 2).as("price"),
-            round(col("sq"), 2).cast("double").as("sum_qty"))
+            round(col("sq"), 2).cast("double").as("sum_qty"),
+            col("o_totalprice"))
+          // ≤20 rows survive: single-partition re-sort (the join does
+          // not preserve TakeOrdered's order), q47-tail discipline
+          .coalesce(1)
+          .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+          .drop("o_totalprice")
       }),
 
     // TPC-H Q10 shape — returned-item revenue: which customers sent

@@ -54,7 +54,8 @@ object StageTime {
       sys.error(s"unknown query: $name"))
 
     case class Row(id: Int, name: String, runMs: Long, gcMs: Long,
-        shRead: Long, shWrite: Long, tasks: Int)
+        shRead: Long, shWrite: Long, tasks: Int,
+        subMs: Long, doneMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -64,7 +65,8 @@ object StageTime {
           m.executorRunTime, m.jvmGCTime,
           m.shuffleReadMetrics.remoteBytesRead +
             m.shuffleReadMetrics.localBytesRead,
-          m.shuffleWriteMetrics.bytesWritten, i.numTasks))
+          m.shuffleWriteMetrics.bytesWritten, i.numTasks,
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L)))
       }
     })
 
@@ -94,10 +96,18 @@ object StageTime {
       val rows = stages.asScala.toSeq.sortBy(-_.runMs)
       println(f"== $name rep $r: wall $wall%.2f s, rows $n, " +
         f"${rows.size} stages, exec-sum ${rows.map(_.runMs).sum / 1e3}%.2f s")
+      // wall view beside the exec view: per-stage [submit→complete]
+      // wall span plus the offset from the rep's first submission, so
+      // serial DAG latency (scheduling gaps, driver-side broadcast
+      // builds BETWEEN stages) is readable — exec-sum alone hides it
+      val t0Stage = rows.map(_.subMs).filter(_ > 0)
+        .minOption.getOrElse(0L)
       rows.take(20).foreach { s =>
         println(f"  stage ${s.id}%4d run ${s.runMs / 1e3}%8.2f s  gc " +
           f"${s.gcMs / 1e3}%6.2f s  shR ${s.shRead / 1e6}%8.1f MB  shW " +
-          f"${s.shWrite / 1e6}%8.1f MB  tasks ${s.tasks}%4d  ${s.name}")
+          f"${s.shWrite / 1e6}%8.1f MB  tasks ${s.tasks}%4d  " +
+          f"wall ${(s.doneMs - s.subMs) / 1e3}%6.2f s  " +
+          f"@${(s.subMs - t0Stage) / 1e3}%6.2f s  ${s.name}")
       }
     }
     spark.stop()
