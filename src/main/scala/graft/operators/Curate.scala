@@ -1141,19 +1141,33 @@ object Curate {
   /** PII regexes, shared with the audit counters in the query layer
     * (one definition — the two copies must never drift).
     */
-  val emailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val phoneRegex = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-  val idRunRegex = "[0-9]{6,}"
+  val emailRegex = graft.plans.PiiRedactSupport.emailRegex
+  val phoneRegex = graft.plans.PiiRedactSupport.phoneRegex
+  val idRunRegex = graft.plans.PiiRedactSupport.idRunRegex
 
   /** PII redaction tiers: emails, phone-shaped digit groups, long
-    * digit runs → typed placeholders (narrow regexp transforms).
+    * digit runs → typed placeholders. One fused kernel evaluation
+    * ([[graft.plans.PiiRedact]], same java.util.regex engine and
+    * sequential semantics as the chained regexp_replace form it
+    * replaced — bit-equal output) instead of three chained regex
+    * passes each paying a UTF8String↔String round-trip. Callers that
+    * also need the email count read `n_email` from [[redactPiiCounted]]
+    * so the email automaton runs once for both.
     */
   def redactPii(docs: DataFrame, textCol: String,
       outCol: String = "text_redacted"): DataFrame =
     docs.withColumn(outCol,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), emailRegex, "<email>"),
-          phoneRegex, "<phone>"),
-        idRunRegex, "<id>"))
+      graft.plans.PiiRedact(col(textCol)).getField("red"))
+
+  /** [[redactPii]] plus the email-match count (`n_email`), both from
+    * ONE kernel evaluation per row — the audit column otherwise
+    * re-runs the email automaton over the raw text.
+    */
+  def redactPiiCounted(docs: DataFrame, textCol: String,
+      outCol: String = "text_redacted",
+      countCol: String = "n_email"): DataFrame = {
+    val k = graft.plans.PiiRedact(col(textCol))
+    docs.withColumn(outCol, k.getField("red"))
+      .withColumn(countCol, k.getField("n_email"))
+  }
 }

@@ -388,8 +388,11 @@ object Dedup {
       .join(fps.select(col("id").as("a"), col("fps").as("__graft_fa")), "a")
       .join(fps.select(col("id").as("b"), col("fps").as("__graft_fb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("__graft_fa"), col("__graft_fb")))
-          .cast("long").as("n_shared"))
+        // sorted-merge intersect count (docFingerprintSets sorts the
+        // arrays): same distinct-count value as
+        // size(array_intersect(...)) minus its per-pair hash-set build
+        graft.plans.SortedIntersectCount(
+          col("__graft_fa"), col("__graft_fb")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -599,14 +602,22 @@ object Dedup {
     */
   def probeFromPostings(newPost: DataFrame, index: ShingleIndex,
       dfCap: Int = 256, minShared: Int = 1,
-      packPairs: Boolean = false): DataFrame = {
+      packPairs: Boolean = false, materialize: Boolean = true): DataFrame = {
+    // The shard postings are referenced twice (df-count + pair join);
+    // AQE cannot reuse identical subtrees over cached relations
+    // (TableCacheQueryStage canonicalization keeps per-reference stage
+    // ids — see probeFromPostingsCapped), so without materialization
+    // the shard signing (e.g. the winnow tier's charGramWinnow
+    // explode) runs once per reference. O(shard)-bounded, re-executed
+    // per invocation — no cross-run reuse.
+    val np = if (materialize) newPost.localCheckpoint() else newPost
     val surviving = index.df
-      .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
+      .join(np.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
       .select("s")
     val joined = index.postings.select(col("id").as("ida"), col("s"))
       .join(surviving, Seq("s"))
-      .join(newPost.select(col("id").as("idb"), col("s")), Seq("s"))
+      .join(np.select(col("id").as("idb"), col("s")), Seq("s"))
     // pack bound is 2³¹ (not 2³²) so the packed value stays a
     // non-negative signed long; unpack via shift/mask (exact — the
     // Column `/` operator is floating division and would round ids
@@ -665,20 +676,37 @@ object Dedup {
     * restores the exhaustive pair set of [[probeFromPostings]]
     * (every discovered pair's n_shared is exact under ANY cap).
     *
-    * LAZY; the plan references `index.postings` and `newPost` twice
-    * each (discovery + verify arrays) — serve both from persisted
-    * artifacts, as the query layer does.
+    * The plan references `index.postings` twice (discovery + verify
+    * arrays) — serve it from a persisted artifact, as the query layer
+    * does. The SHARD side is materialized EAGERLY by default
+    * (`materialize = true`): the probe references `newPost` four
+    * times (df-count, discovery, verify arrays) and `surviving` four
+    * times, and Spark's AQE cannot de-duplicate identical subtrees
+    * whose leaves are cached relations — TableCacheQueryStage
+    * canonicalization keeps the per-reference stage id (measured on
+    * Spark 4.1.2, graft.tools.ReuseProbe), so exchange/stage reuse
+    * never fires and each reference re-executes the whole shard
+    * explode + count shuffle (r20 profile: the 4 duplicated subtrees
+    * were ~60% of the probe's executor time). localCheckpoint bounds:
+    * both materialized frames are O(shard) (`surviving` ⊆ the shard's
+    * distinct shingles), never O(corpus) — the daily-increment shape
+    * survives 100 TB standing corpora. Re-executed on every
+    * invocation (no CacheManager entry, no cross-run reuse);
+    * `materialize = false` restores the fully lazy plan.
     */
   def probeFromPostingsCapped(newPost: DataFrame, index: ShingleIndex,
       dfCap: Int = 256, minShared: Int = 1,
-      standingRankCap: Int = 8): DataFrame = {
+      standingRankCap: Int = 8, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val surviving = index.df
-      .join(newPost.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
+    val np = if (materialize) newPost.localCheckpoint() else newPost
+    val surviving0 = index.df
+      .join(np.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
       .select("s")
+    val surviving =
+      if (materialize) surviving0.localCheckpoint() else surviving0
     val standPost = index.postings.join(surviving, Seq("s"))
-    val shardPost = newPost.join(surviving, Seq("s"))
+    val shardPost = np.join(surviving, Seq("s"))
     val ranked =
       if (standingRankCap == Int.MaxValue) standPost
       else standPost
@@ -699,8 +727,13 @@ object Dedup {
       .join(shardSets.select(col("id").as("idb"),
         col("__graft_ss").as("__graft_sb")), "idb")
       .select(col("ida"), col("idb"),
-        size(array_intersect(col("__graft_sa"), col("__graft_sb")))
-          .cast("long").as("n_shared"))
+        // sorted-merge intersect count over the sort_array'd sets —
+        // same distinct count as size(array_intersect(...)) without
+        // the per-candidate-pair hash-set allocation (r20: this
+        // expression ran once per candidate over hundreds-long arrays
+        // and dominated the verify stage's CPU)
+        graft.plans.SortedIntersectCount(
+          col("__graft_sa"), col("__graft_sb")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -940,13 +973,17 @@ object Dedup {
           .select(col("id").as("idb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("ida", "idb").distinct()
+    // arithmetic union over the distinct per-doc sets (see
+    // scoredPairs): |A∪B| = |A|+|B|−|A∩B|, so only the intersect
+    // array ever materializes per pair
     cand
       .join(index.signatures.select(col("id").as("ida"),
         col("hh").as("ssa")), "ida")
       .join(shNew.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
-      .withColumn("jaccard",
-        size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          size(array_union(col("ssa"), col("ssb"))))
+      .withColumn("__graft_ic",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard", col("__graft_ic").cast("double") /
+        (size(col("ssa")) + size(col("ssb")) - col("__graft_ic")))
       .filter(col("jaccard") >= minJaccard)
       .select("ida", "idb", "jaccard")
   }
@@ -973,22 +1010,36 @@ object Dedup {
     */
   private def scoredPairs(sh: DataFrame, cand: DataFrame,
       scoreName: String, threshold: Double)(
-      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-        => org.apache.spark.sql.Column): DataFrame =
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    // hh is a distinct set per doc (ShingleHash60 mirrors
+    // list_distinct), so the score function receives (|A∩B|, |A|,
+    // |B|): every set measure (jaccard, containment) is arithmetic
+    // over those three and the union array never materializes. The
+    // intersect stays array_intersect over the arrays as stored — a
+    // per-doc pre-sort for the merge-based counter was A/B'd and
+    // REJECTED (r20: candidates are rank-capped, so sorting EVERY
+    // doc's array to verify few pairs lost more than the merge saved;
+    // ns_dedup_minhash_lsh 0.75→0.92 s, containment 0.75→0.85 s).
     cand
       .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
       .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
-      .withColumn(scoreName, score(col("ssa"), col("ssb")))
+      .withColumn(scoreName,
+        score(size(array_intersect(col("ssa"), col("ssb"))).cast("long"),
+          size(col("ssa")).cast("long"), size(col("ssb")).cast("long")))
       .filter(col(scoreName) >= threshold)
       .select("ida", "idb", scoreName)
+  }
 
   /** Candidate pairs verified by exact Jaccard ≥ threshold over the
-    * shingle sets: (ida, idb, jaccard).
+    * shingle sets: (ida, idb, jaccard). |A∪B| = |A|+|B|−|A∩B| for
+    * sets, so the union array never materializes.
     */
   def verifiedPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.8): DataFrame =
-    scoredPairs(sh, cand, "jaccard", threshold) { (a, b) =>
-      size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    scoredPairs(sh, cand, "jaccard", threshold) { (ic, na, nb) =>
+      ic.cast("double") / (na + nb - ic)
     }
 
   /** Candidate pairs verified by shingle CONTAINMENT ≥ threshold:
@@ -999,8 +1050,8 @@ object Dedup {
     */
   def containmentPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.9): DataFrame =
-    scoredPairs(sh, cand, "containment", threshold) { (a, b) =>
-      size(array_intersect(a, b)).cast("double") / least(size(a), size(b))
+    scoredPairs(sh, cand, "containment", threshold) { (ic, na, nb) =>
+      ic.cast("double") / least(na, nb)
     }
 
   /** Connected components over a pair graph via min-label

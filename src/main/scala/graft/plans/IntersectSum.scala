@@ -68,3 +68,66 @@ object SortedIntersectWeightSum {
     Bridge.column(SortedIntersectWeightSum(Bridge.expression(keysA),
       Bridge.expression(weightsA), Bridge.expression(keysB)))
 }
+
+object IntersectCountSupport {
+  /** |A ∩ B| over two ASC-sorted long arrays with DISTINCT semantics
+    * (duplicate runs count once — exactly
+    * `size(array_intersect(a, b))` for sorted inputs): one two-pointer
+    * merge, no per-row hash-set allocation. array_intersect builds an
+    * OpenHashSet per evaluation; on the dedup verify path (one call
+    * per candidate pair, arrays of hundreds of shingles) the merge is
+    * the same O(|a|+|b|) walk minus the allocation/hashing churn.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val ka = a.getLong(i)
+      val kb = b.getLong(j)
+      if (ka == kb) {
+        n += 1
+        // skip duplicate runs so each shared value counts once
+        i += 1; j += 1
+        while (i < na && a.getLong(i) == ka) i += 1
+        while (j < nb && b.getLong(j) == kb) j += 1
+      }
+      else if (ka < kb) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** `size(array_intersect(a, b))` as one codegen'd sorted merge — the
+  * dedup tiers' verify kernel. Inputs must be ASC-sorted (the verify
+  * paths build them with sort_array); distinct-count semantics match
+  * array_intersect exactly, including when inputs carry duplicates.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountSupport.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.IntersectCountSupport" +
+        s".sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedIntersectCount = copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a),
+      Bridge.expression(b)))
+}

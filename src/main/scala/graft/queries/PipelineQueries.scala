@@ -283,7 +283,12 @@ object PipelineQueries {
     */
   private[queries] def tfidfPrefix(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "tfidfpre") {
+      // partitioned on the term key for the same reason as
+      // cappedInvertedIndex: the cosine pair stage self-joins this
+      // artifact on s, and broken exchange reuse over caches would
+      // otherwise shuffle it once per side per run
       graft.operators.TextSim.prefixPostings(tfidfWeights(s, dir), 0.5)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("s"))
     }
 
   /** The tf-idf tier's verify half: per-doc sorted signature arrays
@@ -307,10 +312,21 @@ object PipelineQueries {
       dir: String): DataFrame =
     memoArtifact(s, dir, "inv") {
       // one shared build with the public operator (Dedup owns the
-      // dataflow; this layer owns the memoization)
+      // dataflow; this layer owns the memoization). Cached PARTITIONED
+      // on the shingle key: the pair-discovery self-join references
+      // this artifact on both sides, and Spark 4.1's AQE cannot reuse
+      // identical exchanges above cached relations
+      // (TableCacheQueryStage canonicalization keeps per-reference
+      // stage ids — graft.tools.ReuseProbe), so an unpartitioned cache
+      // was re-shuffled once PER SIDE per run. Partitioned, both sides
+      // read co-located and the join plans with no exchange — the
+      // in-memory twin of writeIndexBucketed's bucket layout (the
+      // production index is written bucketed on s for the same
+      // reason).
       graft.operators.Dedup.cappedInvertedIndex(
           hashedShingled(s, dir).withColumnRenamed("doc_id", "id"))
         .withColumnRenamed("id", "doc_id")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("s"))
     }
 
   /** Normalized embedding table (vec_id, v: array<double>, nrm): the
@@ -337,9 +353,12 @@ object PipelineQueries {
     */
   private[queries] def embBandBuckets(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "embbk") {
+      // partitioned on the bucket join key (see cappedInvertedIndex)
       normEmbeddings(s, dir).select(col("vec_id"),
         posexplode(SF.lshBandBuckets(col("v"), 8, 8, 64))
           .as(Seq("band", "bucket")))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket"))
     }
 
   /** Banded hyperplane-LSH buckets at the ANN-SERVING parameters
@@ -352,9 +371,12 @@ object PipelineQueries {
     */
   private[queries] def annBandBuckets(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "annbk") {
+      // partitioned on the bucket join key (see cappedInvertedIndex)
       normEmbeddings(s, dir).select(col("vec_id"),
         posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
           .as(Seq("band", "bucket")))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket"))
     }
 
   /** Trained IVF index: 2 Lloyd iterations of k-means (k=8, init =
@@ -505,7 +527,12 @@ object PipelineQueries {
     */
   private[queries] def minhashBanded(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "mhbk") {
+      // partitioned on the bucket key: both the rank window and the
+      // candidate self-join cluster on (band, bucket) — see
+      // cappedInvertedIndex for why the cache must carry the layout
       graft.operators.Dedup.bandedWithArray(shForApi(s, dir))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket"))
     }
 
   private def minhashVerified(s: SparkSession, dir: String): DataFrame =
@@ -889,12 +916,18 @@ object PipelineQueries {
         // plain shuffle joins on doc_id — the signature table is
         // O(corpus), never broadcast it (see ns_dedup_minhash_lsh
         // verify note); the join probes only the pruned candidate set
+        // hh is a distinct set per doc (ShingleHash60 mirrors the
+        // oracle's list_distinct), so the union size is arithmetic —
+        // |A∪B| = |A|+|B|−|A∩B| — and only the intersect array
+        // materializes per surviving pair (a per-doc pre-sort +
+        // merge-count was A/B'd and rejected, see Dedup.scoredPairs)
         bounded
           .join(sh.select(col("doc_id").as("da"), col("hh").as("ha")), "da")
           .join(sh.select(col("doc_id").as("db"), col("hh").as("hb")), "db")
-          .withColumn("jac",
-            size(array_intersect(col("ha"), col("hb"))).cast("double") /
-              size(array_union(col("ha"), col("hb"))))
+          .withColumn("__graft_ic",
+            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .withColumn("jac", col("__graft_ic").cast("double") /
+            (size(col("ha")) + size(col("hb")) - col("__graft_ic")))
           .filter(col("jac") >= 0.8)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("jac"), 3).as("j"))
@@ -1472,11 +1505,12 @@ object PipelineQueries {
                 CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_fp
               FROM r ORDER BY doc_id"""),
       (s, dir) =>
-        graft.operators.Curate.redactPii(t(s, dir, "documents"), "text")
-          .select(col("doc_id"),
-            regexp_count(col("text"),
-              lit(graft.operators.Curate.emailRegex))
-              .cast("long").as("n_email"),
+        // counted form: the email automaton runs once per row for the
+        // audit count AND the replacement (one fused kernel; the
+        // compositional form paid four regex passes per document)
+        graft.operators.Curate.redactPiiCounted(
+            t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
             length(col("text_redacted")).cast("long").as("red_len"),
             md5(col("text_redacted").cast("binary")).as("red_fp"))
           .orderBy("doc_id")),

@@ -55,7 +55,8 @@ object StageTime {
 
     case class Row(id: Int, name: String, runMs: Long, gcMs: Long,
         shRead: Long, shWrite: Long, tasks: Int,
-        subMs: Long, doneMs: Long)
+        subMs: Long, doneMs: Long, cpuMs: Long, spillMem: Long,
+        spillDisk: Long, fetchWaitMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -66,7 +67,9 @@ object StageTime {
           m.shuffleReadMetrics.remoteBytesRead +
             m.shuffleReadMetrics.localBytesRead,
           m.shuffleWriteMetrics.bytesWritten, i.numTasks,
-          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L)))
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+          m.executorCpuTime / 1000000, m.memoryBytesSpilled,
+          m.diskBytesSpilled, m.shuffleReadMetrics.fetchWaitTime))
       }
     })
 
@@ -103,9 +106,12 @@ object StageTime {
       val t0Stage = rows.map(_.subMs).filter(_ > 0)
         .minOption.getOrElse(0L)
       rows.take(20).foreach { s =>
-        println(f"  stage ${s.id}%4d run ${s.runMs / 1e3}%8.2f s  gc " +
-          f"${s.gcMs / 1e3}%6.2f s  shR ${s.shRead / 1e6}%8.1f MB  shW " +
-          f"${s.shWrite / 1e6}%8.1f MB  tasks ${s.tasks}%4d  " +
+        println(f"  stage ${s.id}%4d run ${s.runMs / 1e3}%8.2f s  cpu " +
+          f"${s.cpuMs / 1e3}%7.2f s  gc " +
+          f"${s.gcMs / 1e3}%5.2f s  fw ${s.fetchWaitMs / 1e3}%5.2f s  " +
+          f"spill ${s.spillDisk / 1e6}%6.1f MB  " +
+          f"shR ${s.shRead / 1e6}%7.1f MB  shW " +
+          f"${s.shWrite / 1e6}%7.1f MB  tasks ${s.tasks}%4d  " +
           f"wall ${(s.doneMs - s.subMs) / 1e3}%6.2f s  " +
           f"@${(s.subMs - t0Stage) / 1e3}%6.2f s  ${s.name}")
       }

@@ -101,6 +101,35 @@ class CurateApiSpec extends SparkSpec {
     assert(!red.contains("9876543"), red)
   }
 
+  test("PiiRedact kernel is bit-equal to the chained regexp_replace + " +
+      "regexp_count formulation on edge shapes") {
+    import graft.operators.Curate.{emailRegex, phoneRegex, idRunRegex}
+    val docs = Seq(
+      "mail a.b@example.com or a@b.cd then +1 (555) 123-4567 id 9876543",
+      "", "no pii here at all",
+      "x@y.zz x@y.zz x@y.zz",                      // repeated emails
+      "trailing dot a@b.cd. and a@b.c",            // backtracking edges
+      "digits 12345 123456 1234567890123456789",   // run boundaries
+      "phone-ish ++12 34 56 78 90 and (1)2-3 4",
+      "dollar $1000000 and back\\slash \\9876543", // $ and \ in INPUT
+      "unicode é@exämple.com 999999é123456",
+      "a@b.cd123456",                              // email then id run adjacent
+      "+123456789012345678901234567890")           // long phone run
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "body")
+    val want = docs.select(col("id"),
+      regexp_replace(regexp_replace(regexp_replace(col("body"),
+        emailRegex, "<email>"), phoneRegex, "<phone>"),
+        idRunRegex, "<id>").as("red"),
+      regexp_count(col("body"), lit(emailRegex)).cast("long").as("n"))
+    val got = Curate.redactPiiCounted(docs, "body")
+      .select(col("id"), col("text_redacted").as("red"),
+        col("n_email").as("n"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"kernel vs compositional:\n${got.collect().mkString("\n")}\nvs\n" +
+        want.collect().mkString("\n"))
+  }
+
   test("chunkDocuments: overlapping fixed-size chunks cover every token") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ") // 100 tokens
     val one = Seq((7L, text)).toDF("id", "body")

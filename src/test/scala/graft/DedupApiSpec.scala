@@ -354,10 +354,15 @@ class DedupApiSpec extends SparkSpec {
     }.flatten
     assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains(dir)),
       s"probe must scan only the index parquet, got: $scannedFiles")
-    // and every non-file leaf is the in-memory shard relation
+    // and every non-file leaf is the in-memory shard relation — either
+    // the LocalRelation source or the probe's localCheckpoint of the
+    // shard postings (LogicalRDD, O(shard) by construction; the
+    // corpus side can only enter as a LogicalRelation file scan,
+    // which the dir assertion above pins to the index parquet)
     assert(leaves.forall {
       case _: LogicalRelation => true
-      case l => l.getClass.getSimpleName.contains("LocalRelation")
+      case l => l.getClass.getSimpleName.contains("LocalRelation") ||
+        l.getClass.getSimpleName.contains("LogicalRDD")
     }, leaves.map(_.getClass.getSimpleName).toString)
 
     // differential: equals the batch-global rebuild restricted to

@@ -94,4 +94,26 @@ class TextSimSpec extends SparkSpec {
       .filter(col("got") =!= col("want")).count()
     assert(got == 0L)
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on edge " +
+      "shapes including duplicate runs (distinct-count semantics)") {
+    val df = Seq(
+      (Array(1L, 3L, 5L), Array(3L, 5L, 9L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(2L, 4L), Array.empty[Long]),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 9L), Array(2L, 3L, 4L)),
+      // duplicate runs on either side must still count each shared
+      // value once, exactly as array_intersect's set semantics do
+      (Array(1L, 1L, 2L, 2L, 2L, 7L), Array(1L, 2L, 2L, 8L)),
+      (Array(5L, 5L, 5L), Array(5L)),
+      (Array(-3L, -1L, 0L), Array(-3L, 0L, 0L, 2L)))
+      .toDF("a", "b")
+    val bad = df.withColumn("got",
+        graft.plans.SortedIntersectCount(col("a"), col("b")))
+      .withColumn("want",
+        size(array_intersect(col("a"), col("b"))).cast("long"))
+      .filter(col("got") =!= col("want")).count()
+    assert(bad == 0L)
+  }
 }
