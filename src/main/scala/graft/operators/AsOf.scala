@@ -342,18 +342,32 @@ object AsOf {
          else Seq(tieExpr.as("__graft_tb"))): _*)
     val u = p.unionByName(b, allowMissingColumns = true)
       .withColumn("__graft_b", bucket(col("__graft_t")))
-    // each bucket's closing build value: the (t, side[, tie])-max
-    // build row. Aggregated frame has one row per (key, bucket) —
-    // small — so the carry window below is cheap even though it is
-    // per-key again.
+    // Each bucket's closing build value: the (t, side[, tie])-max
+    // build row. Computed from the BUILD side plus the probe's
+    // DISTINCT (key, bucket) pairs — not by aggregating `u` — because
+    // Spark 4.1's AQE cannot reuse identical exchanges above cached
+    // relations (TableCacheQueryStage canonicalization keeps
+    // per-reference stage ids; graft.tools.ReuseProbe), so a closing
+    // aggregate over `u` re-computed AND re-shuffled the full-width
+    // union a second time. The probe keys contribute only group
+    // EXISTENCE (a probe-only bucket needs a carry row), so the
+    // second pass now moves ~16 bytes/row of keys instead of the
+    // payload (guide §2.3); the full-outer join below reproduces
+    // exactly the (key, bucket) group set the u-aggregate had, with
+    // close = max over build rows and null where none.
     val closeOrd = Seq(col("__graft_t"), col("__graft_side")) ++
       (if (tieBreak.isEmpty) Nil else Seq(col("__graft_tb")))
-    val closing = u
+    val probeKB = p
+      .select(col("__graft_k"),
+        bucket(col("__graft_t")).as("__graft_b"))
+      .distinct()
+    val buildClose = b
+      .withColumn("__graft_b", bucket(col("__graft_t")))
       .groupBy(col("__graft_k"), col("__graft_b"))
-      .agg(max_by(
-        col("__graft_v"),
-        when(col("__graft_side") === buildSide,
-          struct(closeOrd: _*))).as("__graft_close"))
+      .agg(max_by(col("__graft_v"), struct(closeOrd: _*))
+        .as("__graft_close"))
+    val closing = probeKB
+      .join(buildClose, Seq("__graft_k", "__graft_b"), "full_outer")
     val wCarry = Window.partitionBy("__graft_k").orderBy(col("__graft_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = closing.withColumn("__graft_carry",

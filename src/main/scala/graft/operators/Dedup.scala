@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.DISK_ONLY
 
 /** Public near-duplicate-detection operator API over ARBITRARY
   * DataFrames — the library surface behind the `ns_dedup_*` query
@@ -35,13 +36,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct hex60-hashed word k-shingle signatures: (id, hh). Docs
-    * with fewer than k tokens drop out (no signature).
+  /** Distinct hex60-hashed word k-shingle signatures: (id, hh), hh
+    * ASC-SORTED. Docs with fewer than k tokens drop out (no
+    * signature).
+    *
+    * The sort is part of the signature contract (r20): every verify
+    * path ([[scoredPairs]], [[probeMinhashFromSignatures]], the query
+    * layer's in-row jaccard) counts intersections with ONE codegen'd
+    * sorted merge per candidate pair instead of building a hash set
+    * per pair, and paying the sort once at signing time (artifact /
+    * index build — the write-once side) is strictly cheaper than
+    * per-pair set builds on the read side. No consumer is
+    * order-sensitive: MinHashSig takes per-permutation minima,
+    * explode feeds postings/df aggregations, and the membership
+    * kernels (LongArraySetCount, BloomFilterArrayLong) probe sets —
+    * the full oracle surface re-verified green under the sorted
+    * contract.
     */
   def shingleSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"),
-      graft.plans.ShingleHash60(TF.tokens(col(textCol)), k).as("hh"))
+      sort_array(graft.plans.ShingleHash60(TF.tokens(col(textCol)), k))
+        .as("hh"))
       .filter(size(col("hh")) > 0)
 
   /** MinHash(nHashes) + LSH(bands × rowsPerBand) candidate pairs
@@ -610,7 +626,8 @@ object Dedup {
     // the shard signing (e.g. the winnow tier's charGramWinnow
     // explode) runs once per reference. O(shard)-bounded, re-executed
     // per invocation — no cross-run reuse.
-    val np = if (materialize) newPost.localCheckpoint() else newPost
+    val np =
+      if (materialize) newPost.localCheckpoint(true, DISK_ONLY) else newPost
     val surviving = index.df
       .join(np.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
@@ -690,21 +707,29 @@ object Dedup {
     * were ~60% of the probe's executor time). localCheckpoint bounds:
     * both materialized frames are O(shard) (`surviving` ⊆ the shard's
     * distinct shingles), never O(corpus) — the daily-increment shape
-    * survives 100 TB standing corpora. Re-executed on every
-    * invocation (no CacheManager entry, no cross-run reuse);
-    * `materialize = false` restores the fully lazy plan.
+    * survives 100 TB standing corpora. DISK_ONLY storage: checkpoint
+    * blocks are per-invocation scratch freed only by GC-driven
+    * cleanup, and at MEMORY_AND_DISK a bench-length session's
+    * accumulated scratch silently evicted the session's columnar
+    * artifact cache (the r20 full-suite capture read the whole dedup
+    * family 2-3x slower than the same queries isolated) — on disk
+    * they compete with nothing. Re-executed on every invocation (no
+    * CacheManager entry, no cross-run reuse); `materialize = false`
+    * restores the fully lazy plan.
     */
   def probeFromPostingsCapped(newPost: DataFrame, index: ShingleIndex,
       dfCap: Int = 256, minShared: Int = 1,
       standingRankCap: Int = 8, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val np = if (materialize) newPost.localCheckpoint() else newPost
+    val np =
+      if (materialize) newPost.localCheckpoint(true, DISK_ONLY) else newPost
     val surviving0 = index.df
       .join(np.groupBy("s").agg(count(lit(1)).as("__graft_dfb")), "s")
       .filter(col("df") + col("__graft_dfb") <= dfCap)
       .select("s")
     val surviving =
-      if (materialize) surviving0.localCheckpoint() else surviving0
+      if (materialize) surviving0.localCheckpoint(true, DISK_ONLY)
+      else surviving0
     val standPost = index.postings.join(surviving, Seq("s"))
     val shardPost = np.join(surviving, Seq("s"))
     val ranked =
@@ -973,15 +998,16 @@ object Dedup {
           .select(col("id").as("idb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("ida", "idb").distinct()
-    // arithmetic union over the distinct per-doc sets (see
-    // scoredPairs): |A∪B| = |A|+|B|−|A∩B|, so only the intersect
-    // array ever materializes per pair
+    // arithmetic union + sorted-merge intersect over the distinct
+    // ASC-sorted per-doc sets (the shingleSignatures contract; both
+    // the standing index's signatures and the shard's are signed
+    // through it): |A∪B| = |A|+|B|−|A∩B|, no per-pair set build
     cand
       .join(index.signatures.select(col("id").as("ida"),
         col("hh").as("ssa")), "ida")
       .join(shNew.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
       .withColumn("__graft_ic",
-        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+        graft.plans.SortedIntersectCount(col("ssa"), col("ssb")))
       .withColumn("jaccard", col("__graft_ic").cast("double") /
         (size(col("ssa")) + size(col("ssb")) - col("__graft_ic")))
       .filter(col("jaccard") >= minJaccard)
@@ -1013,20 +1039,20 @@ object Dedup {
       score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
           org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): DataFrame = {
-    // hh is a distinct set per doc (ShingleHash60 mirrors
-    // list_distinct), so the score function receives (|A∩B|, |A|,
-    // |B|): every set measure (jaccard, containment) is arithmetic
-    // over those three and the union array never materializes. The
-    // intersect stays array_intersect over the arrays as stored — a
-    // per-doc pre-sort for the merge-based counter was A/B'd and
-    // REJECTED (r20: candidates are rank-capped, so sorting EVERY
-    // doc's array to verify few pairs lost more than the merge saved;
-    // ns_dedup_minhash_lsh 0.75→0.92 s, containment 0.75→0.85 s).
+    // hh is a distinct ASC-SORTED set per doc (the shingleSignatures
+    // contract), so the score function receives (|A∩B|, |A|, |B|):
+    // every set measure (jaccard, containment) is arithmetic over
+    // those three, the union array never materializes, and the
+    // intersect is ONE codegen'd sorted merge per candidate pair.
+    // (An earlier r20 variant paid a per-RUN sort_array here instead
+    // of sorting at signing time and lost at sf0.1 — the sort now
+    // rides the write-once artifact/index build, so the verify side
+    // only merges.)
     cand
       .join(sh.select(col("id").as("ida"), col("hh").as("ssa")), "ida")
       .join(sh.select(col("id").as("idb"), col("hh").as("ssb")), "idb")
       .withColumn(scoreName,
-        score(size(array_intersect(col("ssa"), col("ssb"))).cast("long"),
+        score(graft.plans.SortedIntersectCount(col("ssa"), col("ssb")),
           size(col("ssa")).cast("long"), size(col("ssb")).cast("long")))
       .filter(col(scoreName) >= threshold)
       .select("ida", "idb", scoreName)

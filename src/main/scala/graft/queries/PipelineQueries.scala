@@ -436,10 +436,19 @@ object PipelineQueries {
     */
   private[queries] def hashedShingled(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "shingles") {
+      // hh ASC-sorted (the Dedup.shingleSignatures contract — verify
+      // paths count intersections by sorted merge) and cached
+      // PARTITIONED on doc_id: the pair-verify joins attach both
+      // sides' arrays by doc id, and with exchange reuse broken over
+      // caches (see cappedInvertedIndex) an unpartitioned signature
+      // cache was re-shuffled once per verify side per run
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.plans.ShingleHash60(TF.tokens(col("text")), 3).as("hh"))
+          sort_array(
+            graft.plans.ShingleHash60(TF.tokens(col("text")), 3)).as("hh"))
         .filter(size(col("hh")) > 0)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
     }
 
   /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
@@ -916,16 +925,15 @@ object PipelineQueries {
         // plain shuffle joins on doc_id — the signature table is
         // O(corpus), never broadcast it (see ns_dedup_minhash_lsh
         // verify note); the join probes only the pruned candidate set
-        // hh is a distinct set per doc (ShingleHash60 mirrors the
-        // oracle's list_distinct), so the union size is arithmetic —
-        // |A∪B| = |A|+|B|−|A∩B| — and only the intersect array
-        // materializes per surviving pair (a per-doc pre-sort +
-        // merge-count was A/B'd and rejected, see Dedup.scoredPairs)
+        // hh is a distinct ASC-sorted set per doc (shingleSignatures
+        // contract), so the union size is arithmetic — |A∪B| =
+        // |A|+|B|−|A∩B| — and the intersect is one sorted merge per
+        // surviving pair; nothing per-pair allocates
         bounded
           .join(sh.select(col("doc_id").as("da"), col("hh").as("ha")), "da")
           .join(sh.select(col("doc_id").as("db"), col("hh").as("hb")), "db")
           .withColumn("__graft_ic",
-            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+            graft.plans.SortedIntersectCount(col("ha"), col("hb")))
           .withColumn("jac", col("__graft_ic").cast("double") /
             (size(col("ha")) + size(col("hb")) - col("__graft_ic")))
           .filter(col("jac") >= 0.8)

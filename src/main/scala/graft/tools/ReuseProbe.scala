@@ -18,6 +18,10 @@ object ReuseProbe {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
+      // A/B knob: when false, does the cached-relation scan skip the
+      // TableCacheQueryStage wrap and restore exchange reuse?
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_PART", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
