@@ -336,7 +336,20 @@ object Bench {
     // noisier-but-unflagged run can never degrade the pin.
     if (quietRun) {
       val quietJson = quietValues.mkString("[", ",", "]")
-      if (pin.forall(p => headline < p.value)) {
+      // The WRITE path must honor the same env/sf guard the read
+      // enforces (VERDICT r20 what's-wrong #4): `pin` is None both
+      // when no valid pin exists AND when the on-disk pin belongs to a
+      // different environment (the driver's SPARK_GRAFT_CPUS=8 scaling
+      // pass) or sf (trend runs) — in the latter cases this run must
+      // not clobber the other environment's basis. Replacement is
+      // allowed only when the on-disk file is absent/unreadable or was
+      // captured under THIS env+sf (tree may differ: a source change
+      // makes the old pin stale and the first quiet capture on the new
+      // tree replaces it).
+      val writable = pinWritable(
+        java.nio.file.Paths.get("BENCH_PINNED.json"), sfDir, envFp,
+        fingerprint)
+      if (writable && pin.forall(p => headline < p.value)) {
         val pinDetail =
           s"""{"metric":"total","value":$headline,"unit":"sec","quiet_values_sec":$quietJson,"cpu_calib_mops":$cpuCalib,"queries_isolated":$isoQs,"isolated_reps_detail":$isoReps3,"isolated_reps":$isoReps,"isolated_latency_sum_sec":$isoSum,"isolated_latency_min_sum_sec":$isoMinSum,"iso_n_failed":$isoNFailed,"machinery_proof_queries":$machineryProof,"contended":$contended,"n_subsec_jitter_gt_1_5":$spready,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_wall_sec":$isoWallSec,"pooled_wall_sec":$wallSec,"parallelism":$par,"queries":$qs,"latency_sum_sec":$latencySum,"n_failed":$nFailed,"cold_q45_sec":$coldSec,"tree_fingerprint":"$fingerprint","env_fingerprint":"$envFp","sf":"$sfDir"}"""
         try java.nio.file.Files.writeString(
@@ -400,6 +413,29 @@ object Bench {
   private[graft] final case class Pinned(value: Double, contended: Boolean,
       sha256: String, loadavgStart: String,
       quietValues: Seq[Double] = Nil, cpuCalib: Double = Double.NaN)
+
+  /** May this run replace/extend BENCH_PINNED.json? True when the file
+    * is absent or unparseable (nothing to protect), when its recorded
+    * tree_fingerprint no longer matches the current source tree (a
+    * stale pin protects nothing — the first quiet capture on the new
+    * tree supersedes it, whatever env it ran under), or when both its
+    * env_fingerprint AND sf match this run's. What it forbids is
+    * exactly the r20 failure: a SAME-tree pin from a different
+    * environment (the driver's SPARK_GRAFT_CPUS=8 scaling pass) or a
+    * different sf (trend runs) clobbering the 32-core basis (VERDICT
+    * r20 what's-wrong #4).
+    */
+  private[graft] def pinWritable(p: java.nio.file.Path, sfDir: String,
+      envFp: String, treeFp: String): Boolean =
+    try {
+      if (!java.nio.file.Files.exists(p)) return true
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(raw)
+      def str(f: String) = j \ f match { case JString(s) => s; case _ => "" }
+      str("tree_fingerprint") != treeFp ||
+        (str("env_fingerprint") == envFp && str("sf") == sfDir)
+    } catch { case _: Throwable => true }
 
   private def readPinned(sfDir: String, fingerprint: String,
       envFp: String): Option[Pinned] =

@@ -615,6 +615,15 @@ object Dedup {
     * guard): an id beyond 2³¹ raises rather than aliasing another
     * pair — at a scale where ids outgrow 31 bits, leave the flag off
     * and take the two-column key.
+    *
+    * `materialize` (default true) eagerly `localCheckpoint`s the
+    * O(shard) shard-postings scratch at call time — the probe's
+    * multi-reference subtree otherwise re-executes per reference
+    * (broken exchange reuse over caches). TRADE-OFF (ADVICE r20):
+    * local-checkpoint blocks truncate lineage, so on executor loss
+    * (dynamic allocation / spot clusters) the job FAILS instead of
+    * recomputing. Pass `materialize = false` there and pay the
+    * re-execution, or checkpoint to reliable storage upstream.
     */
   def probeFromPostings(newPost: DataFrame, index: ShingleIndex,
       dfCap: Int = 256, minShared: Int = 1,
@@ -878,12 +887,35 @@ object Dedup {
   def writeMinHashIndex(index: MinHashIndex, dir: String): Unit = {
     index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
     index.signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+    // format marker (ADVICE r20): signatures are ASC-sorted per the
+    // shingleSignatures contract; loads of indexes persisted by a
+    // pre-contract binary (no marker) must not feed unsorted arrays
+    // into the sorted-merge verify kernel.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, SortedMarkerFile), "2\n")
+    catch { case _: Throwable => () }
   }
 
+  /** Marker filename/table-property recording that an index's `hh`
+    * arrays were persisted ASC-sorted ([[shingleSignatures]] contract,
+    * round 20). Loaders sort defensively when it is absent — a legacy
+    * index stays correct at the cost of one sort_array per row.
+    */
+  private[graft] val SortedMarkerFile = "_graft_sorted_hh_v2"
+  private[graft] val SortedMarkerProp = "graft.sorted.hh"
+
+  private def sortHhIfLegacy(df: DataFrame, sorted: Boolean): DataFrame =
+    if (sorted) df else df.withColumn("hh", sort_array(col("hh")))
+
   def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): MinHashIndex =
+      dir: String): MinHashIndex = {
+    val sorted =
+      try java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, SortedMarkerFile))
+      catch { case _: Throwable => false }
     MinHashIndex(spark.read.parquet(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/signatures"))
+      sortHhIfLegacy(spark.read.parquet(s"$dir/signatures"), sorted))
+  }
 
   /** Bucketed-table twin of [[writeMinHashIndex]] (same rationale as
     * [[writeIndexBucketed]]): `<name>_buckets` bucketed on the
@@ -903,12 +935,23 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(nBuckets, "id").sortBy("id")
       .saveAsTable(s"${name}_signatures")
+    // sorted-hh format marker — see SortedMarkerProp/loadMinHashIndexBucketed
+    try index.signatures.sparkSession.sql(
+      s"ALTER TABLE ${name}_signatures SET TBLPROPERTIES" +
+        s" ('$SortedMarkerProp' = 'true')")
+    catch { case _: Throwable => () }
   }
 
   def loadMinHashIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-      name: String): MinHashIndex =
+      name: String): MinHashIndex = {
+    val sorted =
+      try spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_signatures"))
+        .properties.get(SortedMarkerProp).contains("true")
+      catch { case _: Throwable => false }
     MinHashIndex(spark.table(s"${name}_buckets"),
-      spark.table(s"${name}_signatures"))
+      sortHhIfLegacy(spark.table(s"${name}_signatures"), sorted))
+  }
 
   /** Append a delta (a new shard's buckets + signatures) to a
     * standing bucketed index written by [[writeMinHashIndexBucketed]]
@@ -1061,6 +1104,13 @@ object Dedup {
   /** Candidate pairs verified by exact Jaccard ≥ threshold over the
     * shingle sets: (ida, idb, jaccard). |A∪B| = |A|+|B|−|A∩B| for
     * sets, so the union array never materializes.
+    *
+    * PRECONDITION (round 20 sorted-signature contract): `sh.hh` must
+    * be ASC-sorted distinct arrays, as [[shingleSignatures]] emits —
+    * the verify kernel is a sorted merge and silently undercounts on
+    * unsorted input. Self-built or legacy signature frames must be
+    * `sort_array`'d first (index loaders do this via the sorted-hh
+    * format marker).
     */
   def verifiedPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.8): DataFrame =
@@ -1073,6 +1123,9 @@ object Dedup {
     * near-dup measure that catches subset duplication (one doc quoted
     * inside a larger one) which symmetric Jaccard dilutes below any
     * useful threshold. Returns (ida, idb, containment).
+    *
+    * PRECONDITION: `sh.hh` ASC-sorted distinct arrays — see
+    * [[verifiedPairs]].
     */
   def containmentPairs(sh: DataFrame, cand: DataFrame,
       threshold: Double = 0.9): DataFrame =

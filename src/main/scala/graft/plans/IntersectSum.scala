@@ -6,7 +6,30 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+private[plans] object SortedArrayChecks {
+  /** Analysis-time guard (ADVICE r20): these kernels read getLong on
+    * each element and assume ASC-sorted inputs — a mistyped child must
+    * fail analysis, not misread memory. Sortedness itself is a runtime
+    * contract (documented on the callers); only the type is checkable
+    * here.
+    */
+  def requireLongArrays(name: String,
+      children: Seq[Expression]): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = children.zipWithIndex.collectFirst {
+      case (c, i) if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != LongType => (c, i)
+    }
+    bad match {
+      case Some((c, i)) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ASC-sorted array<bigint> inputs; " +
+          s"argument ${i + 1} is ${c.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
 
 object IntersectSumSupport {
   /** Two-pointer walk over two ASC-sorted long key arrays: sum of
@@ -48,6 +71,9 @@ case class SortedIntersectWeightSum(first: Expression, second: Expression,
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_wsum"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SortedArrayChecks.requireLongArrays(prettyName, children)
 
   override protected def nullSafeEval(a: Any, w: Any, b: Any): Any =
     IntersectSumSupport.sortedIntersectSum(a.asInstanceOf[ArrayData],
@@ -112,6 +138,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SortedArrayChecks.requireLongArrays(prettyName, children)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntersectCountSupport.sortedIntersectCount(

@@ -93,6 +93,26 @@ class BenchPinSpec extends AnyFunSuite {
       .exists(_.quietValues == Seq(41.59)))
   }
 
+  test("pinWritable: same-tree foreign-env/sf pins are protected (VERDICT r20 #4)") {
+    val d = tmpDir()
+    val p = write(d.resolve("BENCH_PINNED.json"),
+      """{"metric":"total","value":41.59,"contended":false,
+        |"loadavg_start":"0.5 0.4 0.3","tree_fingerprint":"fp1",
+        |"env_fingerprint":"env32","sf":"/data/sf0.1"}""".stripMargin)
+    // same tree + same env + same sf → a better quiet capture may replace
+    assert(Bench.pinWritable(p, "/data/sf0.1", "env32", "fp1"))
+    // same tree, DIFFERENT env (the driver's c8 scaling pass) → protected
+    assert(!Bench.pinWritable(p, "/data/sf0.1", "env8", "fp1"))
+    // same tree, different sf (trend run) → protected
+    assert(!Bench.pinWritable(p, "/data/sf1", "env32", "fp1"))
+    // STALE tree → replaceable by any env (the old pin guards nothing)
+    assert(Bench.pinWritable(p, "/data/sf0.1", "env8", "fp2"))
+    // missing / malformed file → nothing to protect
+    assert(Bench.pinWritable(d.resolve("nope.json"), "/data/sf0.1", "e", "f"))
+    assert(Bench.pinWritable(write(d.resolve("BENCH_PINNED.json"), "{oops"),
+      "/data/sf0.1", "e", "f"))
+  }
+
   test("cpu calibration gates pin COMPARABILITY, not acceptance (VERDICT r18 #7)") {
     // the env fingerprint passed across a 20-25% host-speed shift in
     // r18 — the calibration number is the in-band signal that flags
