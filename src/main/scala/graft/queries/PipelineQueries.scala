@@ -105,6 +105,54 @@ object PipelineQueries {
     name
   }
 
+  /** Scale-adaptive partition count for a derived artifact's key
+    * layout (VERDICT r20 next #7): the r20 artifacts inherited the
+    * session shuffle default (32 locally), which at bench SF is pure
+    * per-partition overhead — the whole dedup family ran ~2× faster
+    * under the driver's 8-core pass simply because every artifact
+    * stage planned 8 tasks. Size by SOURCE data volume instead:
+    * ceil(source parquet bytes / target), floored at 8 (keep a
+    * useful layout at toy scale) and capped at the session shuffle
+    * partitions (the production cap — at 100 TB the byte term
+    * dominates and the cap is whatever the cluster session sets).
+    * Target bytes per partition via `spark.graft.artifact.targetBytes`
+    * (default 256 KB of source parquet — the derived shingle/posting
+    * artifacts expand ~5-10× from the compressed source, putting
+    * actual partition payloads in the low MB at the default).
+    * sf0.1 documents (0.6 MB) → 8; sf1 replica (6 MB) → 23; sf3
+    * (18 MB) → 32 (cap) — matching the empirically best counts at
+    * each measured scale.
+    */
+  private[queries] def artifactPartitions(s: SparkSession, dir: String,
+      table: String = "documents"): Int = {
+    val target =
+      try s.conf.get("spark.graft.artifact.targetBytes", "262144").toLong
+      catch { case _: Throwable => 262144L }
+    val bytes = sourceBytes(dir, table)
+    val cap = s.sessionState.conf.numShufflePartitions
+    val byVolume = math.ceil(bytes.toDouble / math.max(1L, target)).toLong
+    math.max(math.min(8, cap), math.min(cap.toLong, byVolume)).toInt
+  }
+
+  private val srcBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sourceBytes(dir: String, table: String): Long =
+    srcBytesCache.computeIfAbsent(s"$dir/$table", { _ =>
+      try {
+        val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+        if (java.nio.file.Files.isRegularFile(root))
+          java.lang.Long.valueOf(java.nio.file.Files.size(root))
+        else if (java.nio.file.Files.isDirectory(root)) {
+          import scala.jdk.CollectionConverters._
+          java.lang.Long.valueOf(
+            java.nio.file.Files.walk(root).iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size(_)).sum)
+        } else java.lang.Long.valueOf(0L)
+      } catch { case _: Throwable => java.lang.Long.valueOf(0L) }
+    }).longValue()
+
   /** Warm the shared artifacts outside a timed region (bench warm
     * path; the dedup/ANN tiers build on them).
     */
@@ -157,7 +205,7 @@ object PipelineQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try graft.operators.Dedup.writeIndexBucketed(
         graft.operators.Dedup.buildIndexFromPostings(raw), nm,
-        s.sessionState.conf.numShufflePartitions)
+        artifactPartitions(s, dir))
       finally { raw.unpersist(); () }
     }
     // Serve from the BUCKETED tables (VERDICT r12 what's-wrong #2):
@@ -193,7 +241,7 @@ object PipelineQueries {
         graft.operators.Dedup.buildWinnowIndex(
           t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
           "doc_id", "text", dfCap = 16),
-        nm, s.sessionState.conf.numShufflePartitions)
+        nm, artifactPartitions(s, dir))
     }
     // memo-cached like incrementalIndex: bucketed partitioning rides
     // into the columnar cache, probes stop re-reading warehouse parquet
@@ -220,7 +268,7 @@ object PipelineQueries {
       graft.operators.Dedup.writeMinHashIndexBucketed(
         graft.operators.Dedup.MinHashIndex(
           graft.operators.Dedup.bandedBuckets(standing), standing),
-        nm, s.sessionState.conf.numShufflePartitions)
+        nm, artifactPartitions(s, dir))
     }
     // memo-cached like incrementalIndex: bucketed partitioning rides
     // into the columnar cache, probes stop re-reading warehouse parquet
@@ -288,7 +336,7 @@ object PipelineQueries {
       // artifact on s, and broken exchange reuse over caches would
       // otherwise shuffle it once per side per run
       graft.operators.TextSim.prefixPostings(tfidfWeights(s, dir), 0.5)
-        .repartition(s.sessionState.conf.numShufflePartitions, col("s"))
+        .repartition(artifactPartitions(s, dir), col("s"))
     }
 
   /** The tf-idf tier's verify half: per-doc sorted signature arrays
@@ -326,7 +374,7 @@ object PipelineQueries {
       graft.operators.Dedup.cappedInvertedIndex(
           hashedShingled(s, dir).withColumnRenamed("doc_id", "id"))
         .withColumnRenamed("id", "doc_id")
-        .repartition(s.sessionState.conf.numShufflePartitions, col("s"))
+        .repartition(artifactPartitions(s, dir), col("s"))
     }
 
   /** Normalized embedding table (vec_id, v: array<double>, nrm): the
@@ -353,12 +401,16 @@ object PipelineQueries {
     */
   private[queries] def embBandBuckets(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "embbk") {
-      // partitioned on the bucket join key (see cappedInvertedIndex)
+      // NOT key-partitioned (VERDICT r20 what's-wrong #2 / next #3):
+      // every consumer of this cache broadcasts its probe side, so the
+      // corpus side streams map-side through a BHJ — a bucket-key
+      // exchange baked into the cache is pure build+read cost here
+      // (ns_dedup_embed_cosine 0.44→0.77 s when r20 added it). The
+      // key layout stays where a co-partitioned join actually consumes
+      // it (cappedInvertedIndex/tfidfPrefix/minhashBanded).
       normEmbeddings(s, dir).select(col("vec_id"),
         posexplode(SF.lshBandBuckets(col("v"), 8, 8, 64))
           .as(Seq("band", "bucket")))
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("band"), col("bucket"))
     }
 
   /** Banded hyperplane-LSH buckets at the ANN-SERVING parameters
@@ -371,12 +423,10 @@ object PipelineQueries {
     */
   private[queries] def annBandBuckets(s: SparkSession, dir: String): DataFrame =
     memoArtifact(s, dir, "annbk") {
-      // partitioned on the bucket join key (see cappedInvertedIndex)
+      // not key-partitioned — probe side broadcasts (see embBandBuckets)
       normEmbeddings(s, dir).select(col("vec_id"),
         posexplode(SF.lshBandBuckets(col("v"), 4, 2, 64))
           .as(Seq("band", "bucket")))
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("band"), col("bucket"))
     }
 
   /** Trained IVF index: 2 Lloyd iterations of k-means (k=8, init =
@@ -447,8 +497,7 @@ object PipelineQueries {
           sort_array(
             graft.plans.ShingleHash60(TF.tokens(col("text")), 3)).as("hh"))
         .filter(size(col("hh")) > 0)
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("doc_id"))
+        .repartition(artifactPartitions(s, dir), col("doc_id"))
     }
 
   /** DuckDB CTE prefix shared by the shingle-based oracles: distinct
@@ -540,8 +589,7 @@ object PipelineQueries {
       // candidate self-join cluster on (band, bucket) — see
       // cappedInvertedIndex for why the cache must carry the layout
       graft.operators.Dedup.bandedWithArray(shForApi(s, dir))
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("band"), col("bucket"))
+        .repartition(artifactPartitions(s, dir), col("band"), col("bucket"))
     }
 
   private def minhashVerified(s: SparkSession, dir: String): DataFrame =
