@@ -110,8 +110,8 @@ object TextSim {
     * join — the honest 100 TB path.
     */
   def cosinePairsFromIndex(pre: DataFrame, sig: DataFrame,
-      threshold: Double): DataFrame = {
-    val cand = pre.select(col("doc_id").as("da"), col("s"),
+      threshold: Double, verifyPartitions: Int = 0): DataFrame = {
+    val cand0 = pre.select(col("doc_id").as("da"), col("s"),
         col("nrm").as("na"))
       .join(pre.select(col("doc_id").as("db"), col("s"),
         col("nrm").as("nb")),
@@ -120,6 +120,18 @@ object TextSim {
         col("na") <= col("nb") / threshold &&
         col("nb") <= col("na") / threshold)
       .select("da", "db").distinct()
+    // The verify below is compute-dense per BYTE (one sorted-merge
+    // wsum per 16-byte pair row), so AQE's byte-targeted coalescing
+    // collapses the candidate exchange to 1-2 partitions and
+    // serializes it (measured 2 tasks × 0.2 s at sf0.1). An explicit
+    // REPARTITION_BY_NUM pins the verify's parallelism (AQE never
+    // coalesces user-specified counts); the pre-repartition dedup
+    // keeps its map-side partial aggregation, so the added exchange
+    // moves only the distinct pair keys.
+    val cand =
+      if (verifyPartitions > 0)
+        cand0.repartition(verifyPartitions, col("da"), col("db"))
+      else cand0
     cand
       .join(Joins.broadcastIfSmall(
         sig.select(col("doc_id").as("da"), col("ss").as("ssa"),
@@ -140,7 +152,8 @@ object TextSim {
     * in-plan; production memoizes/persists [[prefixPostings]] and
     * [[signatures]] and calls [[cosinePairsFromIndex]].
     */
-  def cosinePairs(w: DataFrame, threshold: Double): DataFrame =
+  def cosinePairs(w: DataFrame, threshold: Double,
+      verifyPartitions: Int = 0): DataFrame =
     cosinePairsFromIndex(prefixPostings(w, threshold), signatures(w),
-      threshold)
+      threshold, verifyPartitions)
 }

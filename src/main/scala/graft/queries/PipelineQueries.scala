@@ -69,6 +69,37 @@ object PipelineQueries {
     }
   }
 
+  /** Checkpoint-backed twin of [[memoArtifact]] for artifacts whose
+    * consumers reference them through IDENTICAL exchange subtrees
+    * (e.g. one broadcast build per join side): a `.persist()` artifact
+    * scans as InMemoryTableScan, which AQE wraps in a per-reference
+    * `TableCacheQueryStage <id>` whose canonicalized form keeps the id
+    * — identical exchanges above it never canonicalize equal and
+    * stage/exchange reuse NEVER fires (tools/ReuseProbe), so each
+    * reference re-executes the exchange. An eager `localCheckpoint`
+    * materializes to RDD blocks instead: the scan is a plain
+    * `Scan ExistingRDD` (same RDD instance on every reference, no AQE
+    * wrap), identical exchanges above it canonicalize equal, and the
+    * second reference plans as ReusedExchange. Same session lifecycle
+    * as the cached artifacts (built once per (session, dir) at warm
+    * time, no cross-run reuse); trade-off: blocks are lineage-free,
+    * so executor loss fails the job instead of recomputing — same
+    * disclosed trade as probeFromPostings' materialize.
+    */
+  private[queries] def memoArtifactCk(s: SparkSession, dir: String,
+      kind: String)(build: => DataFrame): DataFrame = {
+    val m = artifactCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val key = s"$kind:$dir"
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val df = build.localCheckpoint(true)
+      val prior = m.putIfAbsent(key, df)
+      if (prior == null) df else prior
+    }
+  }
+
   /** Release every artifact memoized for `s` (unpersist + forget). */
   def clearArtifacts(s: SparkSession): Unit = {
     Option(artifactCache.remove(s)).foreach { m =>
@@ -133,6 +164,23 @@ object PipelineQueries {
     val byVolume = math.ceil(bytes.toDouble / math.max(1L, target)).toLong
     math.max(math.min(8, cap), math.min(cap.toLong, byVolume)).toInt
   }
+
+  /** Scale-conditional materialization boundary before a global sort
+    * (see ns_text_tfidf_sim's in-line note for the mechanism: the
+    * range exchange's sampling pass re-executes its child, so an
+    * expensive verify pipeline between the last shuffle and an
+    * ORDER BY runs twice). The boundary itself costs one extra tiny
+    * exchange + stage (~0.1 s of scheduling floor locally), so it
+    * only pays where the re-executed child is expensive — apply it
+    * when the corpus is past the toy floor (artifactPartitions above
+    * the 8-partition floor ⇔ source bytes > 8 × targetBytes), where
+    * the per-pair verify dominates the extra stage by orders of
+    * magnitude. `key` must make the caller's sort key unique so the
+    * re-sort is order-identical.
+    */
+  private[queries] def sortBoundary(s: SparkSession, dir: String,
+      df: DataFrame, key: String): DataFrame =
+    if (artifactPartitions(s, dir) > 8) df.repartition(col(key)) else df
 
   private val srcBytesCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -344,7 +392,11 @@ object PipelineQueries {
     * twin of the prefix index above, same write-once contract.
     */
   private[queries] def tfidfSig(s: SparkSession, dir: String): DataFrame =
-    memoArtifact(s, dir, "tfidfsig") {
+    // checkpoint-backed: BOTH verify sides broadcast this table (one
+    // BroadcastExchange per side, identical mod attribute renames) —
+    // over a cache each side built its own broadcast; over the
+    // checkpoint RDD the second side plans as ReusedExchange
+    memoArtifactCk(s, dir, "tfidfsig") {
       graft.operators.TextSim.signatures(tfidfWeights(s, dir))
     }
 
@@ -746,9 +798,9 @@ object PipelineQueries {
         // plain shuffle joins — NEVER broadcast the signatures: they
         // are O(corpus) (~800 B/doc ⇒ tens of TB at 100 TB). AQE may
         // still pick a broadcast when the table is tiny.
-        minhashVerified(s, dir)
+        sortBoundary(s, dir, minhashVerified(s, dir)
           .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
-            round(col("jaccard"), 3).as("j"))
+            round(col("jaccard"), 3).as("j")), "doc_a")
           .orderBy("doc_a", "doc_b")),
 
     // ── Dedup, applied: the surviving corpus after near-dup removal —
@@ -977,7 +1029,7 @@ object PipelineQueries {
         // contract), so the union size is arithmetic — |A∪B| =
         // |A|+|B|−|A∩B| — and the intersect is one sorted merge per
         // surviving pair; nothing per-pair allocates
-        bounded
+        sortBoundary(s, dir, bounded
           .join(sh.select(col("doc_id").as("da"), col("hh").as("ha")), "da")
           .join(sh.select(col("doc_id").as("db"), col("hh").as("hb")), "db")
           .withColumn("__graft_ic",
@@ -986,7 +1038,7 @@ object PipelineQueries {
             (size(col("ha")) + size(col("hb")) - col("__graft_ic")))
           .filter(col("jac") >= 0.8)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jac"), 3).as("j"))
+            round(col("jac"), 3).as("j")), "doc_a")
           .orderBy("doc_a", "doc_b")
       }),
 

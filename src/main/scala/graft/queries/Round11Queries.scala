@@ -215,7 +215,11 @@ object Round11Queries {
               .otherwise(expr("(__graft_ndis * 1000000) DIV n_tok")))
           .select("doc_id", "n_tok", "score")
         graft.operators.Curate.selectByBudget(
-            scored, "doc_id", "score", "n_tok", budget = 15000L)
+            scored, "doc_id", "score", "n_tok", budget = 15000L,
+            // data-sized range partitioning (scale-adaptive; the
+            // session shuffle default over-partitions at bench SF —
+            // each range partition is a task + a window)
+            numPartitions = PipelineQueries.artifactPartitions(s, dir))
           .select("doc_id", "n_tok", "score", "cum_w")
           .orderBy("doc_id")
       }),
@@ -398,7 +402,8 @@ object Round11Queries {
               * 1000000L div length(text)"""))
             .as("score"))
         Curate.globalOrderIndex(scored,
-            Seq(col("score").desc, col("doc_id").asc))
+            Seq(col("score").desc, col("doc_id").asc),
+            numPartitions = PipelineQueries.artifactPartitions(s, dir))
           .select("doc_id", "score", "pos")
           .orderBy("doc_id")
       }),

@@ -279,6 +279,9 @@ object Round3Queries {
               PipelineQueries.minhashBanded(s, dir)))
           .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
             round(col("containment"), 3).as("containment"))
+          // scale-conditional boundary before the sort — see
+          // PipelineQueries.sortBoundary
+          .transform(d => PipelineQueries.sortBoundary(s, dir, d, "doc_a"))
           .orderBy("doc_a", "doc_b")
       }),
 
@@ -497,12 +500,24 @@ object Round3Queries {
         // formulation.
         graft.operators.TextSim.cosinePairsFromIndex(
             PipelineQueries.tfidfPrefix(s, dir),
-            PipelineQueries.tfidfSig(s, dir), 0.5)
+            PipelineQueries.tfidfSig(s, dir), 0.5,
+            verifyPartitions = PipelineQueries.artifactPartitions(s, dir))
           .withColumn("sim", col("sab").cast("double") /
             (sqrt(col("s2a").cast("double")) *
               sqrt(col("s2b").cast("double"))))
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("sim"), 3).as("sim"))
+          // materialization boundary before the global sort: the range
+          // exchange's sampling pass re-executes its child pipeline,
+          // and here that child is the whole in-row verify (one
+          // sorted-merge wsum per candidate pair) — measured as two
+          // identical post-candidate stages, each ~0.2 s/task at
+          // sf0.1. A keyed repartition turns the verify output
+          // (post-threshold pairs, tiny) into its own materialized
+          // stage; sample + write then re-READ it instead of
+          // re-COMPUTING it. Result order unchanged — (doc_a, doc_b)
+          // is a unique sort key.
+          .repartition(col("doc_a"))
           .orderBy("doc_a", "doc_b")
       }),
 

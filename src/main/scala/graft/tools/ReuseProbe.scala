@@ -25,10 +25,12 @@ object ReuseProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(tag: String, cached: Boolean): Unit = {
+    def run(tag: String, cached: Boolean, checkpointed: Boolean = false): Unit = {
       val base = spark.range(0, 100000L)
         .select((col("id") % 1000).as("k"), col("id"))
-      val df = if (cached) { base.cache(); base.count(); base } else base
+      val df =
+        if (checkpointed) base.localCheckpoint(true)
+        else if (cached) { base.cache(); base.count(); base } else base
       val agg = df.groupBy("k").agg(count(lit(1)).as("c"))
       val j = agg.select(col("k"), col("c").as("c1"))
         .join(agg.select(col("k"), col("c").as("c2")), "k")
@@ -48,6 +50,18 @@ object ReuseProbe {
     }
     run("uncached", cached = false)
     run("cached", cached = true)
+    // The round-21 central mitigation: an eagerly localCheckpoint'ed
+    // frame scans as `Scan ExistingRDD` — no TableCacheQueryStage
+    // wrap, identical exchanges above it canonicalize equal, and
+    // reuse fires exactly as in the uncached case (while still
+    // serving from materialized blocks like a cache). The .cache()
+    // variant above is NOT fixable from the extension surface:
+    // TableCacheQueryStageExec keeps its per-reference stage id in
+    // the default canonicalization (no _canonicalized override — only
+    // ExchangeQueryStageExec has one) and AQE wraps every
+    // InMemoryTableScanLike unconditionally, so a shim would need a
+    // core-class shadow (rejected: Bridge-only boundary).
+    run("checkpointed", cached = false, checkpointed = true)
 
     // why: compare canonicalized pre-AQE exchanges over the cache scan
     {
