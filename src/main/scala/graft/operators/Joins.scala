@@ -57,9 +57,26 @@ object Joins {
     */
   def broadcastIfSmall(df: DataFrame, sizeHint: DataFrame,
       maxBytes: Long = 256L << 20, inflation: Long = 8L,
-      statsKey: String = null): DataFrame = {
+      statsKey: String = null): DataFrame =
+    if (fitsBroadcast(sizeHint, maxBytes, inflation, statsKey)) broadcast(df)
+    else df
+
+  /** The routing PREDICATE behind [[broadcastIfSmall]], exposed so a
+    * caller can shape the REST of its plan around the same decision
+    * (e.g. q47 pre-aggregates the fact side by its join key only on
+    * the shuffle route, where the exchange it feeds exists). The
+    * budget may be overridden per session via
+    * `spark.graft.broadcast.maxBytes` — the production-tuning knob,
+    * and the test seam that exercises the shuffle route at toy scale.
+    */
+  def fitsBroadcast(sizeHint: DataFrame, maxBytes: Long = 256L << 20,
+      inflation: Long = 8L, statsKey: String = null): Boolean = {
     require(maxBytes > 0, "maxBytes must be positive")
     require(inflation > 0, "inflation must be positive")
+    val budget =
+      try sizeHint.sparkSession.conf
+        .get("spark.graft.broadcast.maxBytes", maxBytes.toString).toLong
+      catch { case _: Throwable => maxBytes }
     // reading the hint's plan statistics runs an extra analyze +
     // optimize pass over the hint subtree at query-CONSTRUCTION time
     // — serial driver latency on the query's critical path. For
@@ -74,7 +91,7 @@ object Joins {
         sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
       else statsCache.computeIfAbsent(statsKey,
         _ => sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes)
-    if (bytes * inflation <= maxBytes) broadcast(df) else df
+    bytes * inflation <= budget
   }
 
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[

@@ -311,16 +311,45 @@ object ExtendedQueries {
             .select(col("c_custkey"), col("c_nationkey").as("n_nationkey")),
           c.select(col("c_custkey"), col("c_nationkey")),
           statsKey = s"$dir#q47cust")
-        val ordSide = graft.operators.Joins.broadcastIfSmall(
-          custSide.join(o, o("o_custkey") === col("c_custkey"))
-            .select(col("o_orderkey"), col("n_nationkey")),
+        val ordFits = graft.operators.Joins.fitsBroadcast(
           o.select(col("o_orderkey"), col("o_custkey")),
           statsKey = s"$dir#q47ord")
-        ordSide.join(l, l("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("n_nationkey"))
-          .agg(round(graft.plans.MoneySum.sumMoneyDouble(
-            l("l_extendedprice") * (lit(1) - l("l_discount"))),
-            2).cast("double").as("revenue"))
+        val ordSideIn = custSide.join(o, o("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("n_nationkey"))
+        val ordSide =
+          if (ordFits) broadcast(ordSideIn) else ordSideIn
+        val money = l("l_extendedprice") * (lit(1) - l("l_discount"))
+        val agged =
+          if (ordFits)
+            // broadcast ladder: lineitem streams un-shuffled through
+            // the BHJ probe straight into the 25-key partial aggregate
+            ordSide.join(l, l("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("n_nationkey"))
+              .agg(round(graft.plans.MoneySum.sumMoneyDouble(money),
+                2).cast("double").as("revenue"))
+          else
+            // Shuffle fallback: when the qualifying-orders side
+            // outgrows the broadcast budget the last join exchanges
+            // both sides — and Spark's default sort-merge then SORTS
+            // the 18M-row lineitem side (the r20 sf3 profile: 267 MB
+            // exchange + a 265 MB reduce-side sort SPILL). The join is
+            // FK-shaped — per reduce partition the qualifying-orders
+            // build is |orders|/(5·parts) keys, trivially hash-table
+            // sized at any scale that reaches this route — so a
+            // shuffled-HASH join (guide §3.1) streams lineitem through
+            // a per-partition build instead of sorting it: same
+            // exchanges, zero sorts, zero spill. (An A/B of guide
+            // §2.3's aggregate-before-the-shuffle rewrite — pre-agg by
+            // l_orderkey, join partials — measured 4× WORSE here:
+            // ~4 lines/order compresses the exchange only 267→199 MB
+            // while the 4.5M-group two-phase aggregate adds a full
+            // reduce stage and map-side hash pressure. Rejected.)
+            ordSide.hint("shuffle_hash")
+              .join(l, l("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("n_nationkey"))
+              .agg(round(graft.plans.MoneySum.sumMoneyDouble(money),
+                2).cast("double").as("revenue"))
+        agged
           .select(element_at(typedLit(nameMap), col("n_nationkey"))
             .as("n_name"), col("revenue"))
           // output cardinality is dim-bounded (≤25 nations), so a

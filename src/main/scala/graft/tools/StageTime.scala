@@ -50,6 +50,20 @@ object StageTime {
     })
     spark.sparkContext.setLogLevel("WARN")
 
+    // GRAFT_STAGETIME_WARM=1 mirrors Bench's untimed warm path (catalog
+    // columnar cache + shared artifacts) so the profiled stages are the
+    // ones the bench's timed region actually runs — without it a rep
+    // profiles raw-parquet decode the bench never pays (and at tiny
+    // trend row-groups that decode dominates every stage).
+    if (sys.env.get("GRAFT_STAGETIME_WARM").contains("1")) {
+      graft.Catalog.tableNames.foreach { t =>
+        try graft.Catalog.table(spark, sfDir, t).cache().count()
+        catch { case _: Throwable => () }
+      }
+      try graft.queries.PipelineQueries.warmShared(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
+
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name"))
 
