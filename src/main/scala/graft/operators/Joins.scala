@@ -86,16 +86,32 @@ object Joins {
     // lifetime, the dimFoldCached discipline. Snapshot-versioned
     // inputs move under commits — such callers must keep the
     // per-call probe (statsKey = null).
-    val bytes =
-      if (statsKey == null)
-        sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
-      else statsCache.computeIfAbsent(statsKey,
-        _ => sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes)
-    bytes * inflation <= budget
+    val (bytes, cachedStat) =
+      if (statsKey == null) statsOf(sizeHint)
+      else statsCache.computeIfAbsent(statsKey, _ => statsOf(sizeHint))
+    // `inflation` converts COMPRESSED parquet file bytes to an
+    // in-memory hash-relation estimate (see broadcastIfSmall). When
+    // every leaf of the hint plan is an InMemoryRelation the statistic
+    // is ALREADY in-memory columnar bytes — applying the full parquet
+    // factor double-counts the decompression and mis-routes sides
+    // whose true build is comfortably broadcastable (q47 at the sf3
+    // trend point: cached-stat × 8 pushed a ~50 MB build onto a
+    // 267 MB lineitem exchange). Over cached stats only the
+    // row-format + hash-table overhead remains: factor 2.
+    val eff = if (cachedStat) 2L.min(inflation) else inflation
+    bytes * eff <= budget
+  }
+
+  private def statsOf(sizeHint: DataFrame): (BigInt, Boolean) = {
+    val plan = sizeHint.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val cached = leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    (plan.stats.sizeInBytes, cached)
   }
 
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, BigInt]()
+    String, (BigInt, Boolean)]()
 
   /** Fold a CONSTANT-cardinality dimension to the driver as plain
     * rows, with a hard cap that fails loudly if the "constant" claim
